@@ -1,0 +1,27 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+exercised without TPU hardware (the driver separately dry-run-compiles the
+multi-chip path). Environment must be set before jax is imported anywhere.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+REF_TEST = pathlib.Path("/root/reference/test")
+
+
+@pytest.fixture(scope="session")
+def ref_test_dir():
+    if not REF_TEST.exists():
+        pytest.skip("reference test fixtures not available")
+    return REF_TEST

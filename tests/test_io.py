@@ -1,0 +1,144 @@
+import io
+import json
+
+import numpy as np
+import pytest
+
+from vg_tpu.io import bgzf, gam
+from vg_tpu.io.fasta import read_fasta
+from vg_tpu.io.fastq import iter_fastq, iter_fastq_paired
+from vg_tpu.io.vcf import read_vcf
+from vg_tpu.utils import dna
+
+
+def test_dna_roundtrip():
+    s = "ACGTNacgtX"
+    codes = dna.encode(s)
+    assert list(codes) == [0, 1, 2, 3, 4, 0, 1, 2, 3, 4]
+    assert dna.decode(codes) == "ACGTNACGTN"
+    assert dna.revcomp_str("AACGT") == "ACGTT"
+
+
+def test_bgzf_roundtrip():
+    data = b"hello world " * 100000
+    comp = bgzf.compress(data)
+    assert bgzf.decompress(comp) == data
+    # readable by plain gzip too
+    import gzip
+    assert gzip.decompress(comp) == data
+    # block iteration
+    blocks = list(bgzf.iter_blocks(io.BytesIO(comp)))
+    assert b"".join(blocks) == data
+
+
+def test_gam_encode_decode_roundtrip():
+    a = gam.Alignment(
+        sequence="ACGT",
+        name="read1",
+        score=73,
+        mapping_quality=60,
+        identity=1.0,
+        quality=bytes([30, 30, 30, 30]),
+        path=gam.Path(mappings=[
+            gam.Mapping(
+                position=gam.Position(node_id=5, offset=2, is_reverse=True),
+                edits=[gam.Edit(from_length=4, to_length=4)],
+                rank=1,
+            )
+        ]),
+        refpos=[gam.Position(name="x", offset=100)],
+        annotation={"param_hit_cap": 10.0, "proper_pair": True, "stage": "extend"},
+        time_used=0.001,
+    )
+    buf = a.encode()
+    b = gam.Alignment.decode(buf)
+    assert b.sequence == "ACGT"
+    assert b.score == 73
+    assert b.mapping_quality == 60
+    assert b.path.mappings[0].position.node_id == 5
+    assert b.path.mappings[0].position.is_reverse
+    assert b.refpos[0].name == "x"
+    assert b.annotation["proper_pair"] is True
+    assert b.annotation["param_hit_cap"] == 10.0
+    assert b.time_used == 0.001
+    # stable re-encode
+    assert gam.Alignment.decode(b.encode()).encode() == b.encode()
+
+
+def test_gam_file_roundtrip(tmp_path):
+    alns = [gam.Alignment(sequence="ACGT" * 10, name=f"r{i}", score=i)
+            for i in range(2500)]
+    p = tmp_path / "test.gam"
+    gam.write_gam(str(p), alns)
+    back = list(gam.read_gam(str(p)))
+    assert len(back) == 2500
+    assert back[1234].name == "r1234"
+    assert back[1234].score == 1234
+    # tagged framing round-trips too
+    p2 = tmp_path / "tagged.gam"
+    gam.write_gam(str(p2), alns[:10], tagged=True)
+    back2 = list(gam.read_gam(str(p2)))
+    assert len(back2) == 10
+
+
+def test_read_reference_gam_fixtures(ref_test_dir):
+    """Parse real vg-produced GAM files (sim truth reads on the tiny graph).
+
+    Golden facts from reference test/t/50_vg_giraffe.t and the fixture
+    generator: 30 reads of length 10 on the tiny graph.
+    """
+    path = ref_test_dir / "tiny" / "tiny-s543-n30-l10.gam"
+    alns = list(gam.read_gam(str(path)))
+    assert len(alns) == 30
+    for a in alns:
+        assert len(a.sequence) == 10
+        assert a.path is not None and len(a.path.mappings) >= 1
+        assert a.identity == 1.0
+        # all node ids must be in the tiny graph's 1..15 range
+        for m in a.path.mappings:
+            assert 1 <= m.position.node_id <= 15
+    # byte-lossless round trip of a reference-produced file
+    for a in alns:
+        assert gam.Alignment.decode(a.encode()).encode() == a.encode()
+
+
+def test_read_reference_paired_gam(ref_test_dir):
+    path = ref_test_dir / "small" / "x-s1-l100-n100-p50.gam"
+    alns = list(gam.read_gam(str(path)))
+    assert len(alns) == 200  # 100 pairs
+    with_next = [a for a in alns if a.fragment_next is not None]
+    with_prev = [a for a in alns if a.fragment_prev is not None]
+    assert len(with_next) == 100 and len(with_prev) == 100
+    assert with_next[0].fragment_next.name == with_next[0].name[:-2] + "_2"
+
+
+def test_fasta(ref_test_dir):
+    seqs = read_fasta(str(ref_test_dir / "tiny" / "tiny.fa"))
+    assert seqs["x"] == "CAAATAAGGCTTGGAAATTTTCTGGAGTTCTATTATATTCCAACTCTCTG"
+    small = read_fasta(str(ref_test_dir / "small" / "x.fa"))
+    assert len(small["x"]) == 1001
+
+
+def test_fastq(ref_test_dir):
+    reads = list(iter_fastq(str(ref_test_dir / "reads" / "small.middle.ref.fq")))
+    assert len(reads) == 1
+    assert len(reads[0].sequence) == 63
+    assert reads[0].name == "read"
+    pairs = list(iter_fastq_paired(
+        str(ref_test_dir / "small" / "x.fa_1.fastq"),
+        str(ref_test_dir / "small" / "x.fa_2.fastq")))
+    assert len(pairs) > 0
+    assert pairs[0][0].name == pairs[0][1].name
+
+
+def test_vcf(ref_test_dir):
+    vf = read_vcf(str(ref_test_dir / "tiny" / "tiny.vcf.gz"))
+    assert vf.samples == ["1"]
+    assert len(vf.records) == 5
+    r = vf.records[0]
+    assert (r.chrom, r.pos, r.ref, r.alts) == ("x", 9, "G", ["A"])
+    assert r.genotypes[0] == ((1, 0), True)
+    # small/x.vcf has indels too
+    vf2 = read_vcf(str(ref_test_dir / "small" / "x.vcf.gz"))
+    assert len(vf2.records) > 50
+    assert any(len(r.ref) != len(a) for r in vf2.records for a in r.alts)
