@@ -1,0 +1,214 @@
+"""Minimizer index over the haplotype text.
+
+Reference behavior: gbwtgraph::DefaultMinimizerIndex — (k=29, w=11)
+minimizers of all haplotype windows, canonical (min of forward/revcomp
+encodings), selected by minimum wang-hash within each window of w
+consecutive kmers; built by vg minimizer (src/subcommand/minimizer_main.cpp,
+SURVEY.md §2.1 "Minimizer seeding").
+
+Here the index maps minimizer keys to *haplotype text positions*. Because
+identical haplotype stretches repeat across a cohort, occurrences that land
+on the same graph placement are deduplicated, keeping up to
+``max_alt_positions`` distinct text positions so extension can still explore
+divergent haplotype contexts (the GBWT would enumerate all of them).
+
+Extraction is vectorized numpy on the host (reads are host-resident when
+seeding happens, like tokenization in an ML input pipeline); lookup is a
+binary search over a sorted key array, exposed both host-side and as device
+arrays for an on-device variant.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .haplotypes import HaplotypeSet
+
+DEFAULT_K = 29
+DEFAULT_W = 11
+
+
+def wang_hash_64(x: np.ndarray) -> np.ndarray:
+    """Thomas Wang's 64-bit integer hash (as used by gbwtgraph's Key64)."""
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (~x) + (x << np.uint64(21))
+        x = x ^ (x >> np.uint64(24))
+        x = (x + (x << np.uint64(3))) + (x << np.uint64(8))
+        x = x ^ (x >> np.uint64(14))
+        x = (x + (x << np.uint64(2))) + (x << np.uint64(4))
+        x = x ^ (x >> np.uint64(28))
+        x = x + (x << np.uint64(31))
+    return x
+
+
+def _rolling_kmers(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Forward and reverse-complement 2-bit packed kmers at every start
+    position (length n-k+1). Positions containing N are marked invalid
+    (returned mask)."""
+    n = len(codes)
+    if n < k:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64), np.zeros(0, bool)
+    c = codes.astype(np.int64)
+    valid_base = c < 4
+    c2 = np.where(valid_base, c, 0).astype(np.uint64)
+    # windows of k via cumulative packing: build with stride tricks
+    from numpy.lib.stride_tricks import sliding_window_view
+    win = sliding_window_view(c2, k)            # (n-k+1, k)
+    vwin = sliding_window_view(valid_base, k)
+    shifts_f = (np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        fwd = (win << shifts_f).sum(axis=1, dtype=np.uint64)
+        # reverse complement: complement codes, reversed order
+        comp = (np.uint64(3) - win)
+        shifts_r = (np.uint64(2) * np.arange(k, dtype=np.uint64))
+        rev = (comp << shifts_r).sum(axis=1, dtype=np.uint64)
+    valid = vwin.all(axis=1)
+    return fwd, rev, valid
+
+
+def extract_minimizers(codes: np.ndarray, k: int = DEFAULT_K, w: int = DEFAULT_W
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (k,w) minimizers of a code sequence.
+
+    Returns (offsets, keys, is_rev): start offsets of selected kmers, the
+    canonical keys, and whether the canonical key is the reverse-complement
+    of the forward strand at that offset. A kmer is selected if it achieves
+    the minimum hash in any window of w consecutive kmers (all ties kept,
+    matching gbwtgraph's "all minimizers" enumeration).
+    """
+    n = len(codes)
+    if n < k:
+        return (np.zeros(0, np.int64), np.zeros(0, np.uint64), np.zeros(0, bool))
+    fwd, rev, valid = _rolling_kmers(codes, k)
+    canon_rev = rev < fwd
+    keys = np.where(canon_rev, rev, fwd)
+    hashes = wang_hash_64(keys)
+    INVALID = np.uint64(0xFFFFFFFFFFFFFFFF)
+    hashes = np.where(valid, hashes, INVALID)
+    m = len(hashes)
+    if m < w:
+        w_eff = m
+    else:
+        w_eff = w
+    from numpy.lib.stride_tricks import sliding_window_view
+    wins = sliding_window_view(hashes, w_eff)   # (m-w+1, w)
+    mins = wins.min(axis=1)
+    chosen = np.zeros(m, dtype=bool)
+    # a kmer is chosen if its hash equals the min of any window containing it
+    eq = wins == mins[:, None]
+    idx = np.nonzero(eq)
+    chosen[idx[0] + idx[1]] = True
+    chosen &= valid
+    offs = np.nonzero(chosen)[0].astype(np.int64)
+    return offs, keys[offs], canon_rev[offs]
+
+
+@dataclass
+class MinimizerHit:
+    text_pos: int
+    is_rev: bool
+
+
+class MinimizerIndex:
+    """Sorted-array minimizer index over a HaplotypeSet's text."""
+
+    def __init__(self, k: int = DEFAULT_K, w: int = DEFAULT_W,
+                 max_alt_positions: int = 4):
+        self.k = k
+        self.w = w
+        self.max_alt_positions = max_alt_positions
+        self.keys = np.zeros(0, np.uint64)
+        self.offsets = np.zeros(1, np.int64)   # per-key range into positions
+        self.pos_text = np.zeros(0, np.int64)
+        self.pos_rev = np.zeros(0, bool)
+
+    # -- construction ---------------------------------------------------------
+
+    @classmethod
+    def build(cls, haps: HaplotypeSet, k: int = DEFAULT_K, w: int = DEFAULT_W,
+              max_alt_positions: int = 4) -> "MinimizerIndex":
+        self = cls(k, w, max_alt_positions)
+        all_keys: List[np.ndarray] = []
+        all_pos: List[np.ndarray] = []
+        all_rev: List[np.ndarray] = []
+        graph_key: List[np.ndarray] = []  # graph placement for dedup
+        for h in range(haps.count):
+            t0, t1 = haps.hap_text_range(h)
+            codes = haps.text[t0:t1]
+            offs, keys, is_rev = extract_minimizers(codes, k, w)
+            if len(offs) == 0:
+                continue
+            text_pos = offs + t0
+            # graph placement of the kmer start for dedup across haplotypes:
+            # (step's handle, offset within step) is a stable graph anchor
+            si = haps.step_of_text_pos(text_pos)
+            handle = haps.steps[si]
+            off_in_step = text_pos - haps.step_text_pos[si]
+            gkey = (handle.astype(np.int64) << np.int64(32)) | off_in_step
+            all_keys.append(keys)
+            all_pos.append(text_pos)
+            all_rev.append(is_rev)
+            graph_key.append(gkey)
+        if not all_keys:
+            return self
+        keys = np.concatenate(all_keys)
+        pos = np.concatenate(all_pos)
+        rev = np.concatenate(all_rev)
+        gkey = np.concatenate(graph_key)
+
+        # dedup identical (key, graph placement); cap alternates per placement
+        order = np.lexsort((pos, gkey, keys))
+        keys, pos, rev, gkey = keys[order], pos[order], rev[order], gkey[order]
+        new_group = np.ones(len(keys), dtype=bool)
+        new_group[1:] = (keys[1:] != keys[:-1]) | (gkey[1:] != gkey[:-1])
+        group_id = np.cumsum(new_group) - 1
+        # rank within group
+        first_of_group = np.nonzero(new_group)[0]
+        rank = np.arange(len(keys)) - first_of_group[group_id]
+        keep = rank < self.max_alt_positions
+        keys, pos, rev = keys[keep], pos[keep], rev[keep]
+
+        order = np.argsort(keys, kind="stable")
+        keys, pos, rev = keys[order], pos[order], rev[order]
+        uniq, starts = np.unique(keys, return_index=True)
+        self.keys = uniq
+        self.offsets = np.append(starts, len(keys)).astype(np.int64)
+        self.pos_text = pos
+        self.pos_rev = rev
+        return self
+
+    # -- queries ----------------------------------------------------------------
+
+    @property
+    def unique_count(self) -> int:
+        return len(self.keys)
+
+    def count(self, key) -> np.ndarray:
+        """Occurrences per query key (vectorized)."""
+        key = np.atleast_1d(np.asarray(key, np.uint64))
+        i = np.searchsorted(self.keys, key)
+        i = np.minimum(i, max(len(self.keys) - 1, 0))
+        found = (len(self.keys) > 0) & (self.keys[i] == key)
+        return np.where(found, self.offsets[i + 1] - self.offsets[i], 0)
+
+    def lookup(self, key: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(text positions, is_rev) for one key."""
+        i = int(np.searchsorted(self.keys, np.uint64(key)))
+        if i >= len(self.keys) or self.keys[i] != np.uint64(key):
+            return np.zeros(0, np.int64), np.zeros(0, bool)
+        s, e = self.offsets[i], self.offsets[i + 1]
+        return self.pos_text[s:e], self.pos_rev[s:e]
+
+    def lookup_ranges(self, keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Vectorized: (start, end) ranges into pos_text for each query key
+        (start==end when absent)."""
+        keys = np.asarray(keys, np.uint64)
+        i = np.searchsorted(self.keys, keys)
+        i = np.minimum(i, max(len(self.keys) - 1, 0))
+        found = (len(self.keys) > 0) & (self.keys[i] == keys)
+        start = np.where(found, self.offsets[i], 0)
+        end = np.where(found, self.offsets[i + 1], 0)
+        return start, end
