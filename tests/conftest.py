@@ -25,3 +25,7 @@ def ref_test_dir():
     if not REF_TEST.exists():
         pytest.skip("reference test fixtures not available")
     return REF_TEST
+
+# persistent compilation cache keeps repeated test runs fast
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

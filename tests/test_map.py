@@ -1,0 +1,169 @@
+"""Giraffe-style mapper tests.
+
+Oracles:
+- golden score from reference test/t/50_vg_giraffe.t:49 (GAM score == 73
+  for reads/small.middle.ref.fq on the small x graph)
+- truth positions from reference simulated GAMs (gamcompare semantics:
+  correct iff within 150bp of truth refpos; reference
+  src/subcommand/gamcompare_main.cpp:26-31)
+- device/host DP agreement (the device kernel scores, the host does
+  traceback; they must agree exactly)
+"""
+import numpy as np
+import pytest
+
+from vg_tpu.construct.constructor import Constructor, ConstructorParams
+from vg_tpu.index.haplotypes import thread_haplotypes
+from vg_tpu.index.minimizer import MinimizerIndex
+from vg_tpu.io.fasta import read_fasta
+from vg_tpu.io.fastq import Read, iter_fastq
+from vg_tpu.io.gam import read_gam
+from vg_tpu.map.giraffe import GiraffeMapper
+from vg_tpu.ops import align as align_ops
+from vg_tpu.ops.traceback import banded_traceback
+from vg_tpu.utils import dna
+
+
+@pytest.fixture(scope="module")
+def small_x(ref_test_dir):
+    ref = read_fasta(str(ref_test_dir / "small" / "x.fa"))
+    vcf_path = str(ref_test_dir / "small" / "x.vcf.gz")
+    from vg_tpu.io.vcf import read_vcf
+
+    vcf = read_vcf(vcf_path)
+    g, results = Constructor(ConstructorParams(max_node_size=1000)).construct_graph(ref, vcf)
+    haps = thread_haplotypes(g, results, vcf)
+    idx = MinimizerIndex.build(haps)
+    return GiraffeMapper(haps, idx)
+
+
+def _path_to_length(aln):
+    return sum(e.to_length for m in aln.path.mappings for e in m.edits)
+
+
+def test_perfect_read_score_73(small_x, ref_test_dir):
+    """50_vg_giraffe.t:49 golden: score == 73, full identity."""
+    reads = list(iter_fastq(str(ref_test_dir / "reads" / "small.middle.ref.fq")))
+    (aln,) = small_x.map_batch(reads)
+    assert aln.score == 73
+    assert aln.identity == 1.0
+    assert aln.mapping_quality == 60
+    assert _path_to_length(aln) == len(aln.sequence)
+    assert aln.refpos and aln.refpos[0].name == "x"
+    # the read is a perfect ref substring: path must spell the read
+    g = small_x.graph
+    spelled = ""
+    for m in aln.path.mappings:
+        s = g.node_seq(m.position.node_id)
+        if m.position.is_reverse:
+            s = dna.revcomp_str(s)
+        spelled += s[m.position.offset : m.position.offset
+                     + sum(e.from_length for e in m.edits)]
+    assert spelled == aln.sequence
+
+
+def test_sim_reads_accuracy(small_x, ref_test_dir):
+    """100 simulated reads (1% error): no wrong placements, >=85 correct
+    within gamcompare's default 150bp range (wrong = mapped >150bp away)."""
+    truth = list(read_gam(str(ref_test_dir / "small" / "x-s1337-n100-e0.01-i0.005.gam")))
+    reads = [Read(t.name, t.sequence, None) for t in truth]
+    alns = small_x.map_batch(reads)
+    ppi = small_x.path_pos
+    ok = wrong = unmapped = 0
+    for t, a in zip(truth, alns):
+        ppi.annotate_refpos(t)
+        if a.path is None or not a.path.mappings:
+            unmapped += 1
+            continue
+        assert _path_to_length(a) == len(a.sequence)
+        if a.refpos and t.refpos and abs(a.refpos[0].offset - t.refpos[0].offset) <= 150:
+            ok += 1
+        else:
+            wrong += 1
+    assert wrong == 0, f"{wrong} misplaced reads"
+    assert ok >= 85, f"only {ok} correct"
+
+
+def test_reverse_strand_path_valid(small_x, ref_test_dir):
+    """Reverse-strand alignments produce paths whose edges exist and whose
+    match edits spell the read."""
+    truth = list(read_gam(str(ref_test_dir / "small" / "x-s1337-n100-e0.01-i0.005.gam")))
+    rev = [t for t in truth
+           if t.path and t.path.mappings and t.path.mappings[0].position.is_reverse]
+    assert rev
+    reads = [Read(t.name, t.sequence, None) for t in rev[:10]]
+    alns = small_x.map_batch(reads)
+    g = small_x.graph
+    n_rev = 0
+    for a in alns:
+        if a.path is None or not a.path.mappings:
+            continue
+        if a.path.mappings[0].position.is_reverse:
+            n_rev += 1
+        # consecutive mappings must be graph edges
+        hs = [g.handle(m.position.node_id, m.position.is_reverse)
+              for m in a.path.mappings]
+        for h1, h2 in zip(hs[:-1], hs[1:]):
+            assert g.has_edge(h1, h2)
+        # match edits must spell the read exactly
+        read_pos = 0
+        for m in a.path.mappings:
+            s = g.handle_seq(g.handle(m.position.node_id, m.position.is_reverse))
+            gpos = m.position.offset
+            for e in m.edits:
+                if e.from_length == e.to_length and not e.sequence:  # match
+                    assert s[gpos : gpos + e.from_length] == \
+                        a.sequence[read_pos : read_pos + e.to_length]
+                gpos += e.from_length
+                read_pos += e.to_length
+    assert n_rev >= 5
+
+
+def test_device_host_dp_agreement():
+    """banded_scores (device) and banded_traceback (host) implement the same
+    objective: exact score agreement on random pairs."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    B = 8
+    L = 50
+    text = rng.integers(0, 4, size=2000).astype(np.uint8)
+    starts, reads = [], []
+    for i in range(16):
+        s = int(rng.integers(0, 1800))
+        read = text[s : s + L].copy()
+        # mutations
+        nmut = int(rng.integers(0, 6))
+        for _ in range(nmut):
+            p = int(rng.integers(0, L))
+            read[p] = (read[p] + 1 + rng.integers(0, 3)) % 4
+        # maybe an indel
+        if rng.random() < 0.5:
+            p = int(rng.integers(5, L - 5))
+            n = int(rng.integers(1, 4))
+            if rng.random() < 0.5:
+                read = np.concatenate([read[:p], rng.integers(0, 4, n).astype(np.uint8), read[p:]])[:L]
+            else:
+                read = np.concatenate([read[:p], read[p + n :], text[s + L : s + L + n]])[:L]
+        reads.append(read)
+        starts.append(s - B)
+    reads_arr = np.stack(reads)
+    rc = np.stack([dna.revcomp_codes(r) for r in reads])
+    rlen = np.full(16, L, np.int32)
+    cand_start = np.array(starts, np.int32)[:, None]
+    lo = np.zeros((16, 1), np.int32)
+    hi = np.full((16, 1), len(text), np.int32)
+    rev = np.zeros((16, 1), bool)
+    valid = np.ones((16, 1), bool)
+    dev = np.asarray(align_ops.banded_scores(
+        jnp.asarray(text), reads_arr, rc, rlen, cand_start, lo, hi, rev, valid,
+        band_radius=B))
+    for i in range(16):
+        TW = L + 2 * B
+        pos = starts[i] + np.arange(TW)
+        ok = (pos >= 0) & (pos < len(text))
+        window = np.where(ok, text[np.clip(pos, 0, len(text) - 1)],
+                          align_ops.SENTINEL).astype(np.uint8)
+        ta = banded_traceback(reads_arr[i], window, B)
+        host = ta.score if ta else 0
+        assert host == dev[i, 0], f"pair {i}: host {host} device {dev[i,0]}"

@@ -1,0 +1,281 @@
+"""Giraffe-style haplotype-aware short-read mapper, TPU-native.
+
+Pipeline (reference: MinimizerMapper::map_from_extensions,
+src/minimizer_mapper.cpp:608 — minimizer → seed → cluster → extend →
+align → winner/mapq):
+
+1. **minimizers**: (k,w) canonical minimizers of the read (host, vectorized
+   numpy — same code path the index build uses).
+2. **seeds**: hash lookup into the MinimizerIndex with vg's hit caps and
+   score weighting (score = 1 + ln(hard_hit_cap) - ln(hits), reference
+   src/minimizer_mapper.cpp:3918-3931; caps :4349-4360).
+3. **cluster**: seeds that agree on (strand, text diagonal) within the DP
+   band are one candidate placement. Because seeds live on the flat
+   haplotype text, vg's snarl-tree distance clustering
+   (src/snarl_seed_clusterer.cpp) reduces to a sort + gap split on
+   diagonals; candidates that project to the same graph placement across
+   haplotypes are deduplicated (the GBWT gives vg the same dedup for free).
+4. **extend/align**: one batched banded DP on device scores every
+   (read, candidate) window — vg_tpu.ops.align.banded_scores subsumes both
+   the gapless extension stage (a zero-gap path through the DP) and the
+   dozeu/GSSW tail alignment.
+5. **winner/mapq**: best candidate per read; exact log-sum-exp MAPQ over
+   the candidate score set (vg_tpu.map.mapq), clamped to 60.
+6. traceback + projection to graph Path + refpos annotation (host).
+
+Fixed-shape batching: reads pad to a length bucket, candidates pad to
+``max_candidates`` — vg's own stage caps (max_extensions, max_alignments)
+become the padding bounds (SURVEY.md §7 design stance).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..index.haplotypes import HaplotypeSet
+from ..index.minimizer import MinimizerIndex, extract_minimizers
+from ..io.fastq import Read
+from ..io.gam import Alignment, Path
+from ..ops import align as align_ops
+from ..ops.traceback import banded_traceback
+from ..utils import dna
+from .mapq import mapq_exact
+from .project import PathPositionIndex, text_alignment_to_path
+
+
+@dataclass
+class GiraffeParams:
+    hit_cap: int = 10                 # soft cap (reference: default preset)
+    hard_hit_cap: int = 500
+    score_fraction: float = 0.9
+    max_candidates: int = 8           # ~ max_alignments
+    band_radius: int = 16
+    pad_quantum: int = 32
+    batch_reads: int = 512            # device batch (pad to fixed shape)
+    max_mapq: int = 60
+    match: int = 1
+    mismatch: int = 4
+    gap_open: int = 6
+    gap_extend: int = 1
+    full_length_bonus: int = 5
+
+
+@dataclass
+class _Candidate:
+    diag: int          # text position aligning to oriented-read offset 0
+    is_rev: bool
+    score: float       # cluster score (sum of minimizer scores)
+    n_seeds: int
+    lo: int            # haplotype text range
+    hi: int
+
+
+class GiraffeMapper:
+    def __init__(self, haps: HaplotypeSet, index: MinimizerIndex,
+                 params: Optional[GiraffeParams] = None,
+                 ref_path_names: Optional[List[str]] = None):
+        import jax.numpy as jnp
+
+        self.haps = haps
+        self.index = index
+        self.params = params or GiraffeParams()
+        self.graph = haps.graph
+        self.text_dev = jnp.asarray(haps.text)
+        ref_names = ref_path_names
+        if ref_names is None:
+            ref_names = [m.name for m in self.graph.path_meta]
+        self.path_pos = PathPositionIndex(self.graph, ref_names)
+
+    # ------------------------------------------------------------------ seeds
+
+    def _seed_read(self, codes: np.ndarray) -> List[_Candidate]:
+        p = self.params
+        L = len(codes)
+        k = self.index.k
+        offs, keys, canon_rev = extract_minimizers(codes, k, self.index.w)
+        if len(offs) == 0:
+            return []
+        counts = self.index.count(keys)
+        have = counts > 0
+        offs, keys, canon_rev, counts = (
+            offs[have], keys[have], canon_rev[have], counts[have])
+        if len(offs) == 0:
+            return []
+        # minimizer score & selection (hit caps)
+        mscore = 1.0 + np.log(p.hard_hit_cap) - np.log(np.maximum(counts, 1))
+        mscore = np.maximum(mscore, 1.0)
+        order = np.argsort(-mscore, kind="stable")
+        total = mscore.sum()
+        taken_score = 0.0
+        take = np.zeros(len(offs), dtype=bool)
+        for i in order:
+            c = counts[i]
+            if c <= p.hit_cap:
+                take[i] = True
+                taken_score += mscore[i]
+            elif c <= p.hard_hit_cap and taken_score < p.score_fraction * total:
+                take[i] = True
+                taken_score += mscore[i]
+        offs, keys, canon_rev, mscore = (
+            offs[take], keys[take], canon_rev[take], mscore[take])
+
+        # seeds: (diag, strand, read_off, minimizer score)
+        diags: List[int] = []
+        strands: List[bool] = []
+        roffs: List[int] = []
+        sscores: List[float] = []
+        for i in range(len(offs)):
+            pos, prev = self.index.lookup(int(keys[i]))
+            strand = prev != canon_rev[i]   # True: read maps reverse
+            o_fwd = int(offs[i])
+            o_rev = L - k - o_fwd
+            for j in range(len(pos)):
+                o = o_rev if strand[j] else o_fwd
+                diags.append(int(pos[j]) - o)
+                strands.append(bool(strand[j]))
+                roffs.append(o)
+                sscores.append(float(mscore[i]))
+        if not diags:
+            return []
+        diags_a = np.array(diags)
+        strands_a = np.array(strands)
+        roffs_a = np.array(roffs)
+        sscores_a = np.array(sscores)
+
+        # cluster: sort by (strand, diag); split on diag gap > 2B
+        order = np.lexsort((diags_a, strands_a))
+        cands: List[_Candidate] = []
+        gap = 2 * p.band_radius
+        T = len(self.haps.text)
+        i0 = 0
+        idx = order
+        for i in range(1, len(idx) + 1):
+            boundary = i == len(idx) or (
+                strands_a[idx[i]] != strands_a[idx[i0]]
+                or diags_a[idx[i]] - diags_a[idx[i - 1]] > gap)
+            if not boundary:
+                continue
+            sel = idx[i0:i]
+            i0 = i
+            # distinct read offsets only (multiple haplotype hits of one
+            # minimizer at same placement already deduped in the index)
+            ro = roffs_a[sel]
+            uniq_ro, first = np.unique(ro, return_index=True)
+            cscore = float(sscores_a[sel][first].sum())
+            # representative diagonal: median
+            diag = int(np.median(diags_a[sel]))
+            anchor = int(np.clip(diag, 0, T - 1))
+            hap = int(self.haps.hap_of_text_pos(anchor))
+            lo = int(self.haps.text_start[hap])
+            hi = int(self.haps.text_start[hap + 1])
+            cands.append(_Candidate(
+                diag=diag, is_rev=bool(strands_a[sel[0]]), score=cscore,
+                n_seeds=len(uniq_ro), lo=lo, hi=hi))
+
+        # dedup candidates that project to the same graph placement
+        seen = {}
+        for c in cands:
+            a = int(np.clip(c.diag, c.lo, c.hi - 1))
+            nid, off, rev = self.haps.text_pos_to_graph(a)
+            key = (c.is_rev, nid, off, rev)
+            if key not in seen or seen[key].score < c.score:
+                seen[key] = c
+        cands = sorted(seen.values(), key=lambda c: -c.score)
+        return cands[: p.max_candidates]
+
+    # ------------------------------------------------------------------- map
+
+    def map_batch(self, reads: Sequence[Read]) -> List[Alignment]:
+        p = self.params
+        R = len(reads)
+        if R == 0:
+            return []
+        codes = [dna.encode(r.sequence) for r in reads]
+        codes_rc = [dna.revcomp_codes(c) for c in codes]
+        rlens_real = np.array([len(c) for c in codes], dtype=np.int32)
+        RL = max(int(np.max(rlens_real)), p.pad_quantum)
+        RL = -(-RL // p.pad_quantum) * p.pad_quantum
+
+        cand_lists = [self._seed_read(c) for c in codes]
+        C = p.max_candidates
+
+        # pad the batch dimension to a bucket so jit shapes stay stable
+        Rpad = min(-(-R // 64) * 64, max(p.batch_reads, 64))
+        Rpad = max(Rpad, -(-R // 64) * 64)
+        rlens = np.zeros(Rpad, dtype=np.int32)
+        rlens[:R] = rlens_real
+        reads_arr = np.full((Rpad, RL), 5, dtype=np.uint8)
+        reads_rc_arr = np.full((Rpad, RL), 5, dtype=np.uint8)
+        for i, c in enumerate(codes):
+            reads_arr[i, : len(c)] = c
+            reads_rc_arr[i, : len(c)] = codes_rc[i]
+        cand_start = np.zeros((Rpad, C), dtype=np.int32)
+        cand_lo = np.zeros((Rpad, C), dtype=np.int32)
+        cand_hi = np.zeros((Rpad, C), dtype=np.int32)
+        cand_rev = np.zeros((Rpad, C), dtype=bool)
+        cand_valid = np.zeros((Rpad, C), dtype=bool)
+        for i, cl in enumerate(cand_lists):
+            for j, c in enumerate(cl):
+                cand_start[i, j] = c.diag - p.band_radius
+                cand_lo[i, j] = c.lo
+                cand_hi[i, j] = c.hi
+                cand_rev[i, j] = c.is_rev
+                cand_valid[i, j] = True
+
+        scores = np.asarray(align_ops.banded_scores(
+            self.text_dev, reads_arr, reads_rc_arr, rlens,
+            cand_start, cand_lo, cand_hi, cand_rev, cand_valid,
+            band_radius=p.band_radius, match=p.match, mismatch=p.mismatch,
+            gap_open=p.gap_open, gap_extend=p.gap_extend,
+            bonus=p.full_length_bonus))
+
+        out: List[Alignment] = []
+        for i, r in enumerate(reads):
+            qual = bytes((ord(q) - 33) for q in r.quality) if r.quality else b""
+            aln = Alignment(name=r.name, sequence=r.sequence, quality=qual)
+            sc = scores[i]
+            valid = cand_valid[i] & (sc > 0)
+            if not valid.any():
+                out.append(aln)
+                continue
+            vs = sc[valid]
+            vorder = np.argsort(-vs, kind="stable")
+            best_j = np.nonzero(valid)[0][vorder[0]]
+            aln.mapping_quality = mapq_exact(
+                vs.astype(np.float64), which=int(vorder[0]),
+                match=p.match, mismatch=p.mismatch, max_mapq=p.max_mapq)
+            self._traceback_into(aln, codes[i], codes_rc[i],
+                                 int(cand_start[i, best_j]),
+                                 int(cand_lo[i, best_j]),
+                                 int(cand_hi[i, best_j]),
+                                 bool(cand_rev[i, best_j]), int(sc[best_j]))
+            out.append(aln)
+        return out
+
+    def _traceback_into(self, aln: Alignment, codes: np.ndarray,
+                        codes_rc: np.ndarray, wstart: int, lo: int, hi: int,
+                        is_rev: bool, device_score: int) -> None:
+        p = self.params
+        L = len(codes)
+        TW = L + 2 * p.band_radius
+        pos = wstart + np.arange(TW)
+        ok = (pos >= lo) & (pos < hi) & (pos >= 0) & (pos < len(self.haps.text))
+        window = np.where(ok, self.haps.text[np.clip(pos, 0, len(self.haps.text) - 1)],
+                          align_ops.SENTINEL).astype(np.uint8)
+        oriented = codes_rc if is_rev else codes
+        ta = banded_traceback(
+            oriented, window, p.band_radius,
+            align_ops.Scoring(p.match, p.mismatch, p.gap_open, p.gap_extend,
+                              p.full_length_bonus))
+        if ta is None:
+            return
+        assert ta.score == device_score, (
+            f"host/device DP disagreement: {ta.score} != {device_score}")
+        path = text_alignment_to_path(self.haps, ta, wstart, oriented, is_rev)
+        aln.path = path
+        aln.score = ta.score
+        aln.identity = ta.matches / L if L else 0.0
+        self.path_pos.annotate_refpos(aln)
