@@ -1,0 +1,125 @@
+"""Benchmark: giraffe-style 150bp read mapping throughput (reads/s/chip).
+
+Baseline: reference vg giraffe short-read speed — 3520.61 reads/s/thread,
+~56.3k reads/s at 16 threads (BASELINE.md, scripts/giraffe-speed.sh).
+vs_baseline = our reads/s on one chip / 56330.
+
+Workload: synthetic 1 Mbp pangenome (reference + 2 diploid samples at 0.1%
+SNP + 0.01% indel rate), minimizer index, 150bp single-end reads simulated
+at 1% error, mapped in fixed-size batches (seed -> cluster -> banded-DP on
+device -> winner/mapq -> GAM records).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_S = 56330.0
+
+
+def make_pangenome(rng, ref_len=1_000_000, snp_rate=0.001, indel_rate=0.0001):
+    from vg_tpu.construct.constructor import Constructor, ConstructorParams
+    from vg_tpu.io.vcf import VcfFile, VcfRecord
+    from vg_tpu.utils import dna
+
+    ref_codes = rng.integers(0, 4, size=ref_len).astype(np.uint8)
+    ref_seq = dna.decode(ref_codes)
+    n_var = int(ref_len * (snp_rate + indel_rate))
+    pos = np.sort(rng.choice(np.arange(100, ref_len - 100), size=n_var,
+                             replace=False))
+    # drop variants closer than 2bp to keep clumps simple
+    keep = np.concatenate([[True], np.diff(pos) > 40])
+    pos = pos[keep]
+    records = []
+    bases = "ACGT"
+    for p in pos:
+        p = int(p)
+        r = ref_seq[p]
+        if rng.random() < snp_rate / (snp_rate + indel_rate):
+            alt = bases[(bases.index(r) + 1 + int(rng.integers(0, 3))) % 4]
+            ref_a, alt_a = r, alt
+        else:
+            n = int(rng.integers(1, 6))
+            if rng.random() < 0.5:
+                ins = "".join(bases[int(b)] for b in rng.integers(0, 4, n))
+                ref_a, alt_a = r, r + ins
+            else:
+                ref_a, alt_a = ref_seq[p : p + 1 + n], r
+        gts = [((int(rng.integers(0, 2)), int(rng.integers(0, 2))), True)
+               for _ in range(2)]
+        records.append(VcfRecord(
+            chrom="ref", pos=p + 1, id=".", ref=ref_a, alts=[alt_a],
+            qual=".", filter=".", info={}, genotypes=gts))
+    vcf = VcfFile(samples=["s1", "s2"], records=records)
+    g, results = Constructor(ConstructorParams(max_node_size=32)).construct_graph(
+        {"ref": ref_seq}, vcf)
+    return g, results, vcf
+
+
+def simulate_reads(rng, haps, n_reads, read_len=150, err=0.01):
+    from vg_tpu.io.fastq import Read
+    from vg_tpu.utils import dna
+
+    T = haps.total_len
+    reads = []
+    for i in range(n_reads):
+        start = int(rng.integers(0, T - read_len))
+        codes = haps.text[start : start + read_len].copy()
+        nerr = rng.binomial(read_len, err)
+        for _ in range(nerr):
+            p = int(rng.integers(0, read_len))
+            codes[p] = (codes[p] + 1 + rng.integers(0, 3)) % 4
+        if rng.random() < 0.5:
+            codes = dna.revcomp_codes(codes)
+        reads.append(Read(f"r{i}", dna.decode(codes), None))
+    return reads
+
+
+def main():
+    from vg_tpu.index.haplotypes import thread_haplotypes
+    from vg_tpu.index.minimizer import MinimizerIndex
+    from vg_tpu.map.giraffe import GiraffeMapper, GiraffeParams
+
+    rng = np.random.default_rng(42)
+    t0 = time.time()
+    g, results, vcf = make_pangenome(rng)
+    haps = thread_haplotypes(g, results, vcf)
+    idx = MinimizerIndex.build(haps)
+    sys.stderr.write(
+        f"[bench] pangenome {g.node_count} nodes, {haps.count} haplotypes, "
+        f"text {haps.total_len} bp, {idx.unique_count} minimizers "
+        f"({time.time()-t0:.1f}s)\n")
+
+    params = GiraffeParams(batch_reads=512)
+    mapper = GiraffeMapper(haps, idx, params)
+    n_bench = int(os.environ.get("BENCH_READS", "4096"))
+    reads = simulate_reads(rng, haps, n_bench + 512)
+
+    # warmup (compile)
+    mapper.map_batch(reads[:512])
+    t0 = time.time()
+    mapped = 0
+    aligned = 0
+    for i in range(512, len(reads), 512):
+        batch = reads[i : i + 512]
+        alns = mapper.map_batch(batch)
+        mapped += len(batch)
+        aligned += sum(1 for a in alns if a.path is not None)
+    dt = time.time() - t0
+    rps = mapped / dt
+    sys.stderr.write(
+        f"[bench] {mapped} reads in {dt:.2f}s, {aligned/mapped*100:.1f}% aligned\n")
+    print(json.dumps({
+        "metric": "giraffe_sr_reads_per_s_per_chip",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,12 +6,19 @@ multi-chip path). Environment must be set before jax is imported anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the axon sitecustomize pins JAX_PLATFORMS=axon at interpreter start, so a
+# plain env var is not enough — override through jax.config before any
+# backend initialization
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

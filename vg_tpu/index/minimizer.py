@@ -106,6 +106,52 @@ def extract_minimizers(codes: np.ndarray, k: int = DEFAULT_K, w: int = DEFAULT_W
     return offs, keys[offs], canon_rev[offs]
 
 
+def extract_minimizers_batch(codes2d: np.ndarray, k: int = DEFAULT_K,
+                             w: int = DEFAULT_W
+                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                        np.ndarray]:
+    """(k,w) minimizers for a batch of equal-length reads at once.
+
+    codes2d: (R, L) uint8. Returns flat (read_idx, offsets, keys, is_rev),
+    identical per read to extract_minimizers().
+    """
+    R, L = codes2d.shape
+    if L < k:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.uint64), np.zeros(0, bool)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    c = codes2d.astype(np.int64)
+    valid_base = c < 4
+    c2 = np.where(valid_base, c, 0).astype(np.uint64)
+    win = sliding_window_view(c2, k, axis=1)          # (R, m, k)
+    vwin = sliding_window_view(valid_base, k, axis=1)
+    shifts_f = np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        fwd = (win << shifts_f).sum(axis=2, dtype=np.uint64)
+        comp = np.uint64(3) - win
+        shifts_r = np.uint64(2) * np.arange(k, dtype=np.uint64)
+        rev = (comp << shifts_r).sum(axis=2, dtype=np.uint64)
+    valid = vwin.all(axis=2)                          # (R, m)
+    canon_rev = rev < fwd
+    keys = np.where(canon_rev, rev, fwd)
+    hashes = wang_hash_64(keys)
+    INVALID = np.uint64(0xFFFFFFFFFFFFFFFF)
+    hashes = np.where(valid, hashes, INVALID)
+    m = hashes.shape[1]
+    w_eff = min(w, m)
+    wins = sliding_window_view(hashes, w_eff, axis=1)  # (R, m-w+1, w)
+    mins = wins.min(axis=2)
+    chosen = np.zeros((R, m), dtype=bool)
+    eq = wins == mins[:, :, None]
+    ri, wi, ki = np.nonzero(eq)
+    chosen[ri, wi + ki] = True
+    chosen &= valid
+    ridx, offs = np.nonzero(chosen)
+    return (ridx.astype(np.int64), offs.astype(np.int64),
+            keys[ridx, offs], canon_rev[ridx, offs])
+
+
 @dataclass
 class MinimizerHit:
     text_pos: int

@@ -186,6 +186,127 @@ class GiraffeMapper:
         cands = sorted(seen.values(), key=lambda c: -c.score)
         return cands[: p.max_candidates]
 
+    # -------------------------------------------------------- batch seeding
+
+    def _seed_batch(self, codes2d: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                               np.ndarray]:
+        """Vectorized seeding for an equal-length read batch.
+
+        Returns candidate arrays (R, C): start, lo, hi, rev, valid —
+        the numpy re-expression of find_seeds + cluster (reference:
+        src/minimizer_mapper.cpp:4100, src/snarl_seed_clusterer.cpp) as
+        sorts and segmented reductions over all reads at once.
+        """
+        from ..index.minimizer import extract_minimizers_batch
+
+        p = self.params
+        R, L = codes2d.shape
+        C = p.max_candidates
+        B = p.band_radius
+        k = self.index.k
+        out = (np.zeros((R, C), np.int32), np.zeros((R, C), np.int32),
+               np.zeros((R, C), np.int32), np.zeros((R, C), bool),
+               np.zeros((R, C), bool))
+        cand_start, cand_lo, cand_hi, cand_rev, cand_valid = out
+
+        ridx, offs, keys, canon_rev = extract_minimizers_batch(
+            codes2d, k, self.index.w)
+        if len(ridx) == 0:
+            return out
+        hs, he = self.index.lookup_ranges(keys)
+        counts = he - hs
+        keep = (counts > 0) & (counts <= p.hard_hit_cap)
+        ridx, offs, canon_rev, hs, he, counts = (
+            ridx[keep], offs[keep], canon_rev[keep], hs[keep], he[keep],
+            counts[keep])
+        if len(ridx) == 0:
+            return out
+        mscore = 1.0 + np.log(p.hard_hit_cap) - np.log(np.maximum(counts, 1))
+        mscore = np.maximum(mscore, 1.0)
+
+        # expand hits: seed s belongs to minimizer m(s)
+        midx = np.repeat(np.arange(len(ridx)), counts)
+        within = np.arange(len(midx)) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        hit_idx = hs[midx] + within
+        pos = self.index.pos_text[hit_idx]
+        prev = self.index.pos_rev[hit_idx]
+        strand = prev != canon_rev[midx]
+        o = np.where(strand, L - k - offs[midx], offs[midx])
+        diag = pos - o
+        sread = ridx[midx]
+        sscore = mscore[midx]
+
+        # cluster: sort by (read, strand, diag); split on diag gap > 2B
+        order = np.lexsort((diag, strand, sread))
+        sread, strand, diag, o, sscore = (
+            sread[order], strand[order], diag[order], o[order], sscore[order])
+        new_c = np.ones(len(sread), dtype=bool)
+        if len(sread) > 1:
+            new_c[1:] = ((sread[1:] != sread[:-1])
+                         | (strand[1:] != strand[:-1])
+                         | (diag[1:] - diag[:-1] > 2 * B))
+        cid = np.cumsum(new_c) - 1
+        ncl = int(cid[-1]) + 1
+        # cluster score: sum minimizer scores over distinct read offsets
+        uniq = np.ones(len(sread), dtype=bool)
+        ou = np.lexsort((o, cid))
+        du = np.ones(len(ou), dtype=bool)
+        if len(ou) > 1:
+            du[1:] = (cid[ou][1:] != cid[ou][:-1]) | (o[ou][1:] != o[ou][:-1])
+        uniq[ou] = du
+        cl_score = np.bincount(cid, weights=np.where(uniq, sscore, 0.0),
+                               minlength=ncl)
+        cl_read = sread[new_c]
+        cl_strand = strand[new_c]
+        # median-ish representative diagonal: middle element of the run
+        first = np.nonzero(new_c)[0]
+        last = np.append(first[1:], len(sread)) - 1
+        mid = (first + last) // 2
+        cl_diag = diag[mid]
+
+        # haplotype range per cluster
+        T = len(self.haps.text)
+        anchor = np.clip(cl_diag, 0, T - 1)
+        hap = np.searchsorted(self.haps.text_start[1:], anchor, side="right")
+        lo = self.haps.text_start[hap]
+        hi = self.haps.text_start[hap + 1]
+
+        # dedup clusters projecting to the same graph placement
+        a2 = np.clip(anchor, lo, hi - 1)
+        si = np.searchsorted(self.haps.step_text_pos[1:], a2, side="right")
+        ghandle = self.haps.steps[si]
+        goff = a2 - self.haps.step_text_pos[si]
+        okey = np.lexsort((-cl_score, goff, ghandle, cl_strand, cl_read))
+        kcl = np.ones(len(okey), dtype=bool)
+        if len(okey) > 1:
+            kcl[1:] = ((cl_read[okey][1:] != cl_read[okey][:-1])
+                       | (cl_strand[okey][1:] != cl_strand[okey][:-1])
+                       | (ghandle[okey][1:] != ghandle[okey][:-1])
+                       | (goff[okey][1:] != goff[okey][:-1]))
+        keep_idx = okey[kcl]
+
+        # top-C per read by score
+        o2 = np.lexsort((-cl_score[keep_idx], cl_read[keep_idx]))
+        sel = keep_idx[o2]
+        rr = cl_read[sel]
+        firsts = np.ones(len(sel), dtype=bool)
+        if len(sel) > 1:
+            firsts[1:] = rr[1:] != rr[:-1]
+        group_start = np.nonzero(firsts)[0]
+        gix = np.cumsum(firsts) - 1
+        rank = np.arange(len(sel)) - group_start[gix]
+        final = sel[rank < C]
+        rank = rank[rank < C]
+        rr = cl_read[final]
+        cand_start[rr, rank] = (cl_diag[final] - B).astype(np.int32)
+        cand_lo[rr, rank] = lo[final].astype(np.int32)
+        cand_hi[rr, rank] = hi[final].astype(np.int32)
+        cand_rev[rr, rank] = cl_strand[final]
+        cand_valid[rr, rank] = True
+        return out
+
     # ------------------------------------------------------------------- map
 
     def map_batch(self, reads: Sequence[Read]) -> List[Alignment]:
@@ -198,8 +319,6 @@ class GiraffeMapper:
         rlens_real = np.array([len(c) for c in codes], dtype=np.int32)
         RL = max(int(np.max(rlens_real)), p.pad_quantum)
         RL = -(-RL // p.pad_quantum) * p.pad_quantum
-
-        cand_lists = [self._seed_read(c) for c in codes]
         C = p.max_candidates
 
         # pad the batch dimension to a bucket so jit shapes stay stable
@@ -212,18 +331,30 @@ class GiraffeMapper:
         for i, c in enumerate(codes):
             reads_arr[i, : len(c)] = c
             reads_rc_arr[i, : len(c)] = codes_rc[i]
-        cand_start = np.zeros((Rpad, C), dtype=np.int32)
-        cand_lo = np.zeros((Rpad, C), dtype=np.int32)
-        cand_hi = np.zeros((Rpad, C), dtype=np.int32)
-        cand_rev = np.zeros((Rpad, C), dtype=bool)
-        cand_valid = np.zeros((Rpad, C), dtype=bool)
-        for i, cl in enumerate(cand_lists):
-            for j, c in enumerate(cl):
-                cand_start[i, j] = c.diag - p.band_radius
-                cand_lo[i, j] = c.lo
-                cand_hi[i, j] = c.hi
-                cand_rev[i, j] = c.is_rev
-                cand_valid[i, j] = True
+
+        if np.all(rlens_real == rlens_real[0]):
+            # fast path: one vectorized seeding pass over the whole batch
+            cs, clo, chi, crev, cval = self._seed_batch(
+                np.stack([c for c in codes]))
+            cand_start = np.zeros((Rpad, C), np.int32); cand_start[:R] = cs
+            cand_lo = np.zeros((Rpad, C), np.int32); cand_lo[:R] = clo
+            cand_hi = np.zeros((Rpad, C), np.int32); cand_hi[:R] = chi
+            cand_rev = np.zeros((Rpad, C), bool); cand_rev[:R] = crev
+            cand_valid = np.zeros((Rpad, C), bool); cand_valid[:R] = cval
+        else:
+            cand_lists = [self._seed_read(c) for c in codes]
+            cand_start = np.zeros((Rpad, C), dtype=np.int32)
+            cand_lo = np.zeros((Rpad, C), dtype=np.int32)
+            cand_hi = np.zeros((Rpad, C), dtype=np.int32)
+            cand_rev = np.zeros((Rpad, C), dtype=bool)
+            cand_valid = np.zeros((Rpad, C), dtype=bool)
+            for i, cl in enumerate(cand_lists):
+                for j, c in enumerate(cl):
+                    cand_start[i, j] = c.diag - p.band_radius
+                    cand_lo[i, j] = c.lo
+                    cand_hi[i, j] = c.hi
+                    cand_rev[i, j] = c.is_rev
+                    cand_valid[i, j] = True
 
         scores = np.asarray(align_ops.banded_scores(
             self.text_dev, reads_arr, reads_rc_arr, rlens,
@@ -255,6 +386,39 @@ class GiraffeMapper:
             out.append(aln)
         return out
 
+    def _gapless_check(self, oriented: np.ndarray, window: np.ndarray,
+                       device_score: int):
+        """If the winner is a full-length gapless alignment on the center
+        diagonal (the overwhelmingly common short-read case, vg's
+        extension_to_alignment shortcut, src/minimizer_mapper.cpp:3897),
+        build the edits directly from the mismatch mask — no DP traceback."""
+        from ..ops.traceback import TextAlignment
+
+        p = self.params
+        B = p.band_radius
+        L = len(oriented)
+        t = window[B : B + L]
+        mism = (t != oriented) | (oriented >= 4)
+        mm = int(mism.sum())
+        score = (L - mm) * p.match - mm * p.mismatch + 2 * p.full_length_bonus
+        if score != device_score:
+            return None
+        edits = []
+        i = 0
+        while i < L:
+            j = i
+            state = bool(mism[i])
+            while j < L and bool(mism[j]) == state:
+                j += 1
+            if state:
+                edits.append(("X", j - i, oriented[i:j]))
+            else:
+                edits.append(("M", j - i))
+            i = j
+        return TextAlignment(score=score, read_start=0, read_end=L,
+                             text_start=B, text_end=B + L, edits=edits,
+                             matches=L - mm)
+
     def _traceback_into(self, aln: Alignment, codes: np.ndarray,
                         codes_rc: np.ndarray, wstart: int, lo: int, hi: int,
                         is_rev: bool, device_score: int) -> None:
@@ -266,10 +430,12 @@ class GiraffeMapper:
         window = np.where(ok, self.haps.text[np.clip(pos, 0, len(self.haps.text) - 1)],
                           align_ops.SENTINEL).astype(np.uint8)
         oriented = codes_rc if is_rev else codes
-        ta = banded_traceback(
-            oriented, window, p.band_radius,
-            align_ops.Scoring(p.match, p.mismatch, p.gap_open, p.gap_extend,
-                              p.full_length_bonus))
+        ta = self._gapless_check(oriented, window, device_score)
+        if ta is None:
+            ta = banded_traceback(
+                oriented, window, p.band_radius,
+                align_ops.Scoring(p.match, p.mismatch, p.gap_open,
+                                  p.gap_extend, p.full_length_bonus))
         if ta is None:
             return
         assert ta.score == device_score, (
