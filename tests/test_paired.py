@@ -1,0 +1,90 @@
+"""Paired-end mapping tests: fragment model, proper pairing, rescue."""
+import numpy as np
+import pytest
+
+from vg_tpu.construct.constructor import Constructor, ConstructorParams
+from vg_tpu.index.haplotypes import thread_haplotypes
+from vg_tpu.index.minimizer import MinimizerIndex
+from vg_tpu.io.fasta import read_fasta
+from vg_tpu.io.fastq import Read, iter_fastq_paired
+from vg_tpu.io.vcf import read_vcf
+from vg_tpu.map.giraffe import GiraffeMapper
+from vg_tpu.map.paired import FragmentLengthDistribution, PairedGiraffeMapper
+from vg_tpu.utils import dna
+
+
+@pytest.fixture(scope="module")
+def paired_mapper(ref_test_dir):
+    ref = read_fasta(str(ref_test_dir / "small" / "x.fa"))
+    vcf = read_vcf(str(ref_test_dir / "small" / "x.vcf.gz"))
+    g, results = Constructor(ConstructorParams(max_node_size=1000)).construct_graph(ref, vcf)
+    haps = thread_haplotypes(g, results, vcf)
+    idx = MinimizerIndex.build(haps)
+    return PairedGiraffeMapper(GiraffeMapper(haps, idx))
+
+
+def test_fragment_distribution_robust():
+    fd = FragmentLengthDistribution(maximum_sample_size=100)
+    rng = np.random.default_rng(0)
+    for x in rng.normal(400, 50, 96):
+        fd.add(x)
+    for x in (2, 3, 8000, 9000):  # tail outliers trimmed symmetrically
+        fd.add(x)
+    assert fd.finalized
+    assert abs(fd.mean - 400) < 25
+    assert abs(fd.stdev - 50) < 20
+
+
+def test_paired_simulated(paired_mapper, ref_test_dir):
+    pairs = list(iter_fastq_paired(
+        str(ref_test_dir / "small" / "x.fa_1.fastq"),
+        str(ref_test_dir / "small" / "x.fa_2.fastq")))[:300]
+    out = paired_mapper.map_pairs(pairs)
+    n_proper = sum(1 for a, b in out if a.annotation.get("proper_pair"))
+    aligned = sum((a.path is not None) + (b.path is not None) for a, b in out)
+    assert aligned == 2 * len(out)
+    assert n_proper >= 0.95 * len(out)
+    assert 500 < paired_mapper.fragdist.mean < 1500
+    # pair linkage present
+    a, b = out[0]
+    assert a.fragment_next.name == b.name
+    assert b.fragment_prev.name == a.name
+
+
+def test_rescue_recovers_seedless_mate(paired_mapper):
+    """A mate whose every minimizer is broken by errors must be rescued via
+    the fragment window around its partner."""
+    # fresh fragment model (the shared fixture already finalized on ~900bp
+    # fragments; this test simulates 400bp fragments)
+    paired_mapper = PairedGiraffeMapper(paired_mapper.mapper)
+    haps = paired_mapper.mapper.haps
+    rng = np.random.default_rng(3)
+    t0, t1 = haps.hap_text_range(0)
+    L = 100
+    frag = 400
+    pairs = []
+    for i in range(50):
+        s = int(rng.integers(t0, t1 - frag))
+        c1 = haps.text[s : s + L].copy()
+        c2 = haps.text[s + frag - L : s + frag].copy()
+        # wreck every k-window of mate 2 with an error every 15bp
+        for p in range(7, L, 15):
+            c2[p] = (c2[p] + 1 + rng.integers(0, 3)) % 4
+        pairs.append((Read(f"p{i}/1", dna.decode(c1), None),
+                      Read(f"p{i}/2", dna.decode(dna.revcomp_codes(c2)), None)))
+    # warm the fragment model with clean pairs
+    clean = []
+    for i in range(300):
+        s = int(rng.integers(t0, t1 - frag))
+        c1 = haps.text[s : s + L]
+        c2 = haps.text[s + frag - L : s + frag]
+        clean.append((Read(f"c{i}/1", dna.decode(c1), None),
+                      Read(f"c{i}/2", dna.decode(dna.revcomp_codes(c2)), None)))
+    paired_mapper.map_pairs(clean)
+    assert paired_mapper.fragdist.finalized
+
+    out = paired_mapper.map_pairs(pairs)
+    rescued = sum(1 for a, b in out if b.path is not None and b.path.mappings)
+    assert rescued >= 45, f"only {rescued}/50 mates rescued"
+    proper = sum(1 for a, b in out if a.annotation.get("proper_pair"))
+    assert proper >= 45

@@ -64,6 +64,23 @@ class GiraffeParams:
 
 
 @dataclass
+class ScoredBatch:
+    """Seeded + device-scored read batch (per-read candidate tables)."""
+    reads: List[Read]
+    codes: List[np.ndarray]
+    codes_rc: List[np.ndarray]
+    cand_start: np.ndarray   # (R, C) int32 window starts (diag - B)
+    cand_lo: np.ndarray
+    cand_hi: np.ndarray
+    cand_rev: np.ndarray
+    cand_valid: np.ndarray
+    scores: np.ndarray       # (R, C) int32 DP scores
+
+    def diag(self) -> np.ndarray:
+        return self.cand_start  # + band_radius gives the seed diagonal
+
+
+@dataclass
 class _Candidate:
     diag: int          # text position aligning to oriented-read offset 0
     is_rev: bool
@@ -309,11 +326,11 @@ class GiraffeMapper:
 
     # ------------------------------------------------------------------- map
 
-    def map_batch(self, reads: Sequence[Read]) -> List[Alignment]:
+    def score_reads(self, reads: Sequence[Read]) -> "ScoredBatch":
+        """Seed + device-score a batch; returns everything needed to pick
+        winners (single-end) or pair/rescue (paired-end)."""
         p = self.params
         R = len(reads)
-        if R == 0:
-            return []
         codes = [dna.encode(r.sequence) for r in reads]
         codes_rc = [dna.revcomp_codes(c) for c in codes]
         rlens_real = np.array([len(c) for c in codes], dtype=np.int32)
@@ -363,27 +380,78 @@ class GiraffeMapper:
             gap_open=p.gap_open, gap_extend=p.gap_extend,
             bonus=p.full_length_bonus))
 
+        return ScoredBatch(
+            reads=list(reads), codes=codes, codes_rc=codes_rc,
+            cand_start=cand_start[:R], cand_lo=cand_lo[:R],
+            cand_hi=cand_hi[:R], cand_rev=cand_rev[:R],
+            cand_valid=cand_valid[:R], scores=np.array(scores[:R]))
+
+    def rescore_candidates(self, sb: "ScoredBatch",
+                           cand_start: np.ndarray, cand_lo: np.ndarray,
+                           cand_hi: np.ndarray, cand_rev: np.ndarray,
+                           cand_valid: np.ndarray,
+                           band_radius: Optional[int] = None) -> np.ndarray:
+        """Score additional candidates for an already-encoded batch (used by
+        paired rescue)."""
+        p = self.params
+        R = len(sb.reads)
+        RL = max(len(c) for c in sb.codes)
+        RL = -(-RL // p.pad_quantum) * p.pad_quantum
+        Rpad = max(-(-R // 64) * 64, 64)
+        C = cand_start.shape[1]
+        rlens = np.zeros(Rpad, np.int32)
+        reads_arr = np.full((Rpad, RL), 5, np.uint8)
+        reads_rc_arr = np.full((Rpad, RL), 5, np.uint8)
+        for i, c in enumerate(sb.codes):
+            rlens[i] = len(c)
+            reads_arr[i, : len(c)] = c
+            reads_rc_arr[i, : len(c)] = sb.codes_rc[i]
+        pad = lambda a, fill: np.concatenate(
+            [a, np.full((Rpad - R, C), fill, a.dtype)], axis=0)
+        return np.asarray(align_ops.banded_scores(
+            self.text_dev, reads_arr, reads_rc_arr, rlens,
+            pad(cand_start, 0), pad(cand_lo, 0), pad(cand_hi, 0),
+            pad(cand_rev, False), pad(cand_valid, False),
+            band_radius=band_radius or p.band_radius, match=p.match,
+            mismatch=p.mismatch, gap_open=p.gap_open,
+            gap_extend=p.gap_extend, bonus=p.full_length_bonus))[:R]
+
+    def emit(self, sb: "ScoredBatch", i: int, best_j: int,
+             mapping_quality: int) -> Alignment:
+        """Build the output Alignment for read i's candidate best_j."""
+        r = sb.reads[i]
+        qual = bytes((ord(q) - 33) for q in r.quality) if r.quality else b""
+        aln = Alignment(name=r.name, sequence=r.sequence, quality=qual)
+        if best_j < 0:
+            return aln
+        aln.mapping_quality = mapping_quality
+        self._traceback_into(aln, sb.codes[i], sb.codes_rc[i],
+                             int(sb.cand_start[i, best_j]),
+                             int(sb.cand_lo[i, best_j]),
+                             int(sb.cand_hi[i, best_j]),
+                             bool(sb.cand_rev[i, best_j]),
+                             int(sb.scores[i, best_j]))
+        return aln
+
+    def map_batch(self, reads: Sequence[Read]) -> List[Alignment]:
+        p = self.params
+        if len(reads) == 0:
+            return []
+        sb = self.score_reads(reads)
         out: List[Alignment] = []
-        for i, r in enumerate(reads):
-            qual = bytes((ord(q) - 33) for q in r.quality) if r.quality else b""
-            aln = Alignment(name=r.name, sequence=r.sequence, quality=qual)
-            sc = scores[i]
-            valid = cand_valid[i] & (sc > 0)
+        for i in range(len(reads)):
+            sc = sb.scores[i]
+            valid = sb.cand_valid[i] & (sc > 0)
             if not valid.any():
-                out.append(aln)
+                out.append(self.emit(sb, i, -1, 0))
                 continue
             vs = sc[valid]
             vorder = np.argsort(-vs, kind="stable")
-            best_j = np.nonzero(valid)[0][vorder[0]]
-            aln.mapping_quality = mapq_exact(
+            best_j = int(np.nonzero(valid)[0][vorder[0]])
+            mq = mapq_exact(
                 vs.astype(np.float64), which=int(vorder[0]),
                 match=p.match, mismatch=p.mismatch, max_mapq=p.max_mapq)
-            self._traceback_into(aln, codes[i], codes_rc[i],
-                                 int(cand_start[i, best_j]),
-                                 int(cand_lo[i, best_j]),
-                                 int(cand_hi[i, best_j]),
-                                 bool(cand_rev[i, best_j]), int(sc[best_j]))
-            out.append(aln)
+            out.append(self.emit(sb, i, best_j, mq))
         return out
 
     def _gapless_check(self, oriented: np.ndarray, window: np.ndarray,

@@ -1,0 +1,402 @@
+"""Paired-end mapping: fragment-length model, pair scoring, mate rescue.
+
+Reference behavior being reproduced (SURVEY.md §2.3, Appendix B):
+- FragmentLengthDistribution (src/mapper.hpp:80-143): robust running
+  estimate over observed lengths from unambiguously-mapped pairs;
+  finalized after 1000 samples with the central 95% (giraffe ctor
+  FragmentLengthDistribution(1000, 1000, 0.95), src/minimizer_mapper.cpp:72).
+  Until finalized, ambiguous pairs are buffered
+  (MinimizerMapper::map_paired, src/minimizer_mapper.cpp:1298).
+- Pair scoring: candidate pairs in proper orientation get a Gaussian
+  fragment-length log-likelihood bonus scaled into score space by the
+  scoring matrix's log base (src/minimizer_mapper.cpp:6013).
+- Rescue (src/minimizer_mapper.cpp:3319-3424): an unmapped mate is
+  re-aligned inside a window around its partner — mean +
+  rescue_subgraph_stdevs(=4)*sigma — here a seed scan over the haplotype
+  text window followed by one extra batched DP call.
+
+Because both mates live on the same haplotype text, "graph min distance
+between mates" is plain position arithmetic: fragment length = span from
+the leftmost aligned base of the forward-strand mate to the rightmost of
+the reverse-strand mate.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..io.fastq import Read
+from ..io.gam import Alignment
+from .giraffe import GiraffeMapper, ScoredBatch
+from .mapq import log_base, mapq_exact
+
+
+class FragmentLengthDistribution:
+    """Robust fragment length estimator (reference src/mapper.hpp:80-143)."""
+
+    def __init__(self, maximum_sample_size: int = 1000,
+                 robust_fraction: float = 0.95):
+        self.max_samples = maximum_sample_size
+        self.robust_fraction = robust_fraction
+        self.samples: List[float] = []
+        self._mean = 0.0
+        self._stdev = 0.0
+        self.finalized = False
+
+    def add(self, length: float) -> None:
+        if self.finalized:
+            return
+        self.samples.append(float(length))
+        if len(self.samples) >= self.max_samples:
+            self.finalize()
+
+    def finalize(self) -> None:
+        if not self.samples:
+            # fallback prior so mapping can proceed (vg errors out instead;
+            # we degrade gracefully for tiny inputs)
+            self._mean, self._stdev = 400.0, 100.0
+        else:
+            s = np.sort(np.asarray(self.samples))
+            n = len(s)
+            lo = int(math.floor(n * (1 - self.robust_fraction) / 2))
+            hi = n - lo
+            core = s[lo:hi]
+            self._mean = float(core.mean())
+            self._stdev = float(core.std() + 1e-9)
+            if self._stdev < 1.0:
+                self._stdev = 1.0
+        self.finalized = True
+
+    @property
+    def mean(self) -> float:
+        return self._mean
+
+    @property
+    def stdev(self) -> float:
+        return self._stdev
+
+    def log_likelihood(self, length: np.ndarray) -> np.ndarray:
+        mu, sd = self._mean, self._stdev
+        return (-((np.asarray(length, float) - mu) ** 2) / (2 * sd * sd)
+                - math.log(sd * math.sqrt(2 * math.pi)))
+
+
+@dataclass
+class PairedParams:
+    max_fragment_length: int = 2000      # reference minimizer_mapper.hpp:479
+    rescue_stdevs: float = 4.0           # rescue_subgraph_stdevs
+    paired_distance_stdevs: float = 2.0  # clustering/pairing window
+    rescue_seed_k: int = 11              # seed scan kmer inside the window
+    max_rescue_candidates: int = 4
+    unpaired_penalty: float = 30.0       # score-space penalty for improper pairs
+
+
+class PairedGiraffeMapper:
+    """Maps read pairs with fragment model warmup, pairing, and rescue."""
+
+    def __init__(self, mapper: GiraffeMapper,
+                 params: Optional[PairedParams] = None):
+        self.mapper = mapper
+        self.params = params or PairedParams()
+        self.fragdist = FragmentLengthDistribution()
+        self._buffer: List[Tuple[Read, Read]] = []
+
+    # ------------------------------------------------------------ warmup
+
+    def _observe_batch(self, sb1: ScoredBatch, sb2: ScoredBatch) -> None:
+        """Collect fragment lengths from unambiguous proper pairs."""
+        for i in range(len(sb1.reads)):
+            j1 = _unique_best(sb1, i)
+            j2 = _unique_best(sb2, i)
+            if j1 is None or j2 is None:
+                continue
+            frag = _fragment_length(self.mapper, sb1, i, j1, sb2, i, j2)
+            if frag is not None and 0 < frag <= self.params.max_fragment_length:
+                self.fragdist.add(frag)
+
+    # ------------------------------------------------------------- map
+
+    def map_pairs(self, pairs: Sequence[Tuple[Read, Read]]
+                  ) -> List[Tuple[Alignment, Alignment]]:
+        if not pairs:
+            return []
+        m = self.mapper
+        reads1 = [a for a, _ in pairs]
+        reads2 = [b for _, b in pairs]
+        sb1 = m.score_reads(reads1)
+        sb2 = m.score_reads(reads2)
+        if not self.fragdist.finalized:
+            self._observe_batch(sb1, sb2)
+            if not self.fragdist.finalized and len(self.fragdist.samples) >= 50:
+                # enough signal for small inputs; vg waits for 1000 but
+                # flushes the buffer at EOF — callers can also force
+                # finalize() at end of input
+                pass
+        if not self.fragdist.finalized:
+            self.fragdist.finalize()
+
+        # rescue pass: reads with no candidates but a confidently-mapped mate
+        self._rescue(sb1, sb2)
+        self._rescue(sb2, sb1)
+
+        out: List[Tuple[Alignment, Alignment]] = []
+        for i in range(len(pairs)):
+            a1, a2 = self._pair_one(sb1, sb2, i)
+            a1.fragment_next = Alignment(name=a2.name)
+            a2.fragment_prev = Alignment(name=a1.name)
+            out.append((a1, a2))
+        return out
+
+    def map_pairs_flat(self, pairs) -> List[Alignment]:
+        out = []
+        for a1, a2 in self.map_pairs(pairs):
+            out.append(a1)
+            out.append(a2)
+        return out
+
+    # ----------------------------------------------------------- pairing
+
+    def _pair_one(self, sb1: ScoredBatch, sb2: ScoredBatch, i: int
+                  ) -> Tuple[Alignment, Alignment]:
+        m = self.mapper
+        p = m.params
+        pp = self.params
+        lam = log_base(p.match, p.mismatch)
+        s1 = sb1.scores[i].astype(np.float64)
+        s2 = sb2.scores[i].astype(np.float64)
+        v1 = sb1.cand_valid[i] & (s1 > 0)
+        v2 = sb2.cand_valid[i] & (s2 > 0)
+        if not v1.any() and not v2.any():
+            return m.emit(sb1, i, -1, 0), m.emit(sb2, i, -1, 0)
+
+        # all candidate combos: scaled score = lam*(s1+s2) + frag loglik
+        C = len(s1)
+        frag = np.full((C, C), -1.0)
+        for j1 in np.nonzero(v1)[0]:
+            for j2 in np.nonzero(v2)[0]:
+                f = _fragment_length(m, sb1, i, int(j1), sb2, i, int(j2))
+                if f is not None:
+                    frag[j1, j2] = f
+        proper = (frag > 0) & (frag <= pp.max_fragment_length)
+        pair_scaled = np.full((C, C), -np.inf)
+        if proper.any():
+            ll = self.fragdist.log_likelihood(frag)
+            pair_scaled = np.where(
+                proper, lam * (s1[:, None] + s2[None, :]) + ll, -np.inf)
+        # improper combination fallback: best independent candidates with a
+        # penalty (vg treats these as non-proper pairs)
+        best1 = int(np.argmax(np.where(v1, s1, -np.inf))) if v1.any() else -1
+        best2 = int(np.argmax(np.where(v2, s2, -np.inf))) if v2.any() else -1
+        indep = (lam * ((s1[best1] if best1 >= 0 else 0)
+                        + (s2[best2] if best2 >= 0 else 0))
+                 - lam * pp.unpaired_penalty)
+
+        if proper.any() and pair_scaled.max() >= indep:
+            j1, j2 = np.unravel_index(int(np.argmax(pair_scaled)), (C, C))
+            # pair mapq over the proper-combo score distribution, capped by
+            # each end's own candidate ambiguity (reference
+            # minimizer_mapper.cpp:2684-2789 pair caps)
+            combos = pair_scaled[np.isfinite(pair_scaled)]
+            mq_pair = _mapq_scaled(combos, float(pair_scaled[j1, j2]))
+            mq1 = min(mq_pair, _end_cap(s1, v1, int(j1), lam),
+                      p.max_mapq)
+            mq2 = min(mq_pair, _end_cap(s2, v2, int(j2), lam),
+                      p.max_mapq)
+            a1 = m.emit(sb1, i, int(j1), int(mq1))
+            a2 = m.emit(sb2, i, int(j2), int(mq2))
+            for a in (a1, a2):
+                a.annotation["proper_pair"] = True
+                a.annotation["fragment_length"] = int(frag[j1, j2])
+            return a1, a2
+
+        # not properly paired: emit independent winners
+        def solo(sb, best, v, s):
+            if best < 0:
+                return m.emit(sb, i, -1, 0)
+            vs = s[v]
+            which = int(np.nonzero(np.nonzero(v)[0] == best)[0][0])
+            mq = mapq_exact(vs, which=which, match=p.match,
+                            mismatch=p.mismatch, max_mapq=p.max_mapq)
+            a = m.emit(sb, i, best, mq)
+            a.annotation["proper_pair"] = False
+            return a
+
+        return solo(sb1, best1, v1, s1), solo(sb2, best2, v2, s2)
+
+    # ----------------------------------------------------------- rescue
+
+    def _rescue(self, sb_have: ScoredBatch, sb_need: ScoredBatch) -> None:
+        """For each pair where sb_need has no valid candidate but sb_have
+        maps well, seed-scan the fragment window around the mate on the
+        haplotype text and add rescue candidates, then score them with one
+        batched DP call."""
+        m = self.mapper
+        p = m.params
+        pp = self.params
+        text = m.haps.text
+        B = p.band_radius
+        mu, sd = self.fragdist.mean, self.fragdist.stdev
+        radius = int(mu + pp.rescue_stdevs * sd)
+
+        todo = []
+        for i in range(len(sb_need.reads)):
+            need_v = sb_need.cand_valid[i] & (sb_need.scores[i] > 0)
+            have_v = sb_have.cand_valid[i] & (sb_have.scores[i] > 0)
+            if need_v.any() or not have_v.any():
+                continue
+            j = int(np.argmax(np.where(have_v, sb_have.scores[i], -1)))
+            todo.append((i, j))
+        if not todo:
+            return
+
+        C = pp.max_rescue_candidates
+        R = len(sb_need.reads)
+        r_start = np.zeros((R, C), np.int32)
+        r_lo = np.zeros((R, C), np.int32)
+        r_hi = np.zeros((R, C), np.int32)
+        r_rev = np.zeros((R, C), bool)
+        r_valid = np.zeros((R, C), bool)
+        for i, j in todo:
+            mate_diag = int(sb_have.cand_start[i, j]) + B
+            mate_rev = bool(sb_have.cand_rev[i, j])
+            lo = int(sb_have.cand_lo[i, j])
+            hi = int(sb_have.cand_hi[i, j])
+            L_mate = len(sb_have.codes[i])
+            # expected window: downstream of a forward mate, upstream of a
+            # reverse mate; rescued read is on the opposite strand
+            if not mate_rev:
+                wlo = mate_diag
+                whi = min(hi, mate_diag + radius + L_mate)
+            else:
+                wlo = max(lo, mate_diag + L_mate - radius - L_mate)
+                whi = mate_diag + L_mate
+            wlo = max(wlo, lo)
+            whi = min(whi, hi)
+            if whi - wlo < 20:
+                continue
+            need = sb_need.codes[i] if mate_rev else sb_need.codes_rc[i]
+            diags = _seed_scan(text[wlo:whi], need, pp.rescue_seed_k)
+            for jj, d in enumerate(diags[:C]):
+                r_start[i, jj] = wlo + int(d) - B
+                r_lo[i, jj] = lo
+                r_hi[i, jj] = hi
+                r_rev[i, jj] = not mate_rev
+                r_valid[i, jj] = True
+        if not r_valid.any():
+            return
+        r_scores = m.rescore_candidates(sb_need, r_start, r_lo, r_hi,
+                                        r_rev, r_valid)
+        # merge rescue candidates into the batch tables (replace empty slots)
+        for i, _ in todo:
+            got = r_valid[i] & (r_scores[i] > 0)
+            if not got.any():
+                continue
+            order = np.argsort(-r_scores[i])
+            n = min(int(got.sum()), sb_need.cand_start.shape[1])
+            sel = order[:n]
+            sb_need.cand_start[i, :n] = r_start[i, sel]
+            sb_need.cand_lo[i, :n] = r_lo[i, sel]
+            sb_need.cand_hi[i, :n] = r_hi[i, sel]
+            sb_need.cand_rev[i, :n] = r_rev[i, sel]
+            sb_need.cand_valid[i, :n] = True
+            sb_need.scores[i, :n] = r_scores[i, sel]
+            sb_need.scores[i, n:] = -1
+            sb_need.cand_valid[i, n:] = False
+
+
+# ---------------------------------------------------------------- helpers
+
+def _unique_best(sb: ScoredBatch, i: int) -> Optional[int]:
+    """Candidate index if read i maps uniquely and confidently."""
+    v = sb.cand_valid[i] & (sb.scores[i] > 0)
+    if not v.any():
+        return None
+    s = np.where(v, sb.scores[i], -1)
+    order = np.argsort(-s)
+    best = int(order[0])
+    L = len(sb.codes[i])
+    if s[best] < L * 0.8:                      # solid alignment only
+        return None
+    if v.sum() > 1 and s[int(order[1])] >= s[best] - 5:
+        return None                             # ambiguous
+    return best
+
+
+def _fragment_length(m: GiraffeMapper, sb1: ScoredBatch, i1: int, j1: int,
+                     sb2: ScoredBatch, i2: int, j2: int) -> Optional[float]:
+    """Outer fragment span if the two candidates are properly oriented on
+    the same haplotype; else None."""
+    B = m.params.band_radius
+    rev1 = bool(sb1.cand_rev[i1, j1])
+    rev2 = bool(sb2.cand_rev[i2, j2])
+    if rev1 == rev2:
+        return None
+    if (sb1.cand_lo[i1, j1] != sb2.cand_lo[i2, j2]):
+        return None                             # different haplotypes
+    d1 = int(sb1.cand_start[i1, j1]) + B
+    d2 = int(sb2.cand_start[i2, j2]) + B
+    L1, L2 = len(sb1.codes[i1]), len(sb2.codes[i2])
+    if not rev1:                                # read1 fwd, read2 rev
+        frag = (d2 + L2) - d1
+    else:                                       # read2 fwd, read1 rev
+        frag = (d1 + L1) - d2
+    return float(frag) if frag > 0 else None
+
+
+def _end_cap(s: np.ndarray, v: np.ndarray, j: int, lam: float) -> int:
+    """MAPQ cap from one end's own candidate ambiguity."""
+    vs = s[v]
+    if len(vs) <= 1:
+        return 60
+    which = int(np.nonzero(np.nonzero(v)[0] == j)[0][0]) if v[j] else 0
+    return mapq_exact(vs, which=which) + 25   # pair evidence relaxes the cap
+
+
+def _mapq_scaled(scaled: np.ndarray, best: float, max_mapq: int = 60) -> int:
+    m = scaled.max()
+    lse = m + math.log(np.exp(scaled - m).sum())
+    delta = best - lse
+    if delta >= -1e-12:
+        return max_mapq
+    one_minus = math.log1p(-math.exp(delta))
+    mapq = -(10.0 / math.log(10.0)) * one_minus
+    return int(min(max(mapq, 0.0), max_mapq))
+
+
+def _seed_scan(window: np.ndarray, read: np.ndarray, k: int) -> np.ndarray:
+    """Exact-kmer scan of read vs a text window; returns candidate diagonals
+    (window-relative) ordered by support. Rescue's replacement for
+    re-running full seeding (vg re-aligns the whole window instead)."""
+    if len(window) < k or len(read) < k:
+        return np.zeros(0, np.int64)
+
+    def pack(c):
+        from numpy.lib.stride_tricks import sliding_window_view
+        w = sliding_window_view(np.where(c < 4, c, 0).astype(np.uint64), k)
+        sh = np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return (w << sh).sum(axis=1, dtype=np.uint64)
+
+    wk = pack(window)
+    rk = pack(read)
+    order = np.argsort(wk, kind="stable")
+    wks = wk[order]
+    lo = np.searchsorted(wks, rk, side="left")
+    hi = np.searchsorted(wks, rk, side="right")
+    diags = []
+    for ri in range(len(rk)):
+        for x in range(int(lo[ri]), int(hi[ri])):
+            diags.append(int(order[x]) - ri)
+    if not diags:
+        return np.zeros(0, np.int64)
+    d = np.array(diags)
+    vals, counts = np.unique(d // 8, return_counts=True)
+    best = vals[np.argsort(-counts)]
+    out = []
+    for b in best:
+        members = d[d // 8 == b]
+        out.append(int(np.median(members)))
+    return np.array(out, np.int64)
