@@ -1,0 +1,221 @@
+"""Surjection: graph alignments (GAM) -> reference-path SAM records.
+
+Reference behavior (Surjector::surject, src/surjector.cpp:120-223):
+anchor the alignment's on-path mappings, realign the off-path stretches
+against the reference path, emit a path-relative CIGAR; soft-clipped read
+bases stay clipped ("path anchored surject which keeps aligned stuff
+aligned", test/t/15_vg_surject.t:24-26); mapping quality is carried over.
+
+TPU-native shape: the reference path is one linear sequence, so "realign
+between anchors" collapses into a single banded DP of the aligned read
+segment against the anchored reference window — the same kernel the
+mapper uses (vg_tpu.ops.traceback.banded_traceback); batching across
+reads on device reuses vg_tpu.ops.align.banded_scores when surjecting a
+whole GAM.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..graph.arraygraph import SENSE_REFERENCE, ArrayGraph
+from ..io.gam import Alignment
+from ..io.sam import (FLAG_FIRST, FLAG_LAST, FLAG_MATE_REVERSE,
+                      FLAG_MATE_UNMAPPED, FLAG_PAIRED, FLAG_PROPER,
+                      FLAG_REVERSE, FLAG_UNMAPPED, SamRecord, cigar_str,
+                      sam_header)
+from ..map.project import PathPositionIndex
+from ..ops.align import Scoring, DEFAULT_SCORING
+from ..ops.traceback import banded_traceback
+from ..utils import dna
+
+
+class Surjector:
+    def __init__(self, graph: ArrayGraph,
+                 path_names: Optional[Sequence[str]] = None,
+                 scoring: Scoring = DEFAULT_SCORING,
+                 band_radius: int = 16):
+        self.graph = graph
+        if path_names is None:
+            # prefer reference-sense paths when present (15_vg_surject.t:55)
+            ref_sense = [m.name for m in graph.path_meta
+                         if m.sense == SENSE_REFERENCE]
+            path_names = ref_sense or [m.name for m in graph.path_meta]
+        self.path_names = list(path_names)
+        self.ppi = PathPositionIndex(graph, self.path_names)
+        self.scoring = scoring
+        self.band_radius = band_radius
+        self.ref_codes: Dict[str, np.ndarray] = {
+            n: dna.encode(graph.path_seq(n)) for n in self.path_names}
+
+    def ref_lengths(self) -> List[Tuple[str, int]]:
+        return [(n, len(self.ref_codes[n])) for n in self.path_names]
+
+    def header(self, sample=None, read_group=None) -> List[str]:
+        return sam_header(self.ref_lengths(), sample, read_group)
+
+    # ----------------------------------------------------------------- core
+
+    def _locate(self, aln: Alignment) -> Optional[Tuple[str, int, bool, int, int]]:
+        """Find (path, fwd path offset of the alignment's aligned-segment
+        start, is_reverse, clip_left, clip_right) for an aligned GAM record."""
+        if aln.path is None or not aln.path.mappings:
+            return None
+        mappings = aln.path.mappings
+        # soft clips (insertions at the path ends in vg's edit encoding)
+        clip_left = 0
+        first_edits = mappings[0].edits
+        if first_edits and first_edits[0].from_length == 0:
+            clip_left = first_edits[0].to_length
+        clip_right = 0
+        last_edits = mappings[-1].edits
+        if last_edits and last_edits[-1].from_length == 0:
+            clip_right = last_edits[-1].to_length
+
+        # first mapping with a target-path occurrence anchors the alignment
+        walked = 0  # graph bases before the anchor
+        for mp in mappings:
+            p = mp.position
+            hits = self.ppi.positions_of(p.node_id, p.offset, p.is_reverse)
+            if hits:
+                h = hits[0]
+                return (h.name, int(h.offset), bool(h.is_reverse),
+                        clip_left, clip_right, walked)
+            walked += sum(e.from_length for e in mp.edits)
+        return None
+
+    def surject(self, aln: Alignment) -> SamRecord:
+        rec = SamRecord(qname=aln.name or "*")
+        seq = aln.sequence
+        qual = ("".join(chr(q + 33) for q in aln.quality)
+                if aln.quality else "*")
+        loc = self._locate(aln)
+        if loc is None:
+            rec.flag |= FLAG_UNMAPPED
+            rec.seq = seq or "*"
+            rec.qual = qual
+            return rec
+        path_name, off, is_rev, clip_left, clip_right, walked = loc
+        L = len(seq)
+        codes = dna.encode(seq)
+        ref = self.ref_codes[path_name]
+        B = self.band_radius
+
+        if is_rev:
+            # realign the reverse-complement against the forward path; the
+            # anchor offset points at the *end* of the aligned segment
+            oriented = dna.revcomp_codes(codes)
+            clip_left, clip_right = clip_right, clip_left
+        else:
+            oriented = codes
+        seg = oriented[clip_left : L - clip_right]
+        seg_len = len(seg)
+        if is_rev:
+            # `walked` graph bases precede the anchor in read order, which
+            # is the downstream (higher-coordinate) side on the forward path
+            seg_start_ref = off - (seg_len - walked)
+        else:
+            seg_start_ref = off - walked
+        wstart = seg_start_ref - B
+        TW = seg_len + 2 * B
+        pos = wstart + np.arange(TW)
+        ok = (pos >= 0) & (pos < len(ref))
+        window = np.where(ok, ref[np.clip(pos, 0, len(ref) - 1)], 6).astype(np.uint8)
+        ta = banded_traceback(seg, window, B, self.scoring)
+        if ta is None:
+            rec.flag |= FLAG_UNMAPPED
+            rec.seq = seq or "*"
+            rec.qual = qual
+            return rec
+
+        # CIGAR in oriented (forward-path) order
+        ops: List[Tuple[str, int]] = []
+        if clip_left + ta.read_start:
+            ops.append(("S", clip_left + ta.read_start))
+        matches = 0
+        nm = 0
+        for e in ta.edits:
+            kind, n = e[0], e[1]
+            if kind in ("M", "X"):
+                ops.append(("M", n))
+                if kind == "M":
+                    matches += n
+                else:
+                    nm += n
+            elif kind == "I":
+                ops.append(("I", n))
+                nm += n
+            elif kind == "D":
+                ops.append(("D", n))
+                nm += n
+        tail = (seg_len - ta.read_end) + clip_right
+        if tail:
+            ops.append(("S", tail))
+
+        rec.rname = path_name
+        rec.pos = int(wstart + ta.text_start) + 1  # SAM is 1-based
+        rec.mapq = int(aln.mapping_quality)
+        rec.cigar = cigar_str(ops)
+        if is_rev:
+            rec.flag |= FLAG_REVERSE
+            rec.seq = dna.revcomp_str(seq)
+            rec.qual = qual[::-1] if qual != "*" else "*"
+        else:
+            rec.seq = seq
+            rec.qual = qual
+        rec.tags.append(("AS", "i", int(ta.score)))
+        rec.tags.append(("NM", "i", int(nm)))
+        return rec
+
+    # ------------------------------------------------------------- batched
+
+    def surject_batch(self, alns: Sequence[Alignment]) -> List[SamRecord]:
+        return [self.surject(a) for a in alns]
+
+    def surject_pairs(self, pairs: Sequence[Tuple[Alignment, Alignment]]
+                      ) -> List[SamRecord]:
+        """Surject mate pairs, filling pair flags, RNEXT/PNEXT and TLEN."""
+        out: List[SamRecord] = []
+        for a1, a2 in pairs:
+            r1 = self.surject(a1)
+            r2 = self.surject(a2)
+            r1.flag |= FLAG_PAIRED | FLAG_FIRST
+            r2.flag |= FLAG_PAIRED | FLAG_LAST
+            proper = bool(a1.annotation.get("proper_pair")) if a1.annotation else False
+            for r, o in ((r1, r2), (r2, r1)):
+                if o.flag & FLAG_UNMAPPED:
+                    r.flag |= FLAG_MATE_UNMAPPED
+                elif o.flag & FLAG_REVERSE:
+                    r.flag |= FLAG_MATE_REVERSE
+                if proper and not (r.flag & FLAG_UNMAPPED) \
+                        and not (o.flag & FLAG_UNMAPPED):
+                    r.flag |= FLAG_PROPER
+                if not (o.flag & FLAG_UNMAPPED):
+                    r.rnext = "=" if o.rname == r.rname else o.rname
+                    r.pnext = o.pos
+            if (not (r1.flag & FLAG_UNMAPPED) and not (r2.flag & FLAG_UNMAPPED)
+                    and r1.rname == r2.rname):
+                left = min(r1.pos, r2.pos)
+                right = max(r1.pos + _ref_span(r1.cigar),
+                            r2.pos + _ref_span(r2.cigar))
+                tlen = right - left
+                r1.tlen = tlen if r1.pos <= r2.pos else -tlen
+                r2.tlen = -r1.tlen
+            out.append(r1)
+            out.append(r2)
+        return out
+
+
+def _ref_span(cigar: str) -> int:
+    n = 0
+    total = 0
+    for ch in cigar:
+        if ch.isdigit():
+            n = n * 10 + int(ch)
+        else:
+            if ch in "MDN=X":
+                total += n
+            n = 0
+    return total
