@@ -1,0 +1,170 @@
+"""Pack + call tests: snarl decomposition, coverage, genotyping to VCF.
+
+Oracle: self-consistency against the construction VCF (the reference
+validates calling the same way — simulate from known genotypes, call,
+compare; test/t/18_vg_call.t, vgci mapeval F1). Representation differences
+(MNPs merged within one snarl, homopolymer indel shifts) are normalized
+by comparing the *haplotype sequence* each call implies.
+"""
+import io
+
+import numpy as np
+import pytest
+
+from vg_tpu.call.caller import SnarlCaller
+from vg_tpu.call.pack import Packer
+from vg_tpu.construct.constructor import Constructor, ConstructorParams
+from vg_tpu.graph.snarls import find_superbubble, snarl_traversals, snarls_along_path
+from vg_tpu.index.haplotypes import thread_haplotypes
+from vg_tpu.index.minimizer import MinimizerIndex
+from vg_tpu.io.fasta import read_fasta
+from vg_tpu.io.fastq import Read
+from vg_tpu.io.vcf import read_vcf
+from vg_tpu.map.giraffe import GiraffeMapper
+from vg_tpu.utils import dna
+
+
+@pytest.fixture(scope="module")
+def x_setup(ref_test_dir):
+    ref = read_fasta(str(ref_test_dir / "small" / "x.fa"))
+    vcf = read_vcf(str(ref_test_dir / "small" / "x.vcf.gz"))
+    g, results = Constructor(ConstructorParams(max_node_size=32)).construct_graph(ref, vcf)
+    haps = thread_haplotypes(g, results, vcf)
+    return g, haps, vcf, ref["x"].upper()
+
+
+def test_snarl_finder_counts(x_setup):
+    g, haps, vcf, refseq = x_setup
+    sns = snarls_along_path(g, "x")
+    # every snarl: endpoints on ref path, >=2 traversals, ref walk included
+    offs = {int(h) for h in g.path_handles("x")}
+    n_multi = 0
+    for sn in sns:
+        assert sn.start in offs and sn.end in offs
+        travs = snarl_traversals(g, sn)
+        if len(travs) >= 2:
+            n_multi += 1
+    # x.vcf has 75 variants; adjacent ones clump into shared snarls
+    assert 55 <= len(sns) <= 75
+    assert n_multi >= 55
+
+
+def test_superbubble_simple():
+    from vg_tpu.graph.arraygraph import GraphBuilder
+
+    b = GraphBuilder()
+    n1 = b.add_node("AAA")
+    n2 = b.add_node("C")
+    n3 = b.add_node("G")
+    n4 = b.add_node("TTT")
+    b.add_edge(n1, n2)
+    b.add_edge(n1, n3)
+    b.add_edge(n2, n4)
+    b.add_edge(n3, n4)
+    g = b.freeze()
+    sn = find_superbubble(g, g.handle(n1))
+    assert sn is not None
+    assert sn.end == g.handle(n4)
+    assert sn.contents == [g.idx(n2), g.idx(n3)]
+    travs = snarl_traversals(g, sn)
+    assert len(travs) == 2
+
+
+def test_pack_coverage(x_setup):
+    g, haps, vcf, refseq = x_setup
+    idx = MinimizerIndex.build(haps)
+    m = GiraffeMapper(haps, idx)
+    reads = [Read(f"r{i}", refseq[i * 9 : i * 9 + 100], None)
+             for i in range(100)]
+    alns = m.map_batch(reads)
+    pk = Packer(g)
+    pk.add_batch(alns)
+    cov = pk.mean_coverage("x")
+    assert 8 <= cov <= 11          # ~100*100/1001 minus edge effects
+    # every aligned base contributes exactly once
+    total = sum(sum(e.to_length for mp in a.path.mappings for e in mp.edits
+                    if e.from_length) for a in alns if a.path)
+    assert abs(pk.base_coverage.sum() - total) <= total * 0.02
+
+
+def _apply_allele(refseq, pos1, ref_a, alt_a):
+    """Apply one VCF allele to the reference string."""
+    i = pos1 - 1
+    assert refseq[i : i + len(ref_a)] == ref_a, (pos1, ref_a)
+    return refseq[:i] + alt_a + refseq[i + len(ref_a) :]
+
+
+def test_call_end_to_end(x_setup):
+    g, haps, vcf, refseq = x_setup
+    idx = MinimizerIndex.build(haps)
+    m = GiraffeMapper(haps, idx)
+    rng = np.random.default_rng(5)
+    reads = []
+    L = 100
+    for h in (1, 2):                       # the sample's two haplotypes
+        t0, t1 = haps.hap_text_range(h)
+        for i in range((t1 - t0) * 15 // L):
+            s = int(rng.integers(t0, t1 - L))
+            codes = haps.text[s : s + L].copy()
+            for _ in range(rng.binomial(L, 0.005)):
+                q = int(rng.integers(0, L))
+                codes[q] = (codes[q] + 1 + rng.integers(0, 3)) % 4
+            if rng.random() < 0.5:
+                codes = dna.revcomp_codes(codes)
+            reads.append(Read(f"h{h}r{i}", dna.decode(codes), None))
+    alns = m.map_batch(reads)
+    pk = Packer(g)
+    pk.add_batch(alns)
+    sc = SnarlCaller(g, pk, "x", sample_name=vcf.samples[0])
+    calls = sc.call()
+
+    # truth: per-haplotype variant set; a call is correct if each called
+    # alt allele, applied to the reference, matches applying some subset of
+    # truth alleles covering the same interval
+    truth_events = set()
+    for r in vcf.records:
+        gt = r.genotypes[0][0]
+        for a in set(a for a in gt if a and a > 0):
+            truth_events.add(
+                _apply_allele(refseq, r.pos, r.ref, r.alts[a - 1]))
+    n_alt_alleles = 0
+    n_matched = 0
+    for vc in calls:
+        for alt in vc.alts:
+            n_alt_alleles += 1
+            implied = _apply_allele(refseq, vc.pos, vc.ref, alt)
+            # exact single-variant match, or a clump: check the local
+            # 60bp neighborhood appears in some truth haplotype variant
+            i = vc.pos - 1
+            win = implied[max(0, i - 10) : i + len(alt) + 10]
+            if implied in truth_events or any(win in t for t in truth_events) \
+                    or any(win in dna.decode(haps.text[haps.hap_text_range(h)[0]:
+                                                       haps.hap_text_range(h)[1]])
+                           for h in (1, 2)):
+                n_matched += 1
+    truth_n = len(truth_events)
+    assert n_alt_alleles >= 0.85 * 75
+    assert n_matched >= 0.95 * n_alt_alleles, (
+        f"{n_matched}/{n_alt_alleles} call alleles consistent with truth")
+
+    # VCF writer output parses back
+    buf = io.StringIO()
+    sc.write_vcf(buf, calls)
+    buf.seek(0)
+    lines = buf.read().splitlines()
+    assert lines[0] == "##fileformat=VCFv4.2"
+    body = [l for l in lines if not l.startswith("#")]
+    assert len(body) == len(calls)
+    for l in body:
+        cols = l.split("\t")
+        assert len(cols) == 10
+        pos = int(cols[1])
+        assert refseq[pos - 1 : pos - 1 + len(cols[3])] == cols[3]
+
+
+def test_call_empty_pack_no_variants(x_setup):
+    """18_vg_call.t:22: empty pack -> empty VCF body."""
+    g, haps, vcf, refseq = x_setup
+    pk = Packer(g)
+    sc = SnarlCaller(g, pk, "x")
+    assert sc.call() == []
