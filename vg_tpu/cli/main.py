@@ -1,0 +1,468 @@
+"""vg_tpu command line: the toolkit surface.
+
+Mirrors the reference's subcommand layer (vg_main -> self-registering
+Subcommands, src/main.cpp:46, src/subcommand/subcommand.hpp:88; full list
+in SURVEY.md Appendix A). Python argparse subparsers replace the C++
+registry; each subcommand is a thin shell over the library.
+
+    python -m vg_tpu.cli construct -r ref.fa -v vars.vcf.gz -o graph.vgz
+    python -m vg_tpu.cli autoindex -r ref.fa -v vars.vcf.gz -p prefix
+    python -m vg_tpu.cli giraffe -Z prefix -f reads.fq > out.gam
+    python -m vg_tpu.cli surject -Z prefix -i out.gam > out.sam
+    python -m vg_tpu.cli pack -Z prefix -g out.gam -o out.pack.npz
+    python -m vg_tpu.cli call -Z prefix -k out.pack.npz > out.vcf
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _load_graph_any(path: str):
+    from ..io import gfa, json_graph, native, vg_format
+
+    if path.endswith(".gfa"):
+        return gfa.read_gfa(path)
+    if path.endswith(".json"):
+        return json_graph.read_json_graph(path)
+    if path.endswith(".vg"):
+        return vg_format.read_vg(path)
+    return native.load_graph(path)
+
+
+def _save_graph_any(g, path: str) -> None:
+    from ..io import gfa, json_graph, native, vg_format
+
+    if path.endswith(".gfa"):
+        with open(path, "w") as f:
+            gfa.write_gfa(g, f)
+    elif path.endswith(".json"):
+        json_graph.write_json_graph(g, path)
+    elif path.endswith(".vg"):
+        with open(path, "wb") as f:
+            vg_format.write_vg(g, f)
+    else:
+        native.save_graph(path, g)
+
+
+def _bundle_paths(prefix: str):
+    return prefix + ".vgz.npz", prefix + ".hpt.npz", prefix + ".min.npz"
+
+
+def _load_bundle(prefix: str):
+    from ..io import native
+
+    gp, hp, mp = _bundle_paths(prefix)
+    g = native.load_graph(gp)
+    haps = native.load_haplotypes(hp, g)
+    idx = native.load_minimizer(mp)
+    return g, haps, idx
+
+
+# ------------------------------------------------------------ subcommands
+
+def cmd_construct(args) -> int:
+    from ..construct.constructor import Constructor, ConstructorParams
+    from ..io.fasta import read_fasta
+    from ..io.vcf import read_vcf
+
+    ref = read_fasta(args.reference)
+    vcf = read_vcf(args.vcf) if args.vcf else None
+    params = ConstructorParams(max_node_size=args.node_max,
+                               alt_paths=args.alt_paths)
+    if vcf is not None:
+        g, _ = Constructor(params).construct_graph(ref, vcf)
+    else:
+        g, _ = Constructor(params).construct_graph(
+            ref, __import__("vg_tpu.io.vcf", fromlist=["VcfFile"]).VcfFile(
+                samples=[], records=[]))
+    if args.output:
+        _save_graph_any(g, args.output)
+    else:
+        from ..io import vg_format
+        vg_format.write_vg(g, sys.stdout.buffer)
+    print(f"constructed graph: {g.node_count} nodes, {g.edge_count} edges",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_autoindex(args) -> int:
+    from ..construct.constructor import Constructor, ConstructorParams
+    from ..index.haplotypes import haplotypes_from_paths, thread_haplotypes
+    from ..index.minimizer import MinimizerIndex
+    from ..io import native
+    from ..io.fasta import read_fasta
+    from ..io.vcf import read_vcf
+
+    if args.gfa:
+        g = _load_graph_any(args.gfa)
+        haps = haplotypes_from_paths(g)
+    else:
+        ref = read_fasta(args.reference)
+        vcf = read_vcf(args.vcf)
+        g, results = Constructor(ConstructorParams(
+            max_node_size=args.node_max)).construct_graph(ref, vcf)
+        haps = thread_haplotypes(g, results, vcf)
+    idx = MinimizerIndex.build(haps, k=args.kmer_length,
+                               w=args.window_length)
+    gp, hp, mp = _bundle_paths(args.prefix)
+    native.save_graph(gp, g)
+    native.save_haplotypes(hp, haps)
+    native.save_minimizer(mp, idx)
+    print(f"indexed: {g.node_count} nodes, {haps.count} haplotypes "
+          f"({haps.total_len} bp text), {idx.unique_count} minimizers",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_giraffe(args) -> int:
+    from ..io.fastq import (iter_fastq, iter_fastq_interleaved,
+                            iter_fastq_paired)
+    from ..io.gaf import write_gaf
+    from ..io.gam import write_gam
+    from ..map.giraffe import GiraffeMapper, GiraffeParams
+    from ..map.paired import PairedGiraffeMapper
+
+    g, haps, idx = _load_bundle(args.index_prefix)
+    params = GiraffeParams(max_candidates=args.max_multimaps_internal,
+                           batch_reads=args.batch_size)
+    mapper = GiraffeMapper(haps, idx, params)
+    out = sys.stdout
+    alns_out: List = []
+
+    def flush(alns):
+        if args.output_format == "json":
+            for a in alns:
+                out.write(a.to_json_str() + "\n")
+        elif args.output_format == "gaf":
+            write_gaf(out, alns)
+        elif args.output_format == "sam":
+            alns_out.extend(alns)
+        else:
+            alns_out.extend(alns)
+
+    n = 0
+    if args.fastq_mate or args.interleaved:
+        pm = PairedGiraffeMapper(mapper)
+        if args.fastq_mate:
+            it = iter_fastq_paired(args.fastq, args.fastq_mate)
+        else:
+            it = iter_fastq_interleaved(args.fastq)
+        batch = []
+        for pair in it:
+            batch.append(pair)
+            if len(batch) >= args.batch_size:
+                flush(pm.map_pairs_flat(batch))
+                n += 2 * len(batch)
+                batch = []
+        if batch:
+            flush(pm.map_pairs_flat(batch))
+            n += 2 * len(batch)
+    else:
+        batch = []
+        for r in iter_fastq(args.fastq):
+            batch.append(r)
+            if len(batch) >= args.batch_size:
+                flush(mapper.map_batch(batch))
+                n += len(batch)
+                batch = []
+        if batch:
+            flush(mapper.map_batch(batch))
+            n += len(batch)
+
+    if args.output_format == "gam":
+        if args.output:
+            with open(args.output, "wb") as f:
+                write_gam(f, alns_out)
+        else:
+            write_gam(sys.stdout.buffer, alns_out)
+    elif args.output_format == "sam":
+        from ..io.sam import write_sam
+        from ..surject.surjector import Surjector
+
+        sj = Surjector(g)
+        if args.fastq_mate or args.interleaved:
+            pairs = [(alns_out[i], alns_out[i + 1])
+                     for i in range(0, len(alns_out), 2)]
+            recs = sj.surject_pairs(pairs)
+        else:
+            recs = sj.surject_batch(alns_out)
+        write_sam(out, sj.header(), recs)
+    print(f"mapped {n} reads", file=sys.stderr)
+    return 0
+
+
+def cmd_surject(args) -> int:
+    from ..io.gam import read_gam
+    from ..io.sam import write_sam
+    from ..surject.surjector import Surjector
+
+    if args.index_prefix:
+        g, _, _ = _load_bundle(args.index_prefix)
+    else:
+        g = _load_graph_any(args.xg)
+    sj = Surjector(g, [args.path] if args.path else None)
+    alns = list(read_gam(args.input))
+    if args.paired:
+        pairs = [(alns[i], alns[i + 1]) for i in range(0, len(alns) - 1, 2)]
+        recs = sj.surject_pairs(pairs)
+    else:
+        recs = sj.surject_batch(alns)
+    write_sam(sys.stdout, sj.header(sample=args.sample,
+                                    read_group=args.read_group), recs)
+    return 0
+
+
+def cmd_pack(args) -> int:
+    from ..call.pack import Packer
+    from ..io.gam import read_gam
+
+    if args.index_prefix:
+        g, _, _ = _load_bundle(args.index_prefix)
+    else:
+        g = _load_graph_any(args.xg)
+    pk = Packer(g)
+    batch = []
+    for a in read_gam(args.gam):
+        batch.append(a)
+        if len(batch) >= 4096:
+            pk.add_batch(batch)
+            batch = []
+    pk.add_batch(batch)
+    if args.output:
+        pk.save(args.output)
+    if args.dump:
+        for nid, off, c in pk.as_table():
+            sys.stdout.write(f"{nid}\t{off}\t{c}\n")
+    print(f"packed {pk.n_alignments} alignments, "
+          f"mean coverage {pk.base_coverage.mean():.2f}", file=sys.stderr)
+    return 0
+
+
+def cmd_call(args) -> int:
+    from ..call.caller import SnarlCaller
+    from ..call.pack import Packer
+    from ..graph.arraygraph import SENSE_REFERENCE
+
+    if args.index_prefix:
+        g, _, _ = _load_bundle(args.index_prefix)
+    else:
+        g = _load_graph_any(args.xg)
+    pk = Packer.load(g, args.pack)
+    ref_path = args.path
+    if ref_path is None:
+        prefer = [m.name for m in g.path_meta if m.sense == SENSE_REFERENCE]
+        names = prefer or [m.name for m in g.path_meta]
+        if not names:
+            print("error [vg_tpu call]: no REFERENCE or GENERIC sense path "
+                  "to call against; pass -p", file=sys.stderr)
+            return 1
+        ref_path = names[0]
+    sc = SnarlCaller(g, pk, ref_path, sample_name=args.sample)
+    sc.write_vcf(sys.stdout)
+    return 0
+
+
+def cmd_view(args) -> int:
+    from ..io import gfa, json_graph, vg_format
+    from ..io.gam import read_gam
+
+    if args.gam_json:
+        for a in read_gam(args.input):
+            sys.stdout.write(a.to_json_str() + "\n")
+        return 0
+    g = _load_graph_any(args.input)
+    if args.output and not args.gfa_out:
+        _save_graph_any(g, args.output)
+    else:
+        gfa.write_gfa(g, sys.stdout)
+    return 0
+
+
+def cmd_stats(args) -> int:
+    g = _load_graph_any(args.input)
+    print(f"nodes\t{g.node_count}")
+    print(f"edges\t{g.edge_count}")
+    print(f"length\t{g.total_seq_len}")
+    print(f"paths\t{g.path_count}")
+    return 0
+
+
+def cmd_paths(args) -> int:
+    g = _load_graph_any(args.xg)
+    if args.fasta:
+        for m in g.path_meta:
+            seq = g.path_seq(m.name)
+            sys.stdout.write(f">{m.name}\n")
+            for i in range(0, len(seq), 80):
+                sys.stdout.write(seq[i : i + 80] + "\n")
+    else:
+        for m in g.path_meta:
+            sys.stdout.write(m.name + "\n")
+    return 0
+
+
+def cmd_sim(args) -> int:
+    from ..index.haplotypes import haplotypes_from_paths
+    from ..io import native
+    from ..io.gam import Alignment, write_gam
+    from ..map.project import PathPositionIndex
+    from ..sim.simulator import ReadSimulator
+
+    if args.index_prefix:
+        g, haps, _ = _load_bundle(args.index_prefix)
+    else:
+        g = _load_graph_any(args.xg)
+        haps = haplotypes_from_paths(g)
+    sim = ReadSimulator(haps, seed=args.seed, read_length=args.read_length,
+                        error_rate=args.error_rate,
+                        indel_rate=args.indel_rate)
+    alns = sim.simulate(args.num_reads, annotate_truth=True)
+    if args.align_out:
+        if args.output:
+            with open(args.output, "wb") as f:
+                write_gam(f, alns)
+        else:
+            write_gam(sys.stdout.buffer, alns)
+    else:
+        for a in alns:
+            sys.stdout.write(a.sequence + "\n")
+    return 0
+
+
+def cmd_gamcompare(args) -> int:
+    from ..io.gam import read_gam
+    from ..map.gamcompare import compare
+
+    test = list(read_gam(args.gam))
+    truth = list(read_gam(args.truth_gam))
+    stats = compare(test, truth, range_bp=args.range)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    g = _load_graph_any(args.xg)
+    problems = g.validate()
+    for p in problems:
+        print(p, file=sys.stderr)
+    return 1 if problems else 0
+
+
+# ----------------------------------------------------------------- parser
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="vg_tpu", description="TPU-native pangenome toolkit")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("construct", help="FASTA+VCF -> graph")
+    c.add_argument("-r", "--reference", required=True)
+    c.add_argument("-v", "--vcf")
+    c.add_argument("-m", "--node-max", type=int, default=32)
+    c.add_argument("-a", "--alt-paths", action="store_true")
+    c.add_argument("-o", "--output")
+    c.set_defaults(func=cmd_construct)
+
+    a = sub.add_parser("autoindex",
+                       help="build graph + haplotype text + minimizer index")
+    a.add_argument("-r", "--reference")
+    a.add_argument("-v", "--vcf")
+    a.add_argument("-g", "--gfa")
+    a.add_argument("-m", "--node-max", type=int, default=32)
+    a.add_argument("-k", "--kmer-length", type=int, default=29)
+    a.add_argument("-w", "--window-length", type=int, default=11)
+    a.add_argument("-p", "--prefix", required=True)
+    a.set_defaults(func=cmd_autoindex)
+
+    gme = sub.add_parser("giraffe", help="map reads")
+    gme.add_argument("-Z", "--index-prefix", required=True)
+    gme.add_argument("-f", "--fastq", required=True)
+    gme.add_argument("-2", "--fastq-mate")
+    gme.add_argument("-i", "--interleaved", action="store_true")
+    gme.add_argument("-o", "--output-format", default="gam",
+                     choices=["gam", "gaf", "json", "sam"])
+    gme.add_argument("-b", "--batch-size", type=int, default=512)
+    gme.add_argument("-M", "--max-multimaps-internal", type=int, default=8)
+    gme.add_argument("--output")
+    gme.set_defaults(func=cmd_giraffe)
+
+    s = sub.add_parser("surject", help="GAM -> SAM on reference paths")
+    s.add_argument("-Z", "--index-prefix")
+    s.add_argument("-x", "--xg")
+    s.add_argument("-i", "--input", required=True)
+    s.add_argument("-p", "--path")
+    s.add_argument("--paired", action="store_true")
+    s.add_argument("--sample")
+    s.add_argument("--read-group")
+    s.set_defaults(func=cmd_surject)
+
+    pk = sub.add_parser("pack", help="GAM -> coverage")
+    pk.add_argument("-Z", "--index-prefix")
+    pk.add_argument("-x", "--xg")
+    pk.add_argument("-g", "--gam", required=True)
+    pk.add_argument("-o", "--output")
+    pk.add_argument("-d", "--dump", action="store_true")
+    pk.set_defaults(func=cmd_pack)
+
+    cl = sub.add_parser("call", help="pack -> VCF genotypes")
+    cl.add_argument("-Z", "--index-prefix")
+    cl.add_argument("-x", "--xg")
+    cl.add_argument("-k", "--pack", required=True)
+    cl.add_argument("-p", "--path")
+    cl.add_argument("-s", "--sample", default="SAMPLE")
+    cl.set_defaults(func=cmd_call)
+
+    v = sub.add_parser("view", help="format conversion")
+    v.add_argument("input")
+    v.add_argument("-a", "--gam-json", action="store_true",
+                   help="GAM -> JSON lines")
+    v.add_argument("-g", "--gfa-out", action="store_true")
+    v.add_argument("-o", "--output")
+    v.set_defaults(func=cmd_view)
+
+    st = sub.add_parser("stats", help="graph metrics")
+    st.add_argument("input")
+    st.set_defaults(func=cmd_stats)
+
+    pa = sub.add_parser("paths", help="list/extract paths")
+    pa.add_argument("-x", "--xg", required=True)
+    pa.add_argument("-F", "--fasta", action="store_true")
+    pa.set_defaults(func=cmd_paths)
+
+    sm = sub.add_parser("sim", help="simulate reads with truth")
+    sm.add_argument("-Z", "--index-prefix")
+    sm.add_argument("-x", "--xg")
+    sm.add_argument("-n", "--num-reads", type=int, default=100)
+    sm.add_argument("-l", "--read-length", type=int, default=100)
+    sm.add_argument("-e", "--error-rate", type=float, default=0.0)
+    sm.add_argument("-i", "--indel-rate", type=float, default=0.0)
+    sm.add_argument("-s", "--seed", type=int, default=0)
+    sm.add_argument("-a", "--align-out", action="store_true")
+    sm.add_argument("--output")
+    sm.set_defaults(func=cmd_sim)
+
+    gc = sub.add_parser("gamcompare", help="mapping correctness vs truth")
+    gc.add_argument("gam")
+    gc.add_argument("truth_gam")
+    gc.add_argument("-r", "--range", type=int, default=100)
+    gc.set_defaults(func=cmd_gamcompare)
+
+    va = sub.add_parser("validate", help="graph invariants")
+    va.add_argument("-x", "--xg", required=True)
+    va.set_defaults(func=cmd_validate)
+
+    return ap
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

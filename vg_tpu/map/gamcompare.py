@@ -1,0 +1,65 @@
+"""Mapping correctness vs a truth GAM (vg gamcompare equivalent).
+
+Reference semantics (src/subcommand/gamcompare_main.cpp:26-31,245-253):
+a read is correctly mapped iff its reference position is within --range
+bp of the truth's reference position on the same path. This definition
+drives all of the reference's CI accuracy numbers and is reimplemented
+verbatim (refpos flavor; the distance-index flavor is equivalent on our
+text coordinates).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+from ..io.gam import Alignment
+
+
+def _refpos_map(alns: Sequence[Alignment]):
+    out = {}
+    for a in alns:
+        out[a.name] = a
+    return out
+
+
+def is_correct(aln: Alignment, truth: Alignment, range_bp: int = 100) -> bool:
+    if not aln.refpos or not truth.refpos:
+        return False
+    for tp in truth.refpos:
+        for ap in aln.refpos:
+            if ap.name == tp.name and abs(ap.offset - tp.offset) <= range_bp:
+                return True
+    return False
+
+
+def compare(test: Sequence[Alignment], truth: Sequence[Alignment],
+            range_bp: int = 100) -> Dict:
+    """Annotates each test alignment's `correctly_mapped` and returns
+    aggregate stats (count/accuracy, plus mapq calibration buckets)."""
+    tmap = _refpos_map(truth)
+    n = 0
+    correct = 0
+    unmapped = 0
+    mapq_buckets: Dict[int, List[int]] = {}
+    for a in test:
+        t = tmap.get(a.name)
+        if t is None:
+            continue
+        n += 1
+        if a.path is None or not a.path.mappings:
+            unmapped += 1
+            ok = False
+        else:
+            ok = is_correct(a, t, range_bp)
+        a.annotation["correctly_mapped"] = ok
+        correct += ok
+        b = mapq_buckets.setdefault(int(a.mapping_quality), [0, 0])
+        b[0] += 1
+        b[1] += ok
+    return {
+        "total": n,
+        "correct": correct,
+        "unmapped": unmapped,
+        "accuracy": correct / n if n else 0.0,
+        "mapq_buckets": {str(k): {"n": v[0], "correct": v[1]}
+                         for k, v in sorted(mapq_buckets.items())},
+    }

@@ -1,0 +1,114 @@
+"""Read simulation with ground truth (vg sim equivalent).
+
+Reference: Sampler/NGSSimulator (src/sampler.cpp, src/subcommand/
+sim_main.cpp) sample read start positions from indexed paths/haplotypes,
+apply an error model, and emit GAM with the true alignment embedded —
+the truth source for gamcompare and mapeval. Here positions are sampled
+uniformly from the haplotype text (= length-weighted over haplotypes),
+errors are iid substitutions plus geometric-length indels, and the truth
+path + refpos are projected through the same machinery the mapper uses.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ..index.haplotypes import HaplotypeSet
+from ..io.gam import Alignment, Edit, Mapping, Path, Position
+from ..map.project import PathPositionIndex
+from ..utils import dna
+
+
+class ReadSimulator:
+    def __init__(self, haps: HaplotypeSet, seed: int = 0,
+                 read_length: int = 100, error_rate: float = 0.0,
+                 indel_rate: float = 0.0,
+                 ref_path_names: Optional[List[str]] = None):
+        self.haps = haps
+        self.rng = np.random.default_rng(seed)
+        self.read_length = read_length
+        self.error_rate = error_rate
+        self.indel_rate = indel_rate
+        self.ppi = PathPositionIndex(
+            haps.graph,
+            ref_path_names or [m.name for m in haps.graph.path_meta])
+
+    def _truth_path(self, start: int, length: int) -> Path:
+        pieces = self.haps.walk_interval(start, start + length)
+        g = self.haps.graph
+        path = Path()
+        for rank, (h, off, ln) in enumerate(pieces, 1):
+            path.mappings.append(Mapping(
+                position=Position(node_id=int(g.node_id[h >> 1]),
+                                  offset=int(off),
+                                  is_reverse=bool(h & 1)),
+                edits=[Edit(from_length=int(ln), to_length=int(ln))],
+                rank=rank))
+        return path
+
+    def simulate(self, n: int, annotate_truth: bool = True,
+                 paired: bool = False, fragment_mean: float = 400.0,
+                 fragment_stdev: float = 50.0) -> List[Alignment]:
+        L = self.read_length
+        T = self.haps.total_len
+        rng = self.rng
+        out: List[Alignment] = []
+        tries = 0
+        while len(out) < (2 * n if paired else n) and tries < 20 * n:
+            tries += 1
+            if paired:
+                frag = int(rng.normal(fragment_mean, fragment_stdev))
+                frag = max(frag, L + 10)
+                s = int(rng.integers(0, max(T - frag, 1)))
+                h0 = int(self.haps.hap_of_text_pos(s))
+                if int(self.haps.hap_of_text_pos(s + frag - 1)) != h0:
+                    continue
+                spans = [(s, False), (s + frag - L, True)]
+            else:
+                s = int(rng.integers(0, max(T - L, 1)))
+                h0 = int(self.haps.hap_of_text_pos(s))
+                if int(self.haps.hap_of_text_pos(s + L - 1)) != h0:
+                    continue
+                spans = [(s, bool(rng.random() < 0.5))]
+            group = []
+            for start, rev in spans:
+                codes = self.haps.text[start : start + L].copy()
+                codes = self._mutate(codes)
+                if rev:
+                    codes = dna.revcomp_codes(codes)
+                name = f"sim{len(out) + len(group)}"
+                aln = Alignment(name=name, sequence=dna.decode(codes))
+                if annotate_truth:
+                    path = self._truth_path(start, L)
+                    if rev:
+                        from ..map.project import reverse_complement_path
+                        path = reverse_complement_path(self.haps.graph, path)
+                        for rank, mp in enumerate(path.mappings, 1):
+                            mp.rank = rank
+                    aln.path = path
+                    self.ppi.annotate_refpos(aln)
+                group.append(aln)
+            if paired:
+                group[0].fragment_next = Alignment(name=group[1].name)
+                group[1].fragment_prev = Alignment(name=group[0].name)
+            out.extend(group)
+        return out
+
+    def _mutate(self, codes: np.ndarray) -> np.ndarray:
+        rng = self.rng
+        if self.error_rate > 0:
+            nerr = rng.binomial(len(codes), self.error_rate)
+            for _ in range(nerr):
+                p = int(rng.integers(0, len(codes)))
+                codes[p] = (codes[p] + 1 + rng.integers(0, 3)) % 4
+        if self.indel_rate > 0 and rng.random() < self.indel_rate * len(codes):
+            p = int(rng.integers(1, len(codes) - 1))
+            n = 1 + int(rng.geometric(0.7))
+            if rng.random() < 0.5:
+                ins = rng.integers(0, 4, n).astype(np.uint8)
+                codes = np.concatenate([codes[:p], ins, codes[p:]])[: len(codes)]
+            else:
+                codes = np.concatenate([codes[:p], codes[p + n :]])
+        return codes
