@@ -1,0 +1,117 @@
+"""Long-read chaining pipeline tests (hifi/r10-style workload)."""
+import numpy as np
+import pytest
+
+from vg_tpu.construct.constructor import Constructor, ConstructorParams
+from vg_tpu.index.haplotypes import thread_haplotypes
+from vg_tpu.index.minimizer import MinimizerIndex
+from vg_tpu.io.fastq import Read
+from vg_tpu.io.vcf import VcfFile, VcfRecord
+from vg_tpu.map.chain import ChainParams, find_chains
+from vg_tpu.map.longread import LongReadMapper
+from vg_tpu.ops.global_align import global_align
+from vg_tpu.utils import dna
+
+
+def test_chain_dp_simple():
+    # anchors on one diagonal chain together; an off-diagonal decoy does not
+    roff = np.array([0, 50, 100, 150, 700])
+    tpos = np.array([1000, 1050, 1100, 1150, 9000])
+    score = np.full(5, 20.0)
+    chains = find_chains(roff, tpos, score, False, ChainParams(kmer=29))
+    assert len(chains) >= 1
+    best = chains[0]
+    assert best.read_start == 0 and best.read_end == 150 + 29
+    assert best.text_start == 1000
+
+
+def test_global_align_edits():
+    a = dna.encode("ACGTACGTAC")
+    b = dna.encode("ACGTTACGTAC")        # one insertion in b => D edit
+    score, edits = global_align(a, b)
+    froms = sum(e[1] for e in edits if e[0] in ("M", "X", "D"))
+    tos = sum(e[1] for e in edits if e[0] in ("M", "X", "I"))
+    assert froms == len(b) and tos == len(a)
+    assert score == 10 * 1 - 6           # 10 matches, 1bp gap open
+
+
+@pytest.fixture(scope="module")
+def long_setup():
+    rng = np.random.default_rng(1)
+    ref_codes = rng.integers(0, 4, 200000).astype(np.uint8)
+    ref_seq = dna.decode(ref_codes)
+    pos = np.sort(rng.choice(np.arange(100, 199900), 300, replace=False))
+    pos = pos[np.concatenate([[True], np.diff(pos) > 50])]
+    recs = []
+    for p in pos:
+        p = int(p)
+        r = ref_seq[p]
+        alt = "ACGT"[("ACGT".index(r) + 1) % 4]
+        recs.append(VcfRecord("r", p + 1, ".", r, [alt], ".", ".", {},
+                              [((int(rng.integers(0, 2)),
+                                 int(rng.integers(0, 2))), True)]))
+    vcf = VcfFile(samples=["s"], records=recs)
+    g, results = Constructor(ConstructorParams(max_node_size=32)).construct_graph(
+        {"r": ref_seq}, vcf)
+    haps = thread_haplotypes(g, results, vcf)
+    idx = MinimizerIndex.build(haps)
+    return haps, LongReadMapper(haps, idx), rng
+
+
+def test_longread_mapping_accuracy(long_setup):
+    haps, lm, rng = long_setup
+    L = 10000
+    reads, starts, revs = [], [], []
+    for i in range(12):
+        h = int(rng.integers(0, haps.count))
+        t0, t1 = haps.hap_text_range(h)
+        s = int(rng.integers(t0, t1 - L))
+        codes = haps.text[s : s + L].copy()
+        nmut = rng.binomial(L, 0.02)
+        ps = rng.integers(0, len(codes), nmut)
+        codes[ps] = (codes[ps] + 1 + rng.integers(0, 3, nmut)) % 4
+        for _ in range(8):                    # small indels
+            q = int(rng.integers(100, len(codes) - 100))
+            if rng.random() < 0.5:
+                codes = np.concatenate(
+                    [codes[:q], rng.integers(0, 4, 2).astype(np.uint8), codes[q:]])
+            else:
+                codes = np.concatenate([codes[:q], codes[q + 2 :]])
+        rev = bool(rng.random() < 0.5)
+        if rev:
+            codes = dna.revcomp_codes(codes)
+        reads.append(Read(f"lr{i}", dna.decode(codes), None))
+        starts.append(s)
+        revs.append(rev)
+    alns = lm.map_batch(reads)
+    ok = 0
+    for a, s, rev in zip(alns, starts, revs):
+        assert a.path is not None, f"{a.name} unmapped"
+        # to_length conservation
+        tl = sum(e.to_length for mp in a.path.mappings for e in mp.edits)
+        assert tl == len(a.sequence)
+        got = a.refpos[0].offset if a.refpos else -1
+        want_node, want_off, _ = haps.text_pos_to_graph(s)
+        fwd = lm.path_pos.positions_of(want_node, want_off, False)
+        w = fwd[0].offset if fwd else -1
+        # forward reads anchor at the span start, reverse at the span end
+        if abs(got - w) <= 1000 or abs(got - (w + len(a.sequence))) <= 1050:
+            ok += 1
+        assert a.identity > 0.95
+        assert a.mapping_quality >= 30
+    assert ok == len(reads)
+
+
+def test_longread_path_valid(long_setup):
+    haps, lm, rng = long_setup
+    g = haps.graph
+    t0, t1 = haps.hap_text_range(1)
+    s = t0 + 5000
+    codes = haps.text[s : s + 5000].copy()
+    aln = lm.map_read(Read("clean", dna.decode(codes), None))
+    assert aln.path is not None
+    assert aln.score == 5000 + 10        # perfect read
+    hs = [g.handle(m.position.node_id, m.position.is_reverse)
+          for m in aln.path.mappings]
+    for h1, h2 in zip(hs[:-1], hs[1:]):
+        assert g.has_edge(h1, h2)

@@ -128,9 +128,14 @@ def cmd_giraffe(args) -> int:
     from ..map.paired import PairedGiraffeMapper
 
     g, haps, idx = _load_bundle(args.index_prefix)
-    params = GiraffeParams(max_candidates=args.max_multimaps_internal,
-                           batch_reads=args.batch_size)
-    mapper = GiraffeMapper(haps, idx, params)
+    if args.parameter_preset in ("hifi", "r10", "lr"):
+        from ..map.longread import LongReadMapper
+
+        mapper = LongReadMapper(haps, idx)
+    else:
+        params = GiraffeParams(max_candidates=args.max_multimaps_internal,
+                               batch_reads=args.batch_size)
+        mapper = GiraffeMapper(haps, idx, params)
     out = sys.stdout
     alns_out: List = []
 
@@ -386,9 +391,11 @@ def build_parser() -> argparse.ArgumentParser:
     gme.add_argument("-i", "--interleaved", action="store_true")
     gme.add_argument("-o", "--output-format", default="gam",
                      choices=["gam", "gaf", "json", "sam"])
-    gme.add_argument("-b", "--batch-size", type=int, default=512)
+    gme.add_argument("-B", "--batch-size", type=int, default=512)
     gme.add_argument("-M", "--max-multimaps-internal", type=int, default=8)
     gme.add_argument("--output")
+    gme.add_argument("-b", "--parameter-preset", default="default",
+                     choices=["default", "fast", "hifi", "r10", "lr"])
     gme.set_defaults(func=cmd_giraffe)
 
     s = sub.add_parser("surject", help="GAM -> SAM on reference paths")

@@ -1,0 +1,347 @@
+"""Long-read mapping via anchor chaining (giraffe hifi/r10 equivalent).
+
+Reference pipeline (MinimizerMapper::map_from_chains,
+src/minimizer_mapper_from_chains.cpp:708, SURVEY.md §3.2):
+minimizer → seed → zipcode-forest → fragment → chain → align links/tails
+→ winner. On the haplotype text the zipcode forest (distance-ordered seed
+trees) collapses into sorting seeds by text position, and the chain's
+"graph distance" is subtraction, so the stages become:
+
+1. minimizer anchors (downsampled per read window, like the long-read
+   presets' max-min/window caps)
+2. colinear chaining DP per (haplotype, strand) — vg_tpu.map.chain
+3. stitch: exact anchor blocks + global alignment of inter-anchor links
+   (vg: WFAExtender::connect / banded global, dozeu tails; here
+   vg_tpu.ops.global_align + the semiglobal banded DP for tails)
+4. winner + mapq over chain scores, GAM emit via the shared projector.
+
+A read is never aligned as one big DP — the anchor-and-stitch
+decomposition is the sequence-parallel strategy (SURVEY.md §5
+"long-context"), so per-link work stays bounded no matter the read length.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..index.haplotypes import HaplotypeSet
+from ..index.minimizer import MinimizerIndex, extract_minimizers
+from ..io.fastq import Read
+from ..io.gam import Alignment
+from ..ops.align import Scoring, DEFAULT_SCORING
+from ..ops.global_align import global_align
+from ..ops.traceback import TextAlignment, banded_traceback
+from ..utils import dna
+from .chain import Chain, ChainParams, find_chains
+from .giraffe import GiraffeMapper
+from .mapq import mapq_exact
+from .project import PathPositionIndex, text_alignment_to_path
+
+
+@dataclass
+class LongReadParams:
+    hard_hit_cap: int = 500
+    max_seeds_per_window: int = 4      # downsampling (reference: max-min caps)
+    downsample_window: int = 152       # ~ num-bp-per-min (hifi preset)
+    tail_band: int = 64
+    max_tail: int = 500                # tail/middle gap caps (hifi: 150/500)
+    max_link_len: int = 4000
+    chain: ChainParams = None
+    max_mapq: int = 60
+
+    def __post_init__(self):
+        if self.chain is None:
+            self.chain = ChainParams()
+
+
+class LongReadMapper:
+    """Maps long reads against the haplotype text by chain-and-stitch."""
+
+    def __init__(self, haps: HaplotypeSet, index: MinimizerIndex,
+                 params: Optional[LongReadParams] = None,
+                 scoring: Scoring = DEFAULT_SCORING):
+        self.haps = haps
+        self.index = index
+        self.params = params or LongReadParams()
+        self.params.chain.kmer = index.k
+        self.scoring = scoring
+        self.graph = haps.graph
+        self.path_pos = PathPositionIndex(
+            self.graph, [m.name for m in self.graph.path_meta])
+
+    # ----------------------------------------------------------- anchors
+
+    def _anchors(self, codes: np.ndarray):
+        """Minimizer anchors on both strands: (roff, tpos, score, strand)."""
+        p = self.params
+        k = self.index.k
+        L = len(codes)
+        offs, keys, canon_rev = extract_minimizers(codes, k, self.index.w)
+        if len(offs) == 0:
+            return (np.zeros(0, np.int64),) * 3 + (np.zeros(0, bool),)
+        hs, he = self.index.lookup_ranges(keys)
+        counts = he - hs
+        keep = (counts > 0) & (counts <= p.hard_hit_cap)
+        offs, canon_rev, hs, he, counts = (
+            offs[keep], canon_rev[keep], hs[keep], he[keep], counts[keep])
+        if len(offs) == 0:
+            return (np.zeros(0, np.int64),) * 3 + (np.zeros(0, bool),)
+        # downsample: keep the lowest-count minimizers per window
+        win = offs // p.downsample_window
+        order = np.lexsort((counts, win))
+        rank = np.zeros(len(offs), np.int64)
+        prev_w = -1
+        r = 0
+        for idx in order:
+            if win[idx] != prev_w:
+                prev_w = win[idx]
+                r = 0
+            rank[idx] = r
+            r += 1
+        keep = rank < p.max_seeds_per_window
+        offs, canon_rev, hs, he, counts = (
+            offs[keep], canon_rev[keep], hs[keep], he[keep], counts[keep])
+
+        midx = np.repeat(np.arange(len(offs)), counts)
+        within = np.arange(len(midx)) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        hit = hs[midx] + within
+        tpos = self.index.pos_text[hit]
+        prev = self.index.pos_rev[hit]
+        strand = prev != canon_rev[midx]
+        roff = np.where(strand, L - self.index.k - offs[midx], offs[midx])
+        score = np.minimum(
+            1.0 + np.log(p.hard_hit_cap) - np.log(np.maximum(counts[midx], 1)),
+            10.0) + self.index.k * 0.5
+        return roff, tpos, score, strand
+
+    # ------------------------------------------------------------ stitch
+
+    def _stitch(self, oriented: np.ndarray, ch: Chain
+                ) -> Optional[TextAlignment]:
+        """Exact anchor blocks + global links + semiglobal tails ->
+        TextAlignment relative to window start = chain text_start minus the
+        left tail span."""
+        p = self.params
+        k = self.index.k
+        text = self.haps.text
+        L = len(oriented)
+        # merge anchors into maximal colinear exact blocks (same diagonal,
+        # overlapping or adjacent)
+        blocks: List[Tuple[int, int, int]] = []   # (roff, tpos, len)
+        for roff, tpos in zip(ch.roff, ch.tpos):
+            roff, tpos = int(roff), int(tpos)
+            if blocks:
+                br, bt, bl = blocks[-1]
+                if tpos - bt == roff - br and roff <= br + bl:
+                    blocks[-1] = (br, bt, max(bl, roff - br + k))
+                    continue
+                if roff < br + bl or tpos < bt + bl:
+                    # overlapping but off-diagonal: trim the new anchor
+                    trim = max(br + bl - roff, bt + bl - tpos)
+                    if trim >= k:
+                        continue
+                    blocks.append((roff + trim, tpos + trim, k - trim))
+                    continue
+            blocks.append((roff, tpos, k))
+
+        edits: List[Tuple] = []
+        score = 0
+        matches = 0
+        # haplotype text range: links and tails must stay inside it
+        r0, t0, _ = blocks[0]
+        hap = int(self.haps.hap_of_text_pos(int(t0)))
+        lo = int(self.haps.text_start[hap])
+        hi = int(self.haps.text_start[hap + 1])
+        # left tail: semiglobal, clip allowed
+        tail_scored = self._left_tail(oriented, r0, t0, lo)
+        if tail_scored is None:
+            read_start = r0
+            text_start_abs = t0
+        else:
+            ts, tedits, tmatch, read_start, text_start_abs = tail_scored
+            score += ts
+            matches += tmatch
+            edits.extend(tedits)
+
+        cur_r, cur_t = r0, t0
+        for bi, (br, bt, bl) in enumerate(blocks):
+            if bi > 0:
+                ra, rb = cur_r, br
+                ta, tb = cur_t, bt
+                if rb - ra > p.max_link_len or tb - ta > p.max_link_len:
+                    return None            # oversized link: give up chain
+                if ta < lo or tb > hi:
+                    return None            # link leaves the haplotype
+                res = global_align(oriented[ra:rb], text[ta:tb], self.scoring)
+                if res is None:
+                    return None
+                ls, ledits = res
+                score += ls
+                for e in ledits:
+                    if e[0] == "M":
+                        matches += e[1]
+                edits.extend(ledits)
+            edits.append(("M", bl))
+            matches += bl
+            score += bl * self.scoring.match
+            cur_r, cur_t = br + bl, bt + bl
+
+        # right tail
+        rt = self._right_tail(oriented, cur_r, cur_t, hi)
+        if rt is not None:
+            ts, tedits, tmatch, read_end, text_end_abs = rt
+            score += ts
+            matches += tmatch
+            edits.extend(tedits)
+        else:
+            read_end, text_end_abs = cur_r, cur_t
+
+        # full-length bonuses
+        if read_start == 0:
+            score += self.scoring.full_length_bonus
+        if read_end == L:
+            score += self.scoring.full_length_bonus
+
+        merged = _merge_edits(edits)
+        return TextAlignment(
+            score=int(score), read_start=read_start, read_end=read_end,
+            text_start=0, text_end=text_end_abs - text_start_abs,
+            edits=merged, matches=matches), text_start_abs
+
+    def _left_tail(self, oriented, r0, t0, lo=0):
+        p = self.params
+        if r0 == 0:
+            return None
+        tail = oriented[:r0][::-1].copy()
+        n = len(tail)
+        if n > p.max_tail:
+            return None
+        B = min(p.tail_band, max(n // 2, 8))
+        wlo = max(t0 - n - B, lo, 0)
+        win = self.haps.text[wlo:t0][::-1].copy()
+        win = np.concatenate([win, np.full(max(0, n + 2 * B - len(win)), 6,
+                                           np.uint8)])[: n + 2 * B]
+        ta = banded_traceback(tail, win, B, self.scoring)
+        if ta is None or ta.read_start != 0 or ta.text_start != 0:
+            return None
+        # reversed-space alignment of the reversed tail: flip back
+        edits = _reverse_edits(ta.edits)
+        consumed_text = ta.text_end - ta.text_start
+        # leading clipped part of the tail (reversed-space end = read start);
+        # the projector emits the clip edit itself from read_start
+        clipped = n - ta.read_end
+        # strip banded_traceback's bonuses: the row-0 one marks the junction
+        # (not a read end), the end one is re-awarded by the stitcher
+        score = ta.score - self.scoring.full_length_bonus
+        if ta.read_end == n:
+            score -= self.scoring.full_length_bonus
+        read_start = clipped
+        text_start_abs = t0 - consumed_text
+        return score, edits, ta.matches, read_start, text_start_abs
+
+    def _right_tail(self, oriented, cur_r, cur_t, hi=None):
+        p = self.params
+        L = len(oriented)
+        if cur_r >= L:
+            return None
+        tail = oriented[cur_r:].copy()
+        n = len(tail)
+        if n > p.max_tail:
+            return None
+        B = min(p.tail_band, max(n // 2, 8))
+        wend = cur_t + n + B if hi is None else min(cur_t + n + B, hi)
+        win = self.haps.text[cur_t : wend].copy()
+        win = np.concatenate([win, np.full(max(0, n + 2 * B - len(win)), 6,
+                                           np.uint8)])[: n + 2 * B]
+        ta = banded_traceback(tail, win, B, self.scoring)
+        if ta is None or ta.read_start != 0 or ta.text_start != 0:
+            return None
+        score = ta.score - self.scoring.full_length_bonus
+        if ta.read_end == n:
+            score -= self.scoring.full_length_bonus
+        return (score, list(ta.edits), ta.matches, cur_r + ta.read_end,
+                cur_t + (ta.text_end - ta.text_start))
+
+    # --------------------------------------------------------------- map
+
+    def map_read(self, read: Read) -> Alignment:
+        p = self.params
+        codes = dna.encode(read.sequence)
+        codes_rc = dna.revcomp_codes(codes)
+        aln = Alignment(name=read.name, sequence=read.sequence)
+        roff, tpos, ascore, strand = self._anchors(codes)
+        if len(roff) == 0:
+            return aln
+        chains: List[Chain] = []
+        for rev in (False, True):
+            m = strand == rev
+            if m.any():
+                chains.extend(find_chains(
+                    roff[m], tpos[m], ascore[m], rev, p.chain))
+        if not chains:
+            return aln
+        chains.sort(key=lambda c: -c.score)
+        results = []
+        for ch in chains[: p.chain.max_chains]:
+            oriented = codes_rc if ch.is_rev else codes
+            st = self._stitch(oriented, ch)
+            if st is not None:
+                results.append((st[0], st[1], ch))
+        if not results:
+            return aln
+        results.sort(key=lambda r: -r[0].score)
+        # dedup results that project to the same graph placement across
+        # haplotypes before computing mapq (same role as the short-read
+        # candidate dedup)
+        seen = {}
+        deduped = []
+        for r in results:
+            wstart_r = r[1]
+            a = int(np.clip(wstart_r, 0, len(self.haps.text) - 1))
+            key = (r[2].is_rev, self.haps.text_pos_to_graph(a))
+            if key not in seen:
+                seen[key] = True
+                deduped.append(r)
+        results = deduped
+        ta, wstart, ch = results[0]
+        aln.mapping_quality = mapq_exact(
+            [r[0].score for r in results], which=0, max_mapq=p.max_mapq)
+        oriented = codes_rc if ch.is_rev else codes
+        path = text_alignment_to_path(self.haps, ta, wstart, oriented,
+                                      ch.is_rev)
+        aln.path = path
+        aln.score = ta.score
+        aln.identity = ta.matches / len(codes) if len(codes) else 0.0
+        self.path_pos.annotate_refpos(aln)
+        return aln
+
+    def map_batch(self, reads: Sequence[Read]) -> List[Alignment]:
+        return [self.map_read(r) for r in reads]
+
+
+def _merge_edits(edits: List[Tuple]) -> List[Tuple]:
+    out: List[Tuple] = []
+    for e in edits:
+        if out and out[-1][0] == e[0]:
+            if e[0] in ("M", "D"):
+                out[-1] = (e[0], out[-1][1] + e[1])
+                continue
+            if len(e) > 2:
+                out[-1] = (e[0], out[-1][1] + e[1],
+                           np.concatenate([out[-1][2], e[2]]))
+                continue
+        out.append(e)
+    return out
+
+
+def _reverse_edits(edits: List[Tuple]) -> List[Tuple]:
+    out = []
+    for e in reversed(edits):
+        if len(e) > 2:
+            out.append((e[0], e[1], e[2][::-1].copy()))
+        else:
+            out.append(e)
+    return out
