@@ -94,20 +94,21 @@ def main():
         f"text {haps.total_len} bp, {idx.unique_count} minimizers "
         f"({time.time()-t0:.1f}s)\n")
 
-    params = GiraffeParams(batch_reads=512)
+    params = GiraffeParams(batch_reads=int(os.environ.get("BENCH_BATCH", "2048")))
     mapper = GiraffeMapper(haps, idx, params)
     n_bench = int(os.environ.get("BENCH_READS", "4096"))
-    reads = simulate_reads(rng, haps, n_bench + 512)
+    reads = simulate_reads(rng, haps, n_bench + int(os.environ.get("BENCH_BATCH", "2048")))
 
     # warmup (compile)
-    mapper.map_batch(reads[:512])
+    warm = int(os.environ.get("BENCH_BATCH", "2048"))
+    mapper.map_batch(reads[:warm])
     t0 = time.time()
     mapped = 0
     aligned = 0
-    for i in range(512, len(reads), 512):
-        batch = reads[i : i + 512]
-        alns = mapper.map_batch(batch)
-        mapped += len(batch)
+    bs = int(os.environ.get("BENCH_BATCH", "2048"))
+    batches = (reads[i : i + bs] for i in range(warm, len(reads), bs))
+    for alns in mapper.map_stream(batches):
+        mapped += len(alns)
         aligned += sum(1 for a in alns if a.path is not None)
     dt = time.time() - t0
     rps = mapped / dt

@@ -51,21 +51,21 @@ def _rolling_kmers(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
     n = len(codes)
     if n < k:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint64), np.zeros(0, bool)
-    c = codes.astype(np.int64)
-    valid_base = c < 4
-    c2 = np.where(valid_base, c, 0).astype(np.uint64)
-    # windows of k via cumulative packing: build with stride tricks
-    from numpy.lib.stride_tricks import sliding_window_view
-    win = sliding_window_view(c2, k)            # (n-k+1, k)
-    vwin = sliding_window_view(valid_base, k)
-    shifts_f = (np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64))
-    with np.errstate(over="ignore"):
-        fwd = (win << shifts_f).sum(axis=1, dtype=np.uint64)
-        # reverse complement: complement codes, reversed order
-        comp = (np.uint64(3) - win)
-        shifts_r = (np.uint64(2) * np.arange(k, dtype=np.uint64))
-        rev = (comp << shifts_r).sum(axis=1, dtype=np.uint64)
-    valid = vwin.all(axis=1)
+    valid_base = codes < 4
+    c2 = np.where(valid_base, codes, 0).astype(np.uint64)
+    m = n - k + 1
+    # k shifted-OR passes over length-m slices: no (m, k) temporaries
+    fwd = np.zeros(m, np.uint64)
+    rev = np.zeros(m, np.uint64)
+    three = np.uint64(3)
+    for j in range(k):
+        sl = c2[j : j + m]
+        fwd |= sl << np.uint64(2 * (k - 1 - j))
+        rev |= (three - sl) << np.uint64(2 * j)
+    bad = (~valid_base).astype(np.int32)
+    cs = np.zeros(n + 1, np.int64)
+    np.cumsum(bad, out=cs[1:])
+    valid = (cs[k:] - cs[:-k]) == 0
     return fwd, rev, valid
 
 
@@ -89,18 +89,17 @@ def extract_minimizers(codes: np.ndarray, k: int = DEFAULT_K, w: int = DEFAULT_W
     INVALID = np.uint64(0xFFFFFFFFFFFFFFFF)
     hashes = np.where(valid, hashes, INVALID)
     m = len(hashes)
-    if m < w:
-        w_eff = m
-    else:
-        w_eff = w
-    from numpy.lib.stride_tricks import sliding_window_view
-    wins = sliding_window_view(hashes, w_eff)   # (m-w+1, w)
-    mins = wins.min(axis=1)
-    chosen = np.zeros(m, dtype=bool)
+    w_eff = min(w, m)
+    nw = m - w_eff + 1
+    # window minima via w shifted minimum passes (no (nw, w) temporary)
+    mins = hashes[:nw].copy()
+    for j in range(1, w_eff):
+        np.minimum(mins, hashes[j : j + nw], out=mins)
     # a kmer is chosen if its hash equals the min of any window containing it
-    eq = wins == mins[:, None]
-    idx = np.nonzero(eq)
-    chosen[idx[0] + idx[1]] = True
+    chosen = np.zeros(m, dtype=bool)
+    for j in range(w_eff):
+        sl = slice(j, j + nw)
+        chosen[sl] |= hashes[sl] == mins
     chosen &= valid
     offs = np.nonzero(chosen)[0].astype(np.int64)
     return offs, keys[offs], canon_rev[offs]
@@ -121,18 +120,31 @@ def extract_minimizers_batch(codes2d: np.ndarray, k: int = DEFAULT_K,
         return z, z, np.zeros(0, np.uint64), np.zeros(0, bool)
     from numpy.lib.stride_tricks import sliding_window_view
 
-    c = codes2d.astype(np.int64)
-    valid_base = c < 4
-    c2 = np.where(valid_base, c, 0).astype(np.uint64)
-    win = sliding_window_view(c2, k, axis=1)          # (R, m, k)
-    vwin = sliding_window_view(valid_base, k, axis=1)
-    shifts_f = np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64)
+    valid_base = codes2d < 4
+    c2 = np.where(valid_base, codes2d, 0).astype(np.uint64)
+    m = L - k + 1
+    # rolling 2-bit pack: O(L) column passes, no (R, m, k) temporaries
+    fwd = np.empty((R, m), np.uint64)
+    rev = np.empty((R, m), np.uint64)
+    mask = np.uint64((1 << (2 * k)) - 1)
+    two = np.uint64(2)
+    topshift = np.uint64(2 * (k - 1))
+    three = np.uint64(3)
+    cur_f = np.zeros(R, np.uint64)
+    cur_r = np.zeros(R, np.uint64)
     with np.errstate(over="ignore"):
-        fwd = (win << shifts_f).sum(axis=2, dtype=np.uint64)
-        comp = np.uint64(3) - win
-        shifts_r = np.uint64(2) * np.arange(k, dtype=np.uint64)
-        rev = (comp << shifts_r).sum(axis=2, dtype=np.uint64)
-    valid = vwin.all(axis=2)                          # (R, m)
+        for j in range(L):
+            cj = c2[:, j]
+            cur_f = ((cur_f << two) | cj) & mask
+            cur_r = (cur_r >> two) | ((three - cj) << topshift)
+            if j >= k - 1:
+                fwd[:, j - k + 1] = cur_f
+                rev[:, j - k + 1] = cur_r
+    # validity: window contains no N
+    bad = (~valid_base).astype(np.int32)
+    cs = np.zeros((R, L + 1), np.int32)
+    np.cumsum(bad, axis=1, out=cs[:, 1:])
+    valid = (cs[:, k:] - cs[:, :-k]) == 0              # (R, m)
     canon_rev = rev < fwd
     keys = np.where(canon_rev, rev, fwd)
     hashes = wang_hash_64(keys)

@@ -65,7 +65,11 @@ class GiraffeParams:
 
 @dataclass
 class ScoredBatch:
-    """Seeded + device-scored read batch (per-read candidate tables)."""
+    """Seeded + device-scored read batch (per-read candidate tables).
+
+    ``scores_raw`` may hold the un-fetched device array: the DP dispatch is
+    asynchronous, so a caller can score batch i+1 before reading batch i's
+    scores (map_stream pipelines on this)."""
     reads: List[Read]
     codes: List[np.ndarray]
     codes_rc: List[np.ndarray]
@@ -74,7 +78,13 @@ class ScoredBatch:
     cand_hi: np.ndarray
     cand_rev: np.ndarray
     cand_valid: np.ndarray
-    scores: np.ndarray       # (R, C) int32 DP scores
+    scores_raw: object       # (R, C) int32 DP scores (device or host array)
+
+    @property
+    def scores(self) -> np.ndarray:
+        if not isinstance(self.scores_raw, np.ndarray):
+            self.scores_raw = np.array(self.scores_raw)
+        return self.scores_raw
 
     def diag(self) -> np.ndarray:
         return self.cand_start  # + band_radius gives the seed diagonal
@@ -373,18 +383,18 @@ class GiraffeMapper:
                     cand_rev[i, j] = c.is_rev
                     cand_valid[i, j] = True
 
-        scores = np.asarray(align_ops.banded_scores(
+        scores_dev = align_ops.banded_scores(
             self.text_dev, reads_arr, reads_rc_arr, rlens,
             cand_start, cand_lo, cand_hi, cand_rev, cand_valid,
             band_radius=p.band_radius, match=p.match, mismatch=p.mismatch,
             gap_open=p.gap_open, gap_extend=p.gap_extend,
-            bonus=p.full_length_bonus))
+            bonus=p.full_length_bonus)[:R]
 
         return ScoredBatch(
             reads=list(reads), codes=codes, codes_rc=codes_rc,
             cand_start=cand_start[:R], cand_lo=cand_lo[:R],
             cand_hi=cand_hi[:R], cand_rev=cand_rev[:R],
-            cand_valid=cand_valid[:R], scores=np.array(scores[:R]))
+            cand_valid=cand_valid[:R], scores_raw=scores_dev)
 
     def rescore_candidates(self, sb: "ScoredBatch",
                            cand_start: np.ndarray, cand_lo: np.ndarray,
@@ -438,20 +448,98 @@ class GiraffeMapper:
         if len(reads) == 0:
             return []
         sb = self.score_reads(reads)
+        return self.emit_batch(sb)
+
+    def map_stream(self, batches) -> "Iterator[List[Alignment]]":
+        """Map an iterator of read batches with device/host overlap: batch
+        i+1's DP runs on device while batch i's winners emit on host (the
+        TPU answer to the reference's reader/mapper-thread overlap,
+        vg::io::for_each_parallel)."""
+        pending = None
+        for batch in batches:
+            sb = self.score_reads(batch)      # async dispatch
+            if pending is not None:
+                yield self.emit_batch(pending)
+            pending = sb
+        if pending is not None:
+            yield self.emit_batch(pending)
+
+    def emit_batch(self, sb: "ScoredBatch") -> List[Alignment]:
+        """Vectorized winner selection, MAPQ, and gapless-path emission;
+        only indel winners fall back to the per-read DP traceback."""
+        from .mapq import log_base
+        from .project import gapless_path
+
+        p = self.params
+        R = len(sb.reads)
+        B = p.band_radius
+        scores = sb.scores
+        valid = sb.cand_valid & (scores > 0)
+        any_valid = valid.any(axis=1)
+        masked = np.where(valid, scores, -1)
+        best_j = np.argmax(masked, axis=1)
+        best_s = masked[np.arange(R), best_j]
+
+        # batch MAPQ: exact log-sum-exp posterior over valid candidates
+        lam = log_base(p.match, p.mismatch)
+        sc = np.where(valid, scores * lam, -np.inf)
+        mx = sc.max(axis=1, where=valid, initial=-np.inf)
+        with np.errstate(over="ignore", invalid="ignore"):
+            lse = mx + np.log(np.exp(sc - mx[:, None]).sum(axis=1))
+            delta = best_s * lam - lse
+            one_minus = np.where(delta < -1e-12,
+                                 np.log1p(-np.exp(np.minimum(delta, -1e-12))),
+                                 -50.0)
+        mapqs = np.clip(-10.0 / np.log(10.0) * one_minus, 0, p.max_mapq)
+        mapqs = np.where(np.isfinite(mapqs), mapqs, p.max_mapq).astype(int)
+
+        # batch gapless detection on the winners
+        text = self.haps.text
+        L_arr = np.array([len(c) for c in sb.codes])
+        RL = int(L_arr.max()) if R else 0
+        diag = sb.cand_start[np.arange(R), best_j] + B
+        lo = sb.cand_lo[np.arange(R), best_j]
+        hi = sb.cand_hi[np.arange(R), best_j]
+        rev = sb.cand_rev[np.arange(R), best_j]
+        pos = diag[:, None] + np.arange(RL)
+        ok = (pos >= lo[:, None]) & (pos < hi[:, None]) & (pos >= 0) & \
+             (pos < len(text))
+        tw = np.where(ok, text[np.clip(pos, 0, len(text) - 1)],
+                      align_ops.SENTINEL).astype(np.uint8)
+        oriented = np.full((R, RL), 5, np.uint8)
+        for i in range(R):
+            c = sb.codes_rc[i] if rev[i] else sb.codes[i]
+            oriented[i, : len(c)] = c
+        col = np.arange(RL)[None, :]
+        inread = col < L_arr[:, None]
+        mism = ((tw != oriented) | (oriented >= 4)) & inread
+        mm = mism.sum(axis=1)
+        gl_score = (L_arr - mm) * p.match - mm * p.mismatch \
+            + 2 * p.full_length_bonus
+        fast = any_valid & (gl_score == best_s)
+
         out: List[Alignment] = []
-        for i in range(len(reads)):
-            sc = sb.scores[i]
-            valid = sb.cand_valid[i] & (sc > 0)
-            if not valid.any():
-                out.append(self.emit(sb, i, -1, 0))
+        for i, r in enumerate(sb.reads):
+            qual = bytes((ord(q) - 33) for q in r.quality) if r.quality else b""
+            aln = Alignment(name=r.name, sequence=r.sequence, quality=qual)
+            if not any_valid[i]:
+                out.append(aln)
                 continue
-            vs = sc[valid]
-            vorder = np.argsort(-vs, kind="stable")
-            best_j = int(np.nonzero(valid)[0][vorder[0]])
-            mq = mapq_exact(
-                vs.astype(np.float64), which=int(vorder[0]),
-                match=p.match, mismatch=p.mismatch, max_mapq=p.max_mapq)
-            out.append(self.emit(sb, i, best_j, mq))
+            aln.mapping_quality = int(mapqs[i])
+            L = int(L_arr[i])
+            if fast[i]:
+                aln.path = gapless_path(
+                    self.haps, int(diag[i]), int(diag[i]) + L,
+                    mism[i, :L], r.sequence, bool(rev[i]))
+                aln.score = int(best_s[i])
+                aln.identity = (L - int(mm[i])) / L
+                self.path_pos.annotate_refpos(aln)
+            else:
+                self._traceback_into(
+                    aln, sb.codes[i], sb.codes_rc[i],
+                    int(sb.cand_start[i, best_j[i]]), int(lo[i]),
+                    int(hi[i]), bool(rev[i]), int(best_s[i]))
+            out.append(aln)
         return out
 
     def _gapless_check(self, oriented: np.ndarray, window: np.ndarray,

@@ -129,6 +129,56 @@ def text_alignment_to_path(
     return path
 
 
+def gapless_path(haps: HaplotypeSet, t0: int, t1: int,
+                 mism: np.ndarray, read_str: str, is_rev: bool) -> Path:
+    """Fast path builder for full-length gapless alignments (the common
+    short-read case): text interval [t0, t1), per-oriented-base mismatch
+    mask. For reverse alignments the flipped path is built directly
+    (mapping order reversed, handles flipped, offsets mirrored) rather
+    than flipping afterwards."""
+    graph = haps.graph
+    L = t1 - t0
+    pieces = haps.walk_interval(t0, t1)
+    path = Path()
+    if is_rev:
+        fm = mism[::-1]
+        covered = 0
+        spans = []
+        for h, off, ln in pieces:
+            spans.append((h, off, ln, covered, covered + ln))
+            covered += ln
+        it = [(h ^ 1,
+               graph.node_len_idx(h >> 1) - (off + ln),
+               L - e, L - s)
+              for h, off, ln, s, e in reversed(spans)]
+    else:
+        fm = mism
+        covered = 0
+        it = []
+        for h, off, ln in pieces:
+            it.append((h, off, covered, covered + ln))
+            covered += ln
+    rank = 0
+    for h, off, fs, fe in it:
+        rank += 1
+        mp = Mapping(position=Position(
+            node_id=int(graph.node_id[h >> 1]), offset=int(off),
+            is_reverse=bool(h & 1)), rank=rank)
+        sub = fm[fs:fe]
+        cuts = np.flatnonzero(np.diff(sub)) + 1
+        seg_starts = np.concatenate([[0], cuts])
+        seg_ends = np.concatenate([cuts, [len(sub)]])
+        for a, b in zip(seg_starts, seg_ends):
+            a, b = int(a), int(b)
+            if sub[a]:
+                mp.edits.append(Edit(from_length=b - a, to_length=b - a,
+                                     sequence=read_str[fs + a : fs + b]))
+            else:
+                mp.edits.append(Edit(from_length=b - a, to_length=b - a))
+        path.mappings.append(mp)
+    return path
+
+
 def _same_kind(a: Edit, b: Edit) -> bool:
     def kind(e: Edit):
         if e.from_length == e.to_length:
