@@ -1,0 +1,151 @@
+"""Graph toolbox, deconstruct, and augment tests."""
+import io
+
+import numpy as np
+import pytest
+
+from vg_tpu.call.deconstruct import Deconstructor
+from vg_tpu.construct.constructor import Constructor, ConstructorParams
+from vg_tpu.graph import ops
+from vg_tpu.graph.augment import augment
+from vg_tpu.graph.arraygraph import GraphBuilder
+from vg_tpu.index.haplotypes import thread_haplotypes
+from vg_tpu.io.fasta import read_fasta
+from vg_tpu.io.gam import Alignment, Edit, Mapping, Path, Position
+from vg_tpu.io.vcf import read_vcf
+
+
+@pytest.fixture(scope="module")
+def x_graph(ref_test_dir):
+    ref = read_fasta(str(ref_test_dir / "small" / "x.fa"))
+    vcf = read_vcf(str(ref_test_dir / "small" / "x.vcf.gz"))
+    g, results = Constructor(ConstructorParams(max_node_size=32)).construct_graph(ref, vcf)
+    return g, results, vcf, ref
+
+
+def test_compact_and_increment_ids(x_graph):
+    g = x_graph[0]
+    g2, id_map = ops.compact_ids(g, start=100)
+    assert g2.node_count == g.node_count
+    assert int(g2.node_id[0]) == 100
+    assert g2.validate() == []
+    assert g2.path_seq("x") == g.path_seq("x")
+    g3 = ops.increment_ids(g, 1000)
+    assert int(g3.node_id[0]) == int(g.node_id[0]) + 1000
+    assert g3.path_seq("x") == g.path_seq("x")
+
+
+def test_combine_disjoint(x_graph):
+    g = x_graph[0]
+    g2 = ops.increment_ids(g, 0)
+    u = ops.combine([g, g2])
+    assert u.node_count == 2 * g.node_count
+    assert u.validate() == []
+
+
+def test_chunk_and_subgraph(x_graph):
+    g = x_graph[0]
+    sub = ops.chunk_path(g, "x", 100, 300, context_steps=1)
+    assert 0 < sub.node_count < g.node_count
+    assert sub.validate() == []
+    # chunk retains the path slice (possibly as a named fragment)
+    assert any(m.name == "x" or m.name.startswith("x[") for m in sub.path_meta)
+
+
+def test_mask_interval(x_graph):
+    g = x_graph[0]
+    masked = ops.mask_path_interval(g, "x", 10, 50)
+    s = masked.path_seq("x")
+    assert set(s[10:50]) == {"N"}
+    assert s[:10] == g.path_seq("x")[:10]
+    assert s[50:] == g.path_seq("x")[50:]
+
+
+def test_circularize(x_graph):
+    g = x_graph[0]
+    c = ops.circularize(g, "x")
+    hs = c.path_handles("x")
+    assert c.has_edge(int(hs[-1]), int(hs[0]))
+    assert c.path_meta[c.path_index("x")].is_circular
+
+
+def test_keep_drop_paths(x_graph):
+    g = x_graph[0]
+    assert ops.keep_paths(g, ["x"]).path_count == 1
+    assert ops.drop_paths(g, ["x"]).path_count == g.path_count - 1
+
+
+def test_deconstruct_roundtrip(x_graph):
+    """construct(VCF) then deconstruct must recover the sample's phased
+    alleles (site-level recall >= 90%; representation may merge clumps)."""
+    g, results, vcf, ref = x_graph
+    haps = thread_haplotypes(g, results, vcf)
+    d = Deconstructor(g, haps, "x")
+    samples, variants = d.deconstruct()
+    assert samples == ["1"]
+    n_truth = sum(1 for r in vcf.records
+                  if any(a and a > 0 for gt in [r.genotypes[0][0]] for a in gt))
+    assert len(variants) >= 0.85 * n_truth
+    # every emitted variant's REF matches the reference sequence
+    refseq = ref["x"].upper()
+    for v in variants:
+        assert refseq[v.pos - 1 : v.pos - 1 + len(v.ref)] == v.ref
+        gt = v.sample_gts["1"]
+        assert len(gt) == 2 and all(a is not None for a in gt)
+    buf = io.StringIO()
+    d.write_vcf(buf)
+    assert buf.getvalue().startswith("##fileformat=VCFv4.2")
+
+
+def _simple_graph():
+    b = GraphBuilder()
+    n1 = b.add_node("ACGTACGT")
+    n2 = b.add_node("TTTT")
+    b.add_edge(n1, n2)
+    b.add_path("p", [(n1, False), (n2, False)])
+    return b.freeze(), n1, n2
+
+
+def test_augment_snp():
+    g, n1, n2 = _simple_graph()
+    aln = Alignment(sequence="ACGAACGT", path=Path(mappings=[
+        Mapping(position=Position(node_id=n1), edits=[
+            Edit(from_length=3, to_length=3),
+            Edit(from_length=1, to_length=1, sequence="A"),
+            Edit(from_length=4, to_length=4)], rank=1)]))
+    g2, trans = augment(g, [aln])
+    assert g2.validate() == []
+    # the original path is preserved and still spells the same sequence
+    assert g2.path_seq("p") == g.path_seq("p")
+    # a new A node exists parallel to the reference T at offset 3
+    new_nodes = [nid for nid, seq in g2.iter_nodes()
+                 if nid not in {int(x) for x in g.node_id} and seq == "A"]
+    assert len(new_nodes) == 1
+    # and it is threaded between the flanking pieces
+    nh = g2.handle(new_nodes[0])
+    assert len(g2.predecessors(nh)) >= 1 and len(g2.follow(nh)) >= 1
+
+
+def test_augment_deletion_and_insertion():
+    g, n1, n2 = _simple_graph()
+    deln = Alignment(sequence="ACGGT", path=Path(mappings=[
+        Mapping(position=Position(node_id=n1), edits=[
+            Edit(from_length=3, to_length=3),
+            Edit(from_length=3, to_length=0),
+            Edit(from_length=2, to_length=2)], rank=1)]))
+    ins = Alignment(sequence="ACGTGGACGT", path=Path(mappings=[
+        Mapping(position=Position(node_id=n1), edits=[
+            Edit(from_length=4, to_length=4),
+            Edit(from_length=0, to_length=2, sequence="GG"),
+            Edit(from_length=4, to_length=4)], rank=1)]))
+    g2, trans = augment(g, [deln, ins])
+    assert g2.validate() == []
+    assert g2.path_seq("p") == g.path_seq("p")
+    # insertion node exists
+    assert any(seq == "GG" for _, seq in g2.iter_nodes())
+    # deletion edge: a path ACG -> GT exists (skipping TAC)
+    # find piece spelling 'ACG' and check one successor starts the 'GT' run
+    id_by_seq = {}
+    for nid, seq in g2.iter_nodes():
+        id_by_seq.setdefault(seq, []).append(nid)
+    assert "ACG" in id_by_seq

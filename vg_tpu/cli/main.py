@@ -358,6 +358,119 @@ def cmd_validate(args) -> int:
     return 1 if problems else 0
 
 
+
+
+def cmd_deconstruct(args) -> int:
+    from ..call.deconstruct import Deconstructor
+
+    if args.index_prefix:
+        g, haps, _ = _load_bundle(args.index_prefix)
+    else:
+        from ..index.haplotypes import haplotypes_from_paths
+        g = _load_graph_any(args.xg)
+        haps = haplotypes_from_paths(g)
+    ref_path = args.path or g.path_meta[0].name
+    Deconstructor(g, haps, ref_path).write_vcf(sys.stdout)
+    return 0
+
+
+def cmd_ids(args) -> int:
+    from ..graph import ops
+
+    g = _load_graph_any(args.input)
+    if args.compact:
+        g, _ = ops.compact_ids(g)
+    if args.increment:
+        g = ops.increment_ids(g, args.increment)
+    _save_graph_any(g, args.output)
+    return 0
+
+
+def cmd_chunk(args) -> int:
+    from ..graph import ops
+
+    g = _load_graph_any(args.xg)
+    path, rng = args.path_range.split(":")
+    a, z = rng.split("-")
+    sub = ops.chunk_path(g, path, int(a), int(z), args.context)
+    _save_graph_any(sub, args.output)
+    print(f"chunk: {sub.node_count} nodes", file=sys.stderr)
+    return 0
+
+
+def cmd_combine(args) -> int:
+    from ..graph import ops
+
+    graphs = [_load_graph_any(p) for p in args.inputs]
+    _save_graph_any(ops.combine(graphs), args.output)
+    return 0
+
+
+def cmd_mask(args) -> int:
+    from ..graph import ops
+
+    g = _load_graph_any(args.xg)
+    with open(args.bed) as f:
+        for line in f:
+            if not line.strip() or line.startswith("#"):
+                continue
+            chrom, a, z = line.split()[:3]
+            if g.has_path(chrom):
+                g = ops.mask_path_interval(g, chrom, int(a), int(z))
+    _save_graph_any(g, args.output)
+    return 0
+
+
+def cmd_circularize(args) -> int:
+    from ..graph import ops
+
+    g = _load_graph_any(args.input)
+    _save_graph_any(ops.circularize(g, args.path), args.output)
+    return 0
+
+
+def cmd_mod(args) -> int:
+    from ..graph import ops
+
+    g = _load_graph_any(args.input)
+    if args.retain_paths:
+        g = ops.keep_paths(g, args.retain_paths.split(","))
+    if args.drop_paths:
+        g = ops.drop_paths(g, args.drop_paths.split(","))
+    _save_graph_any(g, args.output)
+    return 0
+
+
+def cmd_prune(args) -> int:
+    from ..graph import ops
+
+    g = _load_graph_any(args.input)
+    _save_graph_any(ops.prune_complex(g, args.max_degree), args.output)
+    return 0
+
+
+def cmd_find(args) -> int:
+    from ..graph import ops
+
+    g = _load_graph_any(args.xg)
+    sub = ops.subgraph(g, [int(n) for n in args.node], args.context)
+    _save_graph_any(sub, args.output)
+    return 0
+
+
+def cmd_augment(args) -> int:
+    from ..graph.augment import augment
+    from ..io.gam import read_gam
+
+    g = _load_graph_any(args.input)
+    alns = list(read_gam(args.gam))
+    g2, trans = augment(g, alns)
+    _save_graph_any(g2, args.output)
+    print(f"augmented: {g.node_count} -> {g2.node_count} nodes",
+          file=sys.stderr)
+    return 0
+
+
 # ----------------------------------------------------------------- parser
 
 def build_parser() -> argparse.ArgumentParser:
@@ -462,6 +575,71 @@ def build_parser() -> argparse.ArgumentParser:
     va = sub.add_parser("validate", help="graph invariants")
     va.add_argument("-x", "--xg", required=True)
     va.set_defaults(func=cmd_validate)
+
+
+    dc = sub.add_parser("deconstruct", help="graph+haplotypes -> VCF")
+    dc.add_argument("-Z", "--index-prefix")
+    dc.add_argument("-x", "--xg")
+    dc.add_argument("-p", "--path")
+    dc.set_defaults(func=cmd_deconstruct)
+
+    ids = sub.add_parser("ids", help="node id manipulation")
+    ids.add_argument("input")
+    ids.add_argument("-c", "--compact", action="store_true")
+    ids.add_argument("-i", "--increment", type=int, default=0)
+    ids.add_argument("-o", "--output", required=True)
+    ids.set_defaults(func=cmd_ids)
+
+    ch = sub.add_parser("chunk", help="extract a path region subgraph")
+    ch.add_argument("-x", "--xg", required=True)
+    ch.add_argument("-p", "--path-range", required=True,
+                    help="path:start-end")
+    ch.add_argument("-c", "--context", type=int, default=1)
+    ch.add_argument("-o", "--output", required=True)
+    ch.set_defaults(func=cmd_chunk)
+
+    cb = sub.add_parser("combine", help="merge graphs")
+    cb.add_argument("inputs", nargs="+")
+    cb.add_argument("-o", "--output", required=True)
+    cb.set_defaults(func=cmd_combine)
+
+    mk = sub.add_parser("mask", help="N-mask BED regions")
+    mk.add_argument("-x", "--xg", required=True)
+    mk.add_argument("-b", "--bed", required=True)
+    mk.add_argument("-o", "--output", required=True)
+    mk.set_defaults(func=cmd_mask)
+
+    ci = sub.add_parser("circularize", help="circularize a path")
+    ci.add_argument("input")
+    ci.add_argument("-p", "--path", required=True)
+    ci.add_argument("-o", "--output", required=True)
+    ci.set_defaults(func=cmd_circularize)
+
+    mo = sub.add_parser("mod", help="path retention edits")
+    mo.add_argument("input")
+    mo.add_argument("-r", "--retain-paths")
+    mo.add_argument("-d", "--drop-paths")
+    mo.add_argument("-o", "--output", required=True)
+    mo.set_defaults(func=cmd_mod)
+
+    pr = sub.add_parser("prune", help="cut high-degree hairballs")
+    pr.add_argument("input")
+    pr.add_argument("-M", "--max-degree", type=int, default=8)
+    pr.add_argument("-o", "--output", required=True)
+    pr.set_defaults(func=cmd_prune)
+
+    fd = sub.add_parser("find", help="node-context subgraph")
+    fd.add_argument("-x", "--xg", required=True)
+    fd.add_argument("-n", "--node", action="append", required=True)
+    fd.add_argument("-c", "--context", type=int, default=1)
+    fd.add_argument("-o", "--output", required=True)
+    fd.set_defaults(func=cmd_find)
+
+    au = sub.add_parser("augment", help="embed GAM edits into graph")
+    au.add_argument("input")
+    au.add_argument("gam")
+    au.add_argument("-o", "--output", required=True)
+    au.set_defaults(func=cmd_augment)
 
     return ap
 

@@ -1,0 +1,230 @@
+"""Augment: embed aligned novel variation from GAM into the graph.
+
+Reference: augment() (src/augment.hpp:46-64, src/augment.cpp) — find edit
+breakpoints, split nodes there, add new nodes/edges for novel sequence,
+and report a translation from new ids to old. Same two-phase shape here:
+
+1. collect breakpoints (node, offset) from every alignment's edits
+2. split all nodes at their breakpoints (building old->new translation)
+3. walk each alignment again, adding SNP/insertion nodes and the edges
+   that thread the novel allele through the split graph
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..io.gam import Alignment
+from ..utils import dna
+from .arraygraph import ArrayGraph, GraphBuilder
+
+
+@dataclass
+class Translation:
+    """old node id -> list of (new node id, offset in old node)."""
+    pieces: Dict[int, List[Tuple[int, int]]] = field(default_factory=dict)
+
+    def map_position(self, old_id: int, offset: int) -> Tuple[int, int]:
+        parts = self.pieces.get(old_id)
+        if not parts:
+            return old_id, offset
+        for new_id, off in reversed(parts):
+            if offset >= off:
+                return new_id, offset - off
+        return parts[0][0], offset
+
+
+def augment(g: ArrayGraph, alns: Sequence[Alignment],
+            min_coverage: int = 0) -> Tuple[ArrayGraph, Translation]:
+    """Return (augmented graph, translation). Novel SNPs/insertions become
+    new nodes; deletions become new edges; reference paths are preserved
+    through the splits."""
+    # -- phase 1: breakpoints per node (forward-strand offsets)
+    breaks: Dict[int, Set[int]] = {}
+    novel: List[Tuple] = []   # ('S', node, fwd_off, len, seq) | ('D', node, a, node2, b) | ('I', ...)
+
+    def fwd_interval(g, node_id, offset, from_len, is_rev):
+        nlen = g.node_len(node_id)
+        if is_rev:
+            return nlen - offset - from_len, nlen - offset
+        return offset, offset + from_len
+
+    for aln in alns:
+        if aln.path is None:
+            continue
+        for mp in aln.path.mappings:
+            p = mp.position
+            off = p.offset
+            for e in mp.edits:
+                if e.from_length and e.to_length and e.sequence:
+                    a, b = fwd_interval(g, p.node_id, off, e.from_length,
+                                        p.is_reverse)
+                    breaks.setdefault(p.node_id, set()).update((a, b))
+                elif e.from_length and not e.to_length:  # deletion
+                    a, b = fwd_interval(g, p.node_id, off, e.from_length,
+                                        p.is_reverse)
+                    breaks.setdefault(p.node_id, set()).update((a, b))
+                elif e.to_length and not e.from_length:  # insertion
+                    a, _ = fwd_interval(g, p.node_id, off, 0, p.is_reverse)
+                    breaks.setdefault(p.node_id, set()).add(a)
+                off += e.from_length
+
+    # -- phase 2: split nodes
+    b = GraphBuilder()
+    next_id = int(g.node_id[-1]) + 1 if g.node_count else 1
+    trans = Translation()
+    for i, nid in enumerate(g.node_id):
+        nid = int(nid)
+        codes = g.seq[g.seq_start[i] : g.seq_start[i + 1]]
+        cuts = sorted(c for c in breaks.get(nid, ()) if 0 < c < len(codes))
+        if not cuts:
+            b.add_node(codes, node_id=nid)
+            trans.pieces[nid] = [(nid, 0)]
+            continue
+        bounds = [0] + cuts + [len(codes)]
+        parts = []
+        for a, z in zip(bounds[:-1], bounds[1:]):
+            pid = nid if a == 0 else next_id
+            if a != 0:
+                next_id += 1
+            b.add_node(codes[a:z], node_id=pid)
+            parts.append((pid, a))
+        trans.pieces[nid] = parts
+        for (p1, _), (p2, _) in zip(parts[:-1], parts[1:]):
+            b.add_edge(p1, p2)
+
+    def map_handle(nid, rev, boundary):
+        """New (node, rev) at a forward offset boundary: 'boundary' is the
+        piece containing offset boundary ('start' uses the piece starting
+        there)."""
+        return trans.map_position(nid, boundary)
+
+    # original edges, remapped to the outermost pieces
+    for f_id, f_rev, t_id, t_rev in g.iter_edges():
+        fp = trans.pieces[f_id]
+        tp = trans.pieces[t_id]
+        f_new = fp[0][0] if f_rev else fp[-1][0]
+        t_new = tp[-1][0] if t_rev else tp[0][0]
+        b.add_edge(f_new, t_new, f_rev, t_rev)
+
+    # paths, remapped through the splits
+    for pi, meta in enumerate(g.path_meta):
+        steps = []
+        for h in g.path_handles(pi):
+            nid = int(g.node_id[int(h) >> 1])
+            rev = bool(int(h) & 1)
+            parts = trans.pieces[nid]
+            seq = parts if not rev else list(reversed(parts))
+            steps.extend((p, rev) for p, _ in seq)
+        b.add_path(meta.name, steps, meta.sense, meta.sample, meta.locus,
+                   meta.haplotype, meta.is_circular)
+
+    # -- phase 3: thread novel alleles
+    def piece_at(nid, fwd_off, side):
+        """Piece id whose interval contains fwd_off; side='start' prefers
+        the piece beginning at fwd_off, side='end' the piece ending there."""
+        parts = trans.pieces[nid]
+        for j, (p, off) in enumerate(parts):
+            nxt = parts[j + 1][1] if j + 1 < len(parts) else g.node_len(nid)
+            if side == "start" and off == fwd_off:
+                return p, "begin"
+            if side == "end" and nxt == fwd_off:
+                return p, "end"
+            if off <= fwd_off < nxt:
+                return p, "within"
+        return parts[-1][0], "within"
+
+    for aln in alns:
+        if aln.path is None:
+            continue
+        mappings = aln.path.mappings
+        prev_exit: Optional[Tuple[int, bool]] = None   # (piece handle end)
+        for mp in mappings:
+            p = mp.position
+            off = p.offset
+            for e in mp.edits:
+                if e.from_length and e.to_length and e.sequence:
+                    # SNP/MNP: new node parallel to the split piece
+                    a, z = fwd_interval(g, p.node_id, off, e.from_length,
+                                        p.is_reverse)
+                    seq = e.sequence if not p.is_reverse else \
+                        dna.revcomp_str(e.sequence)
+                    new = next_id
+                    next_id += 1
+                    b.add_node(seq, node_id=new)
+                    pe, _ = piece_at(p.node_id, a, "end")  # piece before a
+                    ps, _ = piece_at(p.node_id, z, "start")
+                    # connect neighbors of the replaced piece
+                    left = _piece_before(g, trans, b, p.node_id, a)
+                    right = _piece_after(g, trans, b, p.node_id, z)
+                    for ln, lrev in left:
+                        b.add_edge(ln, new, lrev, False)
+                    for rn, rrev in right:
+                        b.add_edge(new, rn, False, rrev)
+                elif e.to_length and not e.from_length and e.sequence:
+                    # insertion: new node spliced between flanking pieces
+                    a, _ = fwd_interval(g, p.node_id, off, 0, p.is_reverse)
+                    seq = e.sequence if not p.is_reverse else \
+                        dna.revcomp_str(e.sequence)
+                    new = next_id
+                    next_id += 1
+                    b.add_node(seq, node_id=new)
+                    left = _piece_before(g, trans, b, p.node_id, a)
+                    right = _piece_after(g, trans, b, p.node_id, a)
+                    for ln, lrev in left:
+                        b.add_edge(ln, new, lrev, False)
+                    for rn, rrev in right:
+                        b.add_edge(new, rn, False, rrev)
+                elif e.from_length and not e.to_length:
+                    # deletion: edge jumping the deleted pieces
+                    a, z = fwd_interval(g, p.node_id, off, e.from_length,
+                                        p.is_reverse)
+                    left = _piece_before(g, trans, b, p.node_id, a)
+                    right = _piece_after(g, trans, b, p.node_id, z)
+                    for ln, lrev in left:
+                        for rn, rrev in right:
+                            b.add_edge(ln, rn, lrev, rrev)
+                off += e.from_length
+    return b.freeze(), trans
+
+
+def _piece_before(g, trans, b, nid, fwd_off):
+    """(node, rev) handles that precede forward offset fwd_off of old node
+    nid in the split graph."""
+    parts = trans.pieces[nid]
+    if fwd_off > 0:
+        for j, (p, off) in enumerate(parts):
+            nxt = parts[j + 1][1] if j + 1 < len(parts) else g.node_len(nid)
+            if nxt == fwd_off:
+                return [(p, False)]
+        # offset inside a piece (unsplit boundary) — shouldn't happen
+        return []
+    # predecessors of the old node's start
+    out = []
+    h = g.handle(nid)
+    for pred in g.predecessors(h):
+        pn = int(g.node_id[int(pred) >> 1])
+        prev = bool(int(pred) & 1)
+        pp = trans.pieces[pn]
+        out.append((pp[0][0] if prev else pp[-1][0], prev))
+    return out
+
+
+def _piece_after(g, trans, b, nid, fwd_off):
+    parts = trans.pieces[nid]
+    nlen = g.node_len(nid)
+    if fwd_off < nlen:
+        for p, off in parts:
+            if off == fwd_off:
+                return [(p, False)]
+        return []
+    out = []
+    h = g.handle(nid)
+    for succ in g.follow(h):
+        sn = int(g.node_id[int(succ) >> 1])
+        srev = bool(int(succ) & 1)
+        sp = trans.pieces[sn]
+        out.append((sp[-1][0] if srev else sp[0][0], srev))
+    return out
