@@ -149,3 +149,63 @@ def test_augment_deletion_and_insertion():
     for nid, seq in g2.iter_nodes():
         id_by_seq.setdefault(seq, []).append(nid)
     assert "ACG" in id_by_seq
+
+
+def test_graph_poa_align():
+    from vg_tpu.ops.graph_align import align_to_graph
+    from vg_tpu.utils import dna
+
+    b = GraphBuilder()
+    n1 = b.add_node("ACGT")
+    n2 = b.add_node("C")
+    n3 = b.add_node("G")
+    n4 = b.add_node("TTTT")
+    b.add_edge(n1, n2)
+    b.add_edge(n1, n3)
+    b.add_edge(n2, n4)
+    b.add_edge(n3, n4)
+    g = b.freeze()
+    # both bubble branches align perfectly
+    for read, branch in [("ACGTCTTTT", n2), ("ACGTGTTTT", n3)]:
+        a = align_to_graph(g, dna.encode(read))
+        assert a.score == len(read) + 10
+        assert [m.position.node_id for m in a.path.mappings] == [n1, branch, n4]
+        assert sum(e.to_length for m in a.path.mappings for e in m.edits) \
+            == len(read)
+    # soft clips preserved as end insertions
+    a = align_to_graph(g, dna.encode("GGGGGACGTCTTTT"))
+    first_edit = a.path.mappings[0].edits[0]
+    assert first_edit.from_length == 0 and first_edit.to_length >= 5
+    # global mode consumes a full source->sink walk
+    a = align_to_graph(g, dna.encode("ACGTCTTTT"), mode="global")
+    assert a.score == 9
+    froms = sum(e.from_length for m in a.path.mappings for e in m.edits)
+    assert froms == 9
+
+
+def test_graph_poa_matches_text_dp_on_linear_graph():
+    """On a linear graph the POA must agree with the banded text DP."""
+    from vg_tpu.ops.graph_align import align_to_graph
+    from vg_tpu.ops.traceback import banded_traceback
+    from vg_tpu.utils import dna
+
+    rng = np.random.default_rng(5)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 200))
+    b = GraphBuilder()
+    prev = None
+    for i in range(0, 200, 25):
+        n = b.add_node(seq[i : i + 25])
+        if prev:
+            b.add_edge(prev, n)
+        prev = n
+    g = b.freeze()
+    read = dna.encode(seq[40:140])
+    read[10] = (read[10] + 1) % 4
+    read = np.concatenate([read[:50], read[52:]])   # 2bp deletion
+    a = align_to_graph(g, read)
+    B = 16
+    window = np.concatenate([
+        np.full(B, 6, np.uint8), dna.encode(seq[40:140]),
+        np.full(B, 6, np.uint8)])
+    ta = banded_traceback(read, window, B)
+    assert a.score == ta.score

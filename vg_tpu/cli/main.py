@@ -471,6 +471,24 @@ def cmd_augment(args) -> int:
     return 0
 
 
+
+
+def cmd_align(args) -> int:
+    from ..ops.graph_align import align_to_graph
+    from ..utils import dna
+
+    g = _load_graph_any(args.graph)
+    aln = align_to_graph(g, dna.encode(args.sequence),
+                         mode="global" if args.global_aln else "local")
+    if aln is None:
+        print("no alignment", file=sys.stderr)
+        return 1
+    if args.name:
+        aln.name = args.name
+    sys.stdout.write(aln.to_json_str() + "\n")
+    return 0
+
+
 # ----------------------------------------------------------------- parser
 
 def build_parser() -> argparse.ArgumentParser:
@@ -640,6 +658,27 @@ def build_parser() -> argparse.ArgumentParser:
     au.add_argument("gam")
     au.add_argument("-o", "--output", required=True)
     au.set_defaults(func=cmd_augment)
+
+
+    al = sub.add_parser("align", help="POA local alignment to a small graph")
+    al.add_argument("graph")
+    al.add_argument("-s", "--sequence", required=True)
+    al.add_argument("-n", "--name")
+    al.add_argument("-G", "--global-aln", action="store_true")
+    al.set_defaults(func=cmd_align)
+
+    mp = sub.add_parser("map", help="map reads (giraffe engine)")
+    mp.add_argument("-Z", "--index-prefix", required=True)
+    mp.add_argument("-f", "--fastq", required=True)
+    mp.add_argument("-2", "--fastq-mate")
+    mp.add_argument("-i", "--interleaved", action="store_true")
+    mp.add_argument("-o", "--output-format", default="gam",
+                    choices=["gam", "gaf", "json", "sam"])
+    mp.add_argument("-B", "--batch-size", type=int, default=512)
+    mp.add_argument("-M", "--max-multimaps-internal", type=int, default=8)
+    mp.add_argument("--output")
+    mp.add_argument("-b", "--parameter-preset", default="default")
+    mp.set_defaults(func=cmd_giraffe)
 
     return ap
 
