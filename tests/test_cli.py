@@ -84,3 +84,63 @@ def test_cli_view_gfa_roundtrip(indexed, capsys):
     g1 = load_graph(g)
     assert dict(g1.iter_nodes()) == dict(g2.iter_nodes())
     assert set(g1.iter_edges()) == set(g2.iter_edges())
+
+
+def test_cli_surject_inject_roundtrip(indexed, capsys, tmp_path):
+    """surject then inject recovers graph alignments at the same positions."""
+    d, prefix = indexed
+    mapped_gam = d / "mapped.gam"
+    sam_f = tmp_path / "out.sam"
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["surject", "-Z", prefix, "-i", str(mapped_gam)]) == 0
+    sam_f.write_text(buf.getvalue())
+    inj_gam = tmp_path / "inj.gam"
+    assert main(["inject", "-x", prefix + ".vgz.npz", str(sam_f),
+                 "--output", str(inj_gam)]) == 0
+    from vg_tpu.io.gam import read_gam
+
+    orig = {a.name: a for a in read_gam(str(mapped_gam))}
+    back = list(read_gam(str(inj_gam)))
+    assert len(back) == len(orig)
+    n_pos_match = 0
+    for a in back:
+        o = orig[a.name]
+        if a.path and o.path and a.path.mappings and o.path.mappings:
+            # surjection may shift an alignment by an indel or clip; accept
+            # a start on the same or a neighboring node of the original
+            onodes = {mp.position.node_id for mp in o.path.mappings}
+            if a.path.mappings[0].position.node_id in onodes:
+                n_pos_match += 1
+            # read bases must be fully accounted either way
+            assert sum(e.to_length for mp in a.path.mappings
+                       for e in mp.edits) == len(a.sequence)
+    assert n_pos_match >= 0.85 * len([a for a in back if a.path])
+
+
+def test_cli_gamsort_filter_stats(indexed, capsys, tmp_path):
+    d, prefix = indexed
+    mapped_gam = d / "mapped.gam"
+    sorted_gam = tmp_path / "sorted.gam"
+    assert main(["gamsort", str(mapped_gam), "--output", str(sorted_gam)]) == 0
+    from vg_tpu.io.gam import read_gam
+    from vg_tpu.utils.alnstats import sort_key
+
+    alns = list(read_gam(str(sorted_gam)))
+    keys = [sort_key(a) for a in alns]
+    assert keys == sorted(keys)
+
+    filt = tmp_path / "filt.gam"
+    assert main(["filter", str(mapped_gam), "-q", "50", "-U",
+                 "--output", str(filt)]) == 0
+    capsys.readouterr()
+    kept = list(read_gam(str(filt)))
+    assert all(a.mapping_quality >= 50 for a in kept)
+
+    assert main(["stats", str(mapped_gam), "-a"]) == 0
+    out = dict(l.split("\t") for l in capsys.readouterr().out.splitlines())
+    assert int(out["total"]) == 50
+    assert int(out["aligned"]) >= 45

@@ -289,6 +289,14 @@ def cmd_view(args) -> int:
 
 
 def cmd_stats(args) -> int:
+    if args.alignments:
+        from ..io.gam import read_gam
+        from ..utils.alnstats import alignment_stats
+
+        stats = alignment_stats(read_gam(args.input))
+        for k, v in stats.items():
+            print(f"{k}\t{v}")
+        return 0
     g = _load_graph_any(args.input)
     print(f"nodes\t{g.node_count}")
     print(f"edges\t{g.edge_count}")
@@ -489,6 +497,69 @@ def cmd_align(args) -> int:
     return 0
 
 
+
+
+def cmd_inject(args) -> int:
+    from ..io.gam import write_gam
+    from ..io.sam import parse_sam
+    from ..map.inject import Injector
+
+    g = _load_graph_any(args.xg)
+    inj = Injector(g)
+    with open(args.sam) as f:
+        alns = inj.inject_all(parse_sam(f))
+    if args.output:
+        with open(args.output, "wb") as f:
+            write_gam(f, alns)
+    else:
+        write_gam(sys.stdout.buffer, alns)
+    return 0
+
+
+def cmd_gamsort(args) -> int:
+    from ..io.gam import read_gam, write_gam
+    from ..utils.alnstats import sort_alignments
+
+    alns = sort_alignments(list(read_gam(args.gam)))
+    if args.output:
+        with open(args.output, "wb") as f:
+            write_gam(f, alns)
+    else:
+        write_gam(sys.stdout.buffer, alns)
+    return 0
+
+
+def cmd_filter(args) -> int:
+    from ..io.gam import read_gam, write_gam
+    from ..utils.alnstats import filter_alignments
+
+    alns = list(filter_alignments(
+        read_gam(args.gam), min_mapq=args.min_mapq,
+        min_identity=args.min_identity, name_prefix=args.name_prefix,
+        drop_unmapped=args.drop_unmapped, max_softclip=args.max_softclip))
+    if args.output:
+        with open(args.output, "wb") as f:
+            write_gam(f, alns)
+    else:
+        write_gam(sys.stdout.buffer, alns)
+    print(f"kept {len(alns)} alignments", file=sys.stderr)
+    return 0
+
+
+def cmd_depth(args) -> int:
+    from ..call.pack import Packer
+
+    if args.index_prefix:
+        g, _, _ = _load_bundle(args.index_prefix)
+    else:
+        g = _load_graph_any(args.xg)
+    pk = Packer.load(g, args.pack)
+    for m in g.path_meta:
+        cov = pk.mean_coverage(m.name)
+        print(f"{m.name}\t{cov:.3f}")
+    return 0
+
+
 # ----------------------------------------------------------------- parser
 
 def build_parser() -> argparse.ArgumentParser:
@@ -563,8 +634,9 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("-o", "--output")
     v.set_defaults(func=cmd_view)
 
-    st = sub.add_parser("stats", help="graph metrics")
+    st = sub.add_parser("stats", help="graph or alignment metrics")
     st.add_argument("input")
+    st.add_argument("-a", "--alignments", action="store_true")
     st.set_defaults(func=cmd_stats)
 
     pa = sub.add_parser("paths", help="list/extract paths")
@@ -679,6 +751,34 @@ def build_parser() -> argparse.ArgumentParser:
     mp.add_argument("--output")
     mp.add_argument("-b", "--parameter-preset", default="default")
     mp.set_defaults(func=cmd_giraffe)
+
+
+    ij = sub.add_parser("inject", help="SAM -> GAM liftover")
+    ij.add_argument("-x", "--xg", required=True)
+    ij.add_argument("sam")
+    ij.add_argument("--output")
+    ij.set_defaults(func=cmd_inject)
+
+    gs = sub.add_parser("gamsort", help="sort GAM by graph coordinate")
+    gs.add_argument("gam")
+    gs.add_argument("--output")
+    gs.set_defaults(func=cmd_gamsort)
+
+    fl = sub.add_parser("filter", help="filter alignments")
+    fl.add_argument("gam")
+    fl.add_argument("-q", "--min-mapq", type=int, default=0)
+    fl.add_argument("-I", "--min-identity", type=float, default=0.0)
+    fl.add_argument("-n", "--name-prefix")
+    fl.add_argument("-U", "--drop-unmapped", action="store_true")
+    fl.add_argument("-C", "--max-softclip", type=int)
+    fl.add_argument("--output")
+    fl.set_defaults(func=cmd_filter)
+
+    dp = sub.add_parser("depth", help="coverage depth per path from a pack")
+    dp.add_argument("-Z", "--index-prefix")
+    dp.add_argument("-x", "--xg")
+    dp.add_argument("-k", "--pack", required=True)
+    dp.set_defaults(func=cmd_depth)
 
     return ap
 

@@ -82,3 +82,31 @@ def write_sam(fileobj: TextIO, header: Sequence[str],
         fileobj.write(h + "\n")
     for r in records:
         fileobj.write(r.line() + "\n")
+
+
+def parse_sam(fileobj) -> "Iterator[SamRecord]":
+    """Minimal SAM text reader (vg inject's input side)."""
+    for line in fileobj:
+        if not line.strip() or line.startswith("@"):
+            continue
+        cols = line.rstrip("\n").split("\t")
+        rec = SamRecord(
+            qname=cols[0], flag=int(cols[1]), rname=cols[2],
+            pos=int(cols[3]), mapq=int(cols[4]), cigar=cols[5],
+            rnext=cols[6], pnext=int(cols[7]), tlen=int(cols[8]),
+            seq=cols[9], qual=cols[10])
+        for tag in cols[11:]:
+            parts = tag.split(":", 2)
+            if len(parts) == 3:
+                rec.tags.append((parts[0], parts[1], parts[2]))
+        yield rec
+
+
+def cigar_ops(cigar: str):
+    n = 0
+    for ch in cigar:
+        if ch.isdigit():
+            n = n * 10 + int(ch)
+        else:
+            yield ch, n
+            n = 0
