@@ -1,0 +1,132 @@
+"""Auxiliary subsystem tests: distance oracle, funnel provenance,
+watchdog, crash context, snarls CLI, graph-distance gamcompare."""
+import json
+import time
+
+import numpy as np
+import pytest
+
+from vg_tpu.cli.main import main
+from vg_tpu.construct.constructor import Constructor, ConstructorParams
+from vg_tpu.graph.arraygraph import GraphBuilder
+from vg_tpu.graph.distance import min_distance, positions_within
+from vg_tpu.io.fasta import read_fasta
+from vg_tpu.io.vcf import read_vcf
+from vg_tpu.utils.funnel import Funnel
+from vg_tpu.utils.runtime import (Logger, Watchdog, crash_unless,
+                                  set_crash_context)
+
+
+def _bubble():
+    b = GraphBuilder()
+    n1 = b.add_node("ACGT")     # 4
+    n2 = b.add_node("C")
+    n3 = b.add_node("GGG")
+    n4 = b.add_node("TTTT")
+    b.add_edge(n1, n2)
+    b.add_edge(n1, n3)
+    b.add_edge(n2, n4)
+    b.add_edge(n3, n4)
+    return b.freeze(), n1, n2, n3, n4
+
+
+def test_min_distance_same_node():
+    g, n1, *_ = _bubble()
+    assert min_distance(g, (n1, 1, False), (n1, 3, False)) == 2
+    assert min_distance(g, (n1, 3, False), (n1, 1, False)) is None
+
+
+def test_min_distance_across_bubble():
+    g, n1, n2, n3, n4 = _bubble()
+    # from n1 offset 2: 2 bases to end of n1, then short branch C (1bp)
+    assert min_distance(g, (n1, 2, False), (n4, 0, False)) == 3
+    assert min_distance(g, (n1, 2, False), (n4, 2, False)) == 5
+    # via the 3bp branch when targeting it directly
+    assert min_distance(g, (n1, 2, False), (n3, 1, False)) == 3
+    # reverse orientations: 3 left on n4' + 1bp branch + offset 2 on n1'
+    assert min_distance(g, (n4, 1, True), (n1, 2, True)) == 6
+    # unreachable beyond limit
+    assert min_distance(g, (n1, 0, False), (n4, 3, False), limit=3) is None
+
+
+def test_positions_within():
+    g, n1, n2, n3, n4 = _bubble()
+    got = {(nid, rev): d for nid, rev, d in
+           positions_within(g, (n1, 2, False), 10)}
+    assert got[(n2, False)] == 2
+    assert got[(n3, False)] == 2
+    assert got[(n4, False)] == 3    # via the 1bp branch
+
+
+def test_funnel_and_provenance(ref_test_dir):
+    from vg_tpu.index.haplotypes import thread_haplotypes
+    from vg_tpu.index.minimizer import MinimizerIndex
+    from vg_tpu.io.fastq import iter_fastq
+    from vg_tpu.map.giraffe import GiraffeMapper, GiraffeParams
+
+    ref = read_fasta(str(ref_test_dir / "small" / "x.fa"))
+    vcf = read_vcf(str(ref_test_dir / "small" / "x.vcf.gz"))
+    g, results = Constructor(ConstructorParams(max_node_size=1000)).construct_graph(ref, vcf)
+    haps = thread_haplotypes(g, results, vcf)
+    m = GiraffeMapper(haps, MinimizerIndex.build(haps),
+                      GiraffeParams(track_provenance=True))
+    reads = list(iter_fastq(str(ref_test_dir / "reads" / "small.middle.ref.fq")))
+    (aln,) = m.map_batch(reads)
+    # 50_vg_giraffe.t:47 analog: time_used annotation exists
+    assert aln.time_used > 0
+    assert any(k.startswith("stage_") for k in aln.annotation)
+    rep = m.funnel.report()
+    assert "seed" in rep and "winner_emit" in rep
+
+
+def test_watchdog_warns():
+    logs = []
+
+    class L(Logger):
+        def warn(self, msg):
+            logs.append(msg)
+
+    wd = Watchdog(timeout_s=0.2, logger=L()).start()
+    tid = wd.check_in("slow batch")
+    time.sleep(0.6)
+    wd.check_out(tid)
+    wd.stop()
+    assert wd.warnings >= 1
+    assert "slow batch" in logs[0]
+
+
+def test_crash_context():
+    set_crash_context("read xyz")
+    with pytest.raises(AssertionError, match="read xyz"):
+        crash_unless(False, "score sanity")
+    set_crash_context(None)
+    crash_unless(True)
+
+
+def test_snarls_cli(tmp_path, capsys, ref_test_dir):
+    ref = read_fasta(str(ref_test_dir / "small" / "x.fa"))
+    vcf = read_vcf(str(ref_test_dir / "small" / "x.vcf.gz"))
+    g, _ = Constructor(ConstructorParams(max_node_size=32)).construct_graph(ref, vcf)
+    from vg_tpu.io.native import save_graph
+
+    gp = tmp_path / "x.npz"
+    save_graph(str(gp), g)
+    assert main(["snarls", "-x", str(gp), "-T"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(lines) >= 55
+    assert all("start" in d and "end" in d for d in lines)
+    assert any(len(d["traversals"]) >= 2 for d in lines)
+
+
+def test_gamcompare_graph_distance(ref_test_dir, tmp_path, capsys):
+    from vg_tpu.io.gam import read_gam
+    from vg_tpu.map.gamcompare import compare_graph_distance
+
+    ref = read_fasta(str(ref_test_dir / "small" / "x.fa"))
+    vcf = read_vcf(str(ref_test_dir / "small" / "x.vcf.gz"))
+    g, results = Constructor(ConstructorParams(max_node_size=1000)).construct_graph(ref, vcf)
+    truth = list(read_gam(str(ref_test_dir / "small" /
+                              "x-s1337-n100-e0.01-i0.005.gam")))
+    stats = compare_graph_distance(g, truth, truth, range_bp=50)
+    assert stats["total"] == 100
+    assert stats["accuracy"] == 1.0      # identical alignments are correct

@@ -349,11 +349,15 @@ def cmd_sim(args) -> int:
 
 def cmd_gamcompare(args) -> int:
     from ..io.gam import read_gam
-    from ..map.gamcompare import compare
+    from ..map.gamcompare import compare, compare_graph_distance
 
     test = list(read_gam(args.gam))
     truth = list(read_gam(args.truth_gam))
-    stats = compare(test, truth, range_bp=args.range)
+    if args.distance_graph:
+        g = _load_graph_any(args.distance_graph)
+        stats = compare_graph_distance(g, test, truth, range_bp=args.range)
+    else:
+        stats = compare(test, truth, range_bp=args.range)
     print(json.dumps(stats))
     return 0
 
@@ -560,6 +564,31 @@ def cmd_depth(args) -> int:
     return 0
 
 
+
+
+def cmd_snarls(args) -> int:
+    from ..graph.snarls import snarl_traversals, snarls_along_path
+
+    g = _load_graph_any(args.xg)
+    paths = [args.path] if args.path else [m.name for m in g.path_meta]
+    for pname in paths:
+        for sn in snarls_along_path(g, pname):
+            d = {
+                "start": {"node_id": str(int(g.node_id[sn.start >> 1])),
+                          "backward": bool(sn.start & 1)},
+                "end": {"node_id": str(int(g.node_id[sn.end >> 1])),
+                        "backward": bool(sn.end & 1)},
+                "contents": [str(int(g.node_id[i])) for i in sn.contents],
+            }
+            if args.traversals:
+                d["traversals"] = [
+                    [("<" if h & 1 else ">") + str(int(g.node_id[h >> 1]))
+                     for h in t]
+                    for t in snarl_traversals(g, sn)]
+            sys.stdout.write(json.dumps(d) + "\n")
+    return 0
+
+
 # ----------------------------------------------------------------- parser
 
 def build_parser() -> argparse.ArgumentParser:
@@ -660,6 +689,8 @@ def build_parser() -> argparse.ArgumentParser:
     gc.add_argument("gam")
     gc.add_argument("truth_gam")
     gc.add_argument("-r", "--range", type=int, default=100)
+    gc.add_argument("-d", "--distance-graph",
+                    help="graph file: use graph min-distance instead of refpos")
     gc.set_defaults(func=cmd_gamcompare)
 
     va = sub.add_parser("validate", help="graph invariants")
@@ -779,6 +810,13 @@ def build_parser() -> argparse.ArgumentParser:
     dp.add_argument("-x", "--xg")
     dp.add_argument("-k", "--pack", required=True)
     dp.set_defaults(func=cmd_depth)
+
+
+    sn = sub.add_parser("snarls", help="snarl decomposition (JSON lines)")
+    sn.add_argument("-x", "--xg", required=True)
+    sn.add_argument("-p", "--path")
+    sn.add_argument("-T", "--traversals", action="store_true")
+    sn.set_defaults(func=cmd_snarls)
 
     return ap
 

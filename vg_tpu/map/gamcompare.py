@@ -63,3 +63,39 @@ def compare(test: Sequence[Alignment], truth: Sequence[Alignment],
         "mapq_buckets": {str(k): {"n": v[0], "correct": v[1]}
                          for k, v in sorted(mapq_buckets.items())},
     }
+
+
+def compare_graph_distance(graph, test: Sequence[Alignment],
+                           truth: Sequence[Alignment],
+                           range_bp: int = 100) -> Dict:
+    """Graph-distance flavor (vg gamcompare -d): correct iff the mapped
+    start is within range_bp of the truth start by graph min-distance in
+    either direction (reference gamcompare_main.cpp:245-253)."""
+    from ..graph.distance import min_distance
+
+    tmap = {a.name: a for a in truth}
+    n = correct = unmapped = 0
+    for a in test:
+        t = tmap.get(a.name)
+        if t is None:
+            continue
+        n += 1
+        if a.path is None or not a.path.mappings or t.path is None \
+                or not t.path.mappings:
+            unmapped += a.path is None or not a.path.mappings
+            continue
+        pa = a.path.mappings[0].position
+        pt = t.path.mappings[0].position
+        ok = False
+        for x, y in ((pa, pt), (pt, pa)):
+            d = min_distance(graph,
+                             (x.node_id, x.offset, x.is_reverse),
+                             (y.node_id, y.offset, y.is_reverse),
+                             limit=range_bp)
+            if d is not None and d <= range_bp:
+                ok = True
+                break
+        a.annotation["correctly_mapped"] = ok
+        correct += ok
+    return {"total": n, "correct": correct, "unmapped": unmapped,
+            "accuracy": correct / n if n else 0.0}

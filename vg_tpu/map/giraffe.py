@@ -61,6 +61,7 @@ class GiraffeParams:
     gap_open: int = 6
     gap_extend: int = 1
     full_length_bonus: int = 5
+    track_provenance: bool = False    # --track-provenance (funnel stats)
 
 
 @dataclass
@@ -115,6 +116,9 @@ class GiraffeMapper:
         if ref_names is None:
             ref_names = [m.name for m in self.graph.path_meta]
         self.path_pos = PathPositionIndex(self.graph, ref_names)
+        from ..utils.funnel import Funnel
+
+        self.funnel = Funnel()
 
     # ------------------------------------------------------------------ seeds
 
@@ -359,6 +363,9 @@ class GiraffeMapper:
             reads_arr[i, : len(c)] = c
             reads_rc_arr[i, : len(c)] = codes_rc[i]
 
+        import time as _time
+
+        _t0 = _time.time()
         if np.all(rlens_real == rlens_real[0]):
             # fast path: one vectorized seeding pass over the whole batch
             cs, clo, chi, crev, cval = self._seed_batch(
@@ -383,6 +390,9 @@ class GiraffeMapper:
                     cand_rev[i, j] = c.is_rev
                     cand_valid[i, j] = True
 
+        self.funnel.record("seed", _time.time() - _t0, items_in=R,
+                           items_out=int(cand_valid.sum()))
+        _t0 = _time.time()
         scores_dev = align_ops.banded_scores(
             self.text_dev, reads_arr, reads_rc_arr, rlens,
             cand_start, cand_lo, cand_hi, cand_rev, cand_valid,
@@ -390,6 +400,7 @@ class GiraffeMapper:
             gap_open=p.gap_open, gap_extend=p.gap_extend,
             bonus=p.full_length_bonus)[:R]
 
+        self.funnel.record("align_dispatch", _time.time() - _t0, items_in=R)
         return ScoredBatch(
             reads=list(reads), codes=codes, codes_rc=codes_rc,
             cand_start=cand_start[:R], cand_lo=cand_lo[:R],
@@ -470,9 +481,12 @@ class GiraffeMapper:
         from .mapq import log_base
         from .project import gapless_path
 
+        import time as _time
+
         p = self.params
         R = len(sb.reads)
         B = p.band_radius
+        _t0 = _time.time()
         scores = sb.scores
         valid = sb.cand_valid & (scores > 0)
         any_valid = valid.any(axis=1)
@@ -540,6 +554,13 @@ class GiraffeMapper:
                     int(sb.cand_start[i, best_j[i]]), int(lo[i]),
                     int(hi[i]), bool(rev[i]), int(best_s[i]))
             out.append(aln)
+        emit_s = _time.time() - _t0
+        self.funnel.record("winner_emit", emit_s, items_in=R,
+                           items_out=int(any_valid.sum()))
+        if p.track_provenance:
+            per_read = (emit_s + 1e-12) / max(R, 1)
+            for aln in out:
+                self.funnel.annotate(aln, per_read)
         return out
 
     def _gapless_check(self, oriented: np.ndarray, window: np.ndarray,
