@@ -130,3 +130,57 @@ def test_gamcompare_graph_distance(ref_test_dir, tmp_path, capsys):
     stats = compare_graph_distance(g, truth, truth, range_bp=50)
     assert stats["total"] == 100
     assert stats["accuracy"] == 1.0      # identical alignments are correct
+
+
+def test_native_kernels_parity():
+    """Native C++ kernels agree exactly with the numpy implementations."""
+    from vg_tpu.native import lib, native_banded_traceback, native_extract_minimizers
+
+    if lib() is None:
+        pytest.skip("no native toolchain")
+    from vg_tpu.index.minimizer import _rolling_kmers, wang_hash_64
+    from vg_tpu.ops.align import SENTINEL, Scoring
+    from vg_tpu.ops.traceback import _banded_traceback_py
+
+    rng = np.random.default_rng(1)
+    # minimizers (python reference path computed inline)
+    for _ in range(8):
+        n = int(rng.integers(60, 1500))
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        codes[rng.integers(0, n, 5)] = 4
+        o2, k2, r2 = native_extract_minimizers(codes, 29, 11)
+        fwd, rev, valid = _rolling_kmers(codes, 29)
+        canon = rev < fwd
+        keys = np.where(canon, rev, fwd)
+        h = np.where(valid, wang_hash_64(keys), np.uint64(~np.uint64(0)))
+        m = len(h)
+        nw = m - 11 + 1
+        mins = h[:nw].copy()
+        for j in range(1, 11):
+            np.minimum(mins, h[j : j + nw], out=mins)
+        chosen = np.zeros(m, bool)
+        for j in range(11):
+            chosen[j : j + nw] |= h[j : j + nw] == mins
+        chosen &= valid
+        offs = np.nonzero(chosen)[0]
+        assert np.array_equal(o2, offs)
+        assert np.array_equal(k2, keys[offs])
+    # DP
+    sc = Scoring()
+    for _ in range(10):
+        text = rng.integers(0, 4, 1000).astype(np.uint8)
+        Lr, B = int(rng.integers(30, 120)), int(rng.integers(6, 20))
+        s = int(rng.integers(0, 800))
+        read = text[s : s + Lr].copy()
+        for _ in range(int(rng.integers(0, 5))):
+            q = int(rng.integers(0, Lr))
+            read[q] = (read[q] + 1) % 4
+        pos = s - B + np.arange(Lr + 2 * B)
+        ok = (pos >= 0) & (pos < len(text))
+        window = np.where(ok, text[np.clip(pos, 0, len(text) - 1)],
+                          SENTINEL).astype(np.uint8)
+        a = _banded_traceback_py(read, window, B, sc)
+        b = native_banded_traceback(read, window, B, sc)
+        assert (a is None) == (b is None or b is False)
+        if a and b:
+            assert a.score == b.score and a.matches == b.matches

@@ -71,7 +71,8 @@ def _rolling_kmers(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
 
 def extract_minimizers(codes: np.ndarray, k: int = DEFAULT_K, w: int = DEFAULT_W
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """All (k,w) minimizers of a code sequence.
+    """All (k,w) minimizers of a code sequence (native C++ kernel when
+    available, numpy fallback).
 
     Returns (offsets, keys, is_rev): start offsets of selected kmers, the
     canonical keys, and whether the canonical key is the reverse-complement
@@ -82,6 +83,10 @@ def extract_minimizers(codes: np.ndarray, k: int = DEFAULT_K, w: int = DEFAULT_W
     n = len(codes)
     if n < k:
         return (np.zeros(0, np.int64), np.zeros(0, np.uint64), np.zeros(0, bool))
+    from ..native import lib, native_extract_minimizers
+
+    if lib() is not None:
+        return native_extract_minimizers(np.asarray(codes, np.uint8), k, w)
     fwd, rev, valid = _rolling_kmers(codes, k)
     canon_rev = rev < fwd
     keys = np.where(canon_rev, rev, fwd)

@@ -1,0 +1,132 @@
+"""Native host-kernel library: build-on-demand C++ with ctypes bindings.
+
+Provides `lib()` returning the loaded shared library or None when no
+toolchain is available (callers fall back to numpy implementations).
+The build is cached next to the source keyed by a content hash.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+import sys
+from typing import Optional
+
+import numpy as np
+
+_HERE = pathlib.Path(__file__).parent
+_SRC = _HERE / "vgtpu_host.cpp"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> Optional[pathlib.Path]:
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    cache_dir = pathlib.Path(
+        os.environ.get("VGTPU_NATIVE_CACHE",
+                       os.path.expanduser("~/.cache/vg_tpu")))
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    so = cache_dir / f"vgtpu_host_{tag}.so"
+    if so.exists():
+        return so
+    tmp = so.with_suffix(".tmp.so")
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-std=c++17", str(_SRC), "-o", str(tmp)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except Exception as e:  # no toolchain / compile error: fall back
+        sys.stderr.write(f"[vg_tpu.native] build skipped: {e}\n")
+        return None
+    tmp.replace(so)
+    return so
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("VGTPU_NO_NATIVE"):
+        return None
+    so = _build()
+    if so is None:
+        return None
+    L = ctypes.CDLL(str(so))
+    L.extract_minimizers.restype = ctypes.c_int64
+    L.extract_minimizers.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    L.banded_traceback.restype = ctypes.c_int64
+    L.banded_traceback.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+    _lib = L
+    return _lib
+
+
+def native_extract_minimizers(codes: np.ndarray, k: int, w: int):
+    """C rolling-minimizer extraction; None if the native lib is absent."""
+    L = lib()
+    if L is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    n = len(codes)
+    cap = max(n, 1)
+    offs = np.empty(cap, np.int64)
+    keys = np.empty(cap, np.uint64)
+    rev = np.empty(cap, np.uint8)
+    cnt = L.extract_minimizers(
+        codes.ctypes.data, n, k, w, offs.ctypes.data, keys.ctypes.data,
+        rev.ctypes.data)
+    return offs[:cnt], keys[:cnt], rev[:cnt].astype(bool)
+
+
+def native_banded_traceback(read: np.ndarray, window: np.ndarray,
+                            B: int, scoring):
+    """C banded DP traceback; returns a TextAlignment or None (no native
+    lib / no alignment / edit overflow -> caller falls back)."""
+    L_ = lib()
+    if L_ is None:
+        return None
+    from ..ops.traceback import TextAlignment
+
+    read = np.ascontiguousarray(read, np.uint8)
+    window = np.ascontiguousarray(window, np.uint8)
+    spans = np.zeros(4, np.int64)
+    cap = 4 * (len(read) + 2 * B) + 16
+    edits = np.zeros(cap * 3, np.int32)
+    n_edits = np.zeros(1, np.int64)
+    matches = np.zeros(1, np.int64)
+    score = L_.banded_traceback(
+        read.ctypes.data, len(read), window.ctypes.data, len(window), B,
+        scoring.match, scoring.mismatch, scoring.gap_open,
+        scoring.gap_extend, scoring.full_length_bonus,
+        spans.ctypes.data, edits.ctypes.data, cap,
+        n_edits.ctypes.data, matches.ctypes.data)
+    if score <= 0 or n_edits[0] < 0:
+        return None if score <= 0 else False   # False = retry in python
+    # edits arrive in reverse order as unit ops; merge into runs
+    ops = edits[: n_edits[0] * 3].reshape(-1, 3)[::-1]
+    merged = []
+    for opc, ln, rp in ops:
+        kind = "MXID"[opc]
+        if merged and merged[-1][0] == kind and kind in ("M", "D"):
+            merged[-1] = (kind, merged[-1][1] + 1)
+        elif kind in ("M", "D"):
+            merged.append((kind, 1))
+        else:
+            if merged and merged[-1][0] == kind:
+                prev = merged[-1]
+                merged[-1] = (kind, prev[1] + 1,
+                              np.concatenate([prev[2], read[rp : rp + 1]]))
+            else:
+                merged.append((kind, 1, read[rp : rp + 1].copy()))
+    return TextAlignment(
+        score=int(score), read_start=int(spans[0]), read_end=int(spans[1]),
+        text_start=int(spans[2]), text_end=int(spans[3]),
+        edits=merged, matches=int(matches[0]))

@@ -1,0 +1,210 @@
+// vg_tpu native host kernels.
+//
+// The reference implements its host-side hot loops in C/C++ (gbwtgraph's
+// minimizer extraction, gssw/dozeu DP, SURVEY.md §2.2); vg_tpu keeps the
+// batch compute on the TPU but gives the host-side residue the same
+// treatment: rolling minimizer extraction (index build + read seeding)
+// and the banded semiglobal DP traceback used for indel winners.
+// Built on demand with g++ (see vg_tpu/native/__init__.py); every entry
+// point has a numpy fallback so the toolkit works without a toolchain.
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+inline uint64_t wang_hash(uint64_t x) {
+    x = (~x) + (x << 21);
+    x = x ^ (x >> 24);
+    x = (x + (x << 3)) + (x << 8);
+    x = x ^ (x >> 14);
+    x = (x + (x << 2)) + (x << 4);
+    x = x ^ (x >> 28);
+    x = x + (x << 31);
+    return x;
+}
+
+}  // namespace
+
+extern "C" {
+
+// (k,w) canonical minimizers; all window minima kept (ties included),
+// matching vg_tpu.index.minimizer.extract_minimizers. Returns count.
+int64_t extract_minimizers(const uint8_t* codes, int64_t n, int32_t k,
+                           int32_t w, int64_t* out_offs, uint64_t* out_keys,
+                           uint8_t* out_rev) {
+    if (n < k) return 0;
+    const int64_t m = n - k + 1;
+    const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+    std::vector<uint64_t> hashes(m), keys(m);
+    std::vector<uint8_t> canon_rev(m), valid(m);
+
+    uint64_t fwd = 0, rev = 0;
+    int64_t invalid_run = 0;
+    const int shift_top = 2 * (k - 1);
+    for (int64_t j = 0; j < n; j++) {
+        const uint8_t c = codes[j];
+        const uint8_t cc = (c < 4) ? c : 0;
+        if (c >= 4) invalid_run = k;
+        else if (invalid_run > 0) invalid_run--;
+        fwd = ((fwd << 2) | cc) & mask;
+        rev = (rev >> 2) | ((uint64_t)(3 - cc) << shift_top);
+        if (j >= k - 1) {
+            const int64_t i = j - k + 1;
+            const bool cr = rev < fwd;
+            const uint64_t key = cr ? rev : fwd;
+            keys[i] = key;
+            canon_rev[i] = cr;
+            const bool ok = invalid_run == 0;
+            valid[i] = ok;
+            hashes[i] = ok ? wang_hash(key) : ~0ULL;
+        }
+    }
+    const int64_t w_eff = std::min<int64_t>(w, m);
+    std::vector<uint8_t> chosen(m, 0);
+    std::vector<int64_t> dq(m);
+    int64_t head = 0, tail = 0;
+    for (int64_t i = 0; i < m; i++) {
+        while (tail > head && hashes[dq[tail - 1]] > hashes[i]) tail--;
+        dq[tail++] = i;
+        const int64_t wstart = i - w_eff + 1;
+        if (wstart >= 0) {
+            while (dq[head] < wstart) head++;
+            const uint64_t mn = hashes[dq[head]];
+            for (int64_t t = head; t < tail; t++) {
+                if (hashes[dq[t]] == mn) chosen[dq[t]] = 1;
+                else break;
+            }
+        }
+    }
+    int64_t cnt = 0;
+    for (int64_t i = 0; i < m; i++) {
+        if (chosen[i] && valid[i]) {
+            out_offs[cnt] = i;
+            out_keys[cnt] = keys[i];
+            out_rev[cnt] = canon_rev[i];
+            cnt++;
+        }
+    }
+    return cnt;
+}
+
+// Banded semiglobal DP + traceback, same objective as
+// vg_tpu.ops.align.banded_scores / ops.traceback.banded_traceback.
+// edits: triples (op, len=1, read_pos) with op 0=M 1=X 2=I 3=D.
+// Returns best score; 0 = no alignment. *n_edits = -1 on overflow.
+int64_t banded_traceback(const uint8_t* read, int64_t L,
+                         const uint8_t* window, int64_t TW, int32_t B,
+                         int32_t match, int32_t mismatch, int32_t gap_open,
+                         int32_t gap_extend, int32_t bonus,
+                         int64_t* spans, int32_t* edits, int64_t edit_cap,
+                         int64_t* n_edits, int64_t* matches_out) {
+    const int64_t W = 2 * (int64_t)B + 1;
+    const int64_t NEG = -(1LL << 40);
+    std::vector<int64_t> H((L + 1) * W, NEG), F((L + 1) * W, NEG),
+        E((L + 1) * W, NEG);
+    std::vector<int8_t> op((L + 1) * W, 0), fop((L + 1) * W, 0),
+        eop((L + 1) * W, 0);
+    for (int64_t kk = 0; kk < W; kk++) { H[kk] = bonus; op[kk] = 3; }
+
+    int64_t best = 0, bi = -1, bk = -1;
+    for (int64_t i = 1; i <= L; i++) {
+        const uint8_t rb = read[i - 1];
+        int64_t* Hi = &H[i * W];
+        const int64_t* Hp = &H[(i - 1) * W];
+        int64_t* Fi = &F[i * W];
+        const int64_t* Fp = &F[(i - 1) * W];
+        int64_t* Ei = &E[i * W];
+        int8_t* opi = &op[i * W];
+        int8_t* fopi = &fop[i * W];
+        int8_t* eopi = &eop[i * W];
+        int64_t rowmax = NEG, rowarg = 0;
+        int64_t eprev = NEG, hn_prev = NEG;
+        for (int64_t kk = 0; kk < W; kk++) {
+            const int64_t j = i - 1 + kk;
+            const uint8_t wb = (j < TW) ? window[j] : 6;
+            const int64_t sub = (wb == rb && rb < 4) ? match : -mismatch;
+            const int64_t diag = Hp[kk] + sub;
+            const int64_t sh = (kk + 1 < W) ? Hp[kk + 1] : NEG;
+            const int64_t sf = (kk + 1 < W) ? Fp[kk + 1] : NEG;
+            const int64_t fval = std::max(sh - gap_open, sf - gap_extend);
+            Fi[kk] = fval;
+            fopi[kk] = (sf - gap_extend > sh - gap_open) ? 1 : 0;
+            int64_t hn = std::max(diag, fval);
+            int8_t o = (fval > diag) ? 1 : 0;
+            if (hn < 0) { hn = 0; o = 3; }
+            int64_t eval;
+            if (kk == 0) {
+                eval = NEG;
+                eopi[kk] = 0;
+            } else {
+                eval = std::max(hn_prev - gap_open, eprev - gap_extend);
+                eopi[kk] = (hn_prev - gap_open >= eprev - gap_extend) ? 0 : 1;
+            }
+            Ei[kk] = eval;
+            int64_t hfin = hn;
+            if (eval > hfin) { hfin = eval; o = 2; }
+            Hi[kk] = hfin;
+            opi[kk] = o;
+            eprev = eval;
+            hn_prev = hn;
+            if (hfin > rowmax) { rowmax = hfin; rowarg = kk; }
+        }
+        if (rowmax > best) { best = rowmax; bi = i; bk = rowarg; }
+        if (i == L && rowmax + bonus > best) {
+            best = rowmax + bonus; bi = i; bk = rowarg;
+        }
+    }
+    if (bi < 0 || best <= 0) { *n_edits = 0; *matches_out = 0; return 0; }
+
+    int64_t i = bi, kk = bk;
+    int64_t cnt = 0, nmatch = 0;
+    int state = 0;
+    bool overflow = false;
+    auto push = [&](int32_t opc, int64_t rp) -> bool {
+        if (cnt >= edit_cap) return false;
+        edits[cnt * 3] = opc;
+        edits[cnt * 3 + 1] = 1;
+        edits[cnt * 3 + 2] = (int32_t)rp;
+        cnt++;
+        return true;
+    };
+    while (true) {
+        if (state == 0) {
+            const int8_t o = op[i * W + kk];
+            if (o == 3) break;
+            if (o == 0) {
+                const int64_t j = i + kk - 1;
+                const uint8_t wb = (j >= 0 && j < TW) ? window[j] : 6;
+                if (wb == read[i - 1] && read[i - 1] < 4) {
+                    if (!push(0, i - 1)) { overflow = true; break; }
+                    nmatch++;
+                } else if (!push(1, i - 1)) { overflow = true; break; }
+                i--;
+            } else if (o == 1) state = 1;
+            else state = 2;
+        } else if (state == 1) {
+            if (!push(2, i - 1)) { overflow = true; break; }
+            const int8_t ext = fop[i * W + kk];
+            i--; kk++;
+            state = ext ? 1 : 0;
+        } else {
+            if (!push(3, -1)) { overflow = true; break; }
+            const int8_t ext = eop[i * W + kk];
+            kk--;
+            state = ext ? 2 : 0;
+        }
+        if (i == 0 && state == 0 && op[kk] == 3) break;
+    }
+    if (overflow) { *n_edits = -1; *matches_out = nmatch; return best; }
+    spans[0] = i;
+    spans[1] = bi;
+    spans[2] = i + kk;
+    spans[3] = bi + bk;
+    *n_edits = cnt;
+    *matches_out = nmatch;
+    return best;
+}
+
+}  // extern "C"

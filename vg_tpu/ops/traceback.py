@@ -38,6 +38,23 @@ def banded_traceback(
     band_radius: int,
     scoring: Scoring = DEFAULT_SCORING,
 ) -> Optional[TextAlignment]:
+    """Dispatch: native C++ kernel when available (exact parity verified
+    by tests), numpy fallback otherwise."""
+    from ..native import lib, native_banded_traceback
+
+    if lib() is not None:
+        res = native_banded_traceback(read, window, band_radius, scoring)
+        if res is not False:          # False = edit overflow, retry here
+            return res
+    return _banded_traceback_py(read, window, band_radius, scoring)
+
+
+def _banded_traceback_py(
+    read: np.ndarray,
+    window: np.ndarray,
+    band_radius: int,
+    scoring: Scoring = DEFAULT_SCORING,
+) -> Optional[TextAlignment]:
     """Banded semiglobal alignment of read vs window, maximizing the same
     objective as the device kernel. Returns None if nothing scores > 0."""
     L = len(read)
