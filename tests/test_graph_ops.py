@@ -209,3 +209,26 @@ def test_graph_poa_matches_text_dp_on_linear_graph():
         np.full(B, 6, np.uint8)])
     ta = banded_traceback(read, window, B)
     assert a.score == ta.score
+
+
+def test_rna_transcript_projection(x_graph, ref_test_dir):
+    """vg rna equivalent: projected transcript paths spell the exon
+    concatenation (reverse-complemented for minus-strand), with splice
+    edges added (reference src/transcriptome.cpp)."""
+    from vg_tpu.io.gtf import read_gtf
+    from vg_tpu.rna.transcriptome import Transcriptome
+    from vg_tpu.utils import dna
+
+    g, results, vcf, ref = x_graph
+    ts = read_gtf(str(ref_test_dir / "small" / "x.gtf"))
+    assert len(ts) == 5
+    g2, projected = Transcriptome(g).project(ts)
+    assert len(projected) == 5
+    assert g2.validate() == []
+    refseq = ref["x"].upper()
+    for p in projected:
+        t = next(t for t in ts if t.transcript_id == p.transcript_id)
+        want = "".join(refseq[s:e] for s, e in t.exons)
+        if t.strand == "-":
+            want = dna.revcomp_str(want)
+        assert g2.path_seq(p.path_name) == want

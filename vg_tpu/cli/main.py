@@ -589,6 +589,27 @@ def cmd_snarls(args) -> int:
     return 0
 
 
+
+
+def cmd_rna(args) -> int:
+    from ..io.gtf import read_gtf
+    from ..rna.transcriptome import Transcriptome
+
+    g = _load_graph_any(args.graph)
+    ts = read_gtf(args.transcripts)
+    g2, projected = Transcriptome(g).project(ts)
+    if args.output:
+        _save_graph_any(g2, args.output)
+    if args.fasta:
+        sys.stdout.write(Transcriptome.transcript_fasta(g2, projected))
+    else:
+        for p in projected:
+            sys.stdout.write(f"{p.transcript_id}\t{p.length}\t{p.n_exons}"
+                             f"\t{p.strand}\n")
+    print(f"projected {len(projected)} transcripts", file=sys.stderr)
+    return 0
+
+
 # ----------------------------------------------------------------- parser
 
 def build_parser() -> argparse.ArgumentParser:
@@ -817,6 +838,14 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument("-p", "--path")
     sn.add_argument("-T", "--traversals", action="store_true")
     sn.set_defaults(func=cmd_snarls)
+
+
+    rn = sub.add_parser("rna", help="project GTF transcripts onto the graph")
+    rn.add_argument("graph")
+    rn.add_argument("-n", "--transcripts", required=True, help="GTF/GFF file")
+    rn.add_argument("-o", "--output")
+    rn.add_argument("-F", "--fasta", action="store_true")
+    rn.set_defaults(func=cmd_rna)
 
     return ap
 

@@ -208,3 +208,47 @@ def prune_complex(g: ArrayGraph, max_degree: int = 8) -> ArrayGraph:
         b.add_path(meta.name, steps, meta.sense, meta.sample, meta.locus,
                    meta.haplotype, meta.is_circular)
     return b.freeze()
+
+
+def split_nodes(g: ArrayGraph, cuts: Dict[int, Sequence[int]]
+                ) -> Tuple[ArrayGraph, Dict[int, List[Tuple[int, int]]]]:
+    """Split nodes at the given forward-strand offsets (vg mod -X /
+    augment's breakpoint phase). Returns (new graph, translation:
+    old id -> [(new id, offset)] ascending)."""
+    b = GraphBuilder()
+    next_id = int(g.node_id[-1]) + 1 if g.node_count else 1
+    pieces: Dict[int, List[Tuple[int, int]]] = {}
+    for i, nid in enumerate(g.node_id):
+        nid = int(nid)
+        codes = g.seq[g.seq_start[i] : g.seq_start[i + 1]]
+        offs = sorted({c for c in cuts.get(nid, ()) if 0 < c < len(codes)})
+        if not offs:
+            b.add_node(codes, node_id=nid)
+            pieces[nid] = [(nid, 0)]
+            continue
+        bounds = [0] + offs + [len(codes)]
+        parts = []
+        for a, z in zip(bounds[:-1], bounds[1:]):
+            pid = nid if a == 0 else next_id
+            if a != 0:
+                next_id += 1
+            b.add_node(codes[a:z], node_id=pid)
+            parts.append((pid, a))
+        pieces[nid] = parts
+        for (p1, _), (p2, _) in zip(parts[:-1], parts[1:]):
+            b.add_edge(p1, p2)
+    for f_id, f_rev, t_id, t_rev in g.iter_edges():
+        fp, tp = pieces[f_id], pieces[t_id]
+        f_new = fp[0][0] if f_rev else fp[-1][0]
+        t_new = tp[-1][0] if t_rev else tp[0][0]
+        b.add_edge(f_new, t_new, f_rev, t_rev)
+    for pi, meta in enumerate(g.path_meta):
+        steps = []
+        for h in g.path_handles(pi):
+            nid = int(g.node_id[int(h) >> 1])
+            rev = bool(int(h) & 1)
+            parts = pieces[nid] if not rev else list(reversed(pieces[nid]))
+            steps.extend((p, rev) for p, _ in parts)
+        b.add_path(meta.name, steps, meta.sense, meta.sample, meta.locus,
+                   meta.haplotype, meta.is_circular)
+    return b.freeze(), pieces
