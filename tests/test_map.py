@@ -167,3 +167,46 @@ def test_device_host_dp_agreement():
         ta = banded_traceback(reads_arr[i], window, B)
         host = ta.score if ta else 0
         assert host == dev[i, 0], f"pair {i}: host {host} device {dev[i,0]}"
+
+
+def test_pallas_kernel_parity_interpret():
+    """Pallas DP kernel (interpret mode) matches the XLA scan exactly."""
+    import jax.numpy as jnp
+
+    from vg_tpu.ops.pallas_align import banded_scores_pallas
+
+    rng = np.random.default_rng(9)
+    B, RL, N = 12, 64, 128
+    text = rng.integers(0, 4, 8000).astype(np.uint8)
+    reads = np.full((N, RL), 5, np.uint8)
+    rlen = np.zeros(N, np.int32)
+    starts = np.zeros(N, np.int64)
+    for i in range(N):
+        L = int(rng.integers(35, RL + 1))
+        s = int(rng.integers(0, 7000))
+        r = text[s : s + L].copy()
+        for _ in range(int(rng.integers(0, 5))):
+            q = int(rng.integers(0, L))
+            r[q] = (r[q] + 1 + rng.integers(0, 3)) % 4
+        if rng.random() < 0.4:
+            q = int(rng.integers(5, L - 5))
+            r = np.concatenate([r[:q], r[q + 2 :], text[s + L : s + L + 2]])[:L]
+        reads[i, :L] = r
+        rlen[i] = L
+        starts[i] = s - B
+    TW = RL + 2 * B
+    pos = starts[:, None] + np.arange(TW)
+    ok = (pos >= 0) & (pos < len(text))
+    windows = np.where(ok, text[np.clip(pos, 0, len(text) - 1)],
+                       align_ops.SENTINEL).astype(np.uint8)
+    comp = np.array([3, 2, 1, 0, 4, 5], np.uint8)
+    reads_rc = comp[reads][:, ::-1].copy()
+    ref = np.asarray(align_ops.banded_scores(
+        jnp.asarray(text), reads, reads_rc, rlen,
+        starts[:, None].astype(np.int32), np.zeros((N, 1), np.int32),
+        np.full((N, 1), len(text), np.int32), np.zeros((N, 1), bool),
+        np.ones((N, 1), bool), band_radius=B))[:, 0]
+    got = np.asarray(banded_scores_pallas(
+        jnp.asarray(windows), jnp.asarray(reads), jnp.asarray(rlen),
+        band_radius=B, interpret=True))
+    assert np.array_equal(ref, got)

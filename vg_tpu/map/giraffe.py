@@ -62,6 +62,7 @@ class GiraffeParams:
     gap_extend: int = 1
     full_length_bonus: int = 5
     track_provenance: bool = False    # --track-provenance (funnel stats)
+    use_pallas: str = "auto"          # 'auto' | 'always' | 'never'
 
 
 @dataclass
@@ -393,7 +394,17 @@ class GiraffeMapper:
         self.funnel.record("seed", _time.time() - _t0, items_in=R,
                            items_out=int(cand_valid.sum()))
         _t0 = _time.time()
-        scores_dev = align_ops.banded_scores(
+        # 'auto' currently resolves to the XLA scan: the Pallas kernel
+        # itself is ~1.6x faster but its wrapper (window materialization +
+        # transpose into lane-major layout) eats the gain; the planned fix
+        # is scalar-prefetch + in-kernel DMA of window rows straight from
+        # the text in HBM.
+        use_pallas = p.use_pallas == "always"
+        score_fn = align_ops.banded_scores
+        if use_pallas:
+            from ..ops.pallas_align import banded_scores_via_pallas
+            score_fn = banded_scores_via_pallas
+        scores_dev = score_fn(
             self.text_dev, reads_arr, reads_rc_arr, rlens,
             cand_start, cand_lo, cand_hi, cand_rev, cand_valid,
             band_radius=p.band_radius, match=p.match, mismatch=p.mismatch,

@@ -1,0 +1,190 @@
+"""Pallas TPU kernel for the banded semiglobal DP.
+
+The mapping hot loop (vg_tpu.ops.align.banded_scores) as a hand-written
+TPU kernel: candidates ride the 128 lanes, the DP band rides sublanes,
+and the read-row recurrence runs as an in-kernel loop over VMEM-resident
+tiles — the role gssw's striped SIMD fill plays on CPU (reference:
+deps/gssw, src/aligner.cpp), laid out for the VPU instead.
+
+Shapes: windows (N, TW) uint8, reads (N, RL) uint8, rlen (N,) int32,
+N padded to a multiple of 128. Band width W = 2B+1 padded to a multiple
+of 8 sublanes. Scores exactly match the XLA scan implementation (tests
+assert parity in interpret mode and on hardware).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(10 ** 8)
+LANES = 128
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def make_kernel(RL: int, TW: int, W: int, WP: int, match: int, mismatch: int,
+                gap_open: int, gap_extend: int, bonus: int):
+    """Kernel body for fixed shapes. WP = W rounded up to 8 sublanes."""
+    ksteps = int(np.ceil(np.log2(max(WP, 2))))
+
+    def kernel(win_ref, read_ref, rlen_ref, out_ref):
+        # win_ref: (TW, LANES) u8 | read_ref: (RL, LANES) u8
+        # rlen_ref: (1, LANES) i32 | out_ref: (1, LANES) i32
+        krow = jax.lax.broadcasted_iota(jnp.int32, (WP, LANES), 0)
+        in_band = krow < W
+        neg = jnp.full((WP, LANES), NEG, jnp.int32)
+        H0 = jnp.where(in_band, jnp.int32(bonus), NEG)
+        rlen = rlen_ref[0, :][None, :]
+
+        def row(i, carry):
+            H, F, best = carry
+            # window rows [i-1, i-1+W): Mosaic needs 8-aligned sublane
+            # slices, so load an aligned (WP+8) block and rotate into place
+            base = ((i - 1) // 8) * 8
+            r = (i - 1) - base
+            block = win_ref[pl.ds(pl.multiple_of(base, 8), WP + 8), :]
+            rot = pltpu.roll(block.astype(jnp.int32),
+                             (WP + 8 - r) % (WP + 8), 0)
+            win = rot[:WP, :]
+            rblk = read_ref[pl.ds(pl.multiple_of(base, 8), 8), :]
+            rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+            rb = jnp.sum(jnp.where(rows8 == r, rblk.astype(jnp.int32), 0),
+                         axis=0, keepdims=True)
+            sub = jnp.where((win == rb) & (rb < 4), jnp.int32(match),
+                            jnp.int32(-mismatch))
+            diag = H + sub
+            shH = pltpu.roll(H, WP - 1, 0)   # up by one (circular)
+            shF = pltpu.roll(F, WP - 1, 0)
+            last = krow == WP - 1
+            shH = jnp.where(last, NEG, shH)
+            shF = jnp.where(last, NEG, shF)
+            Fn = jnp.maximum(shH - gap_open, shF - gap_extend)
+            Hn = jnp.maximum(jnp.maximum(diag, Fn), 0)
+            Hn = jnp.where(in_band, Hn, NEG)
+            # E = cummax(Hn + ge*k) shifted down one, minus open/extend ramp
+            G = Hn + gap_extend * krow
+            for s in range(ksteps):
+                sh = 1 << s
+                rolled = pltpu.roll(G, sh, 0)
+                rolled = jnp.where(krow < sh, NEG, rolled)
+                G = jnp.maximum(G, rolled)
+            Gprev = pltpu.roll(G, 1, 0)
+            Gprev = jnp.where(krow < 1, NEG, Gprev)
+            E = Gprev - gap_open - gap_extend * krow + gap_extend
+            Hfin = jnp.maximum(Hn, E)
+            Hfin = jnp.where(in_band, Hfin, NEG)
+            active = i <= rlen
+            Hout = jnp.where(active, Hfin, H)
+            Fout = jnp.where(active, Fn, F)
+            rowmax = jnp.max(jnp.where(in_band, Hfin, NEG), axis=0,
+                             keepdims=True)
+            best = jnp.where(active[0:1, :] if active.ndim == 2 else active,
+                             jnp.maximum(best, rowmax), best)
+            at_end = i == rlen
+            best = jnp.maximum(best, jnp.where(at_end, rowmax + bonus, NEG))
+            return Hout, Fout, best
+
+        H, F, best = jax.lax.fori_loop(
+            1, RL + 1, row, (H0, neg, jnp.zeros((1, LANES), jnp.int32)))
+        out_ref[0, :] = best[0, :]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("band_radius", "match", "mismatch", "gap_open",
+                     "gap_extend", "bonus", "interpret"))
+def banded_scores_pallas(
+    windows: jnp.ndarray,   # (N, TW) uint8, N % 128 == 0
+    reads: jnp.ndarray,     # (N, RL) uint8
+    rlen: jnp.ndarray,      # (N,) int32 (0 = invalid slot)
+    *,
+    band_radius: int = 16,
+    match: int = 1,
+    mismatch: int = 4,
+    gap_open: int = 6,
+    gap_extend: int = 1,
+    bonus: int = 5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    N, TW = windows.shape
+    RL = reads.shape[1]
+    W = 2 * band_radius + 1
+    WP = _round_up(W, 8)
+    # room for the aligned (WP+8)-row block loads plus band padding
+    TWP = _round_up(TW + (WP - W) + 16, 8)
+    assert N % LANES == 0
+    grid = (N // LANES,)
+
+    # lay candidates on lanes: (TWP, N) and (RL, N)
+    win_t = jnp.transpose(
+        jnp.pad(windows, ((0, 0), (0, TWP - TW)), constant_values=6))
+    read_t = jnp.transpose(reads)
+    rlen2 = rlen.astype(jnp.int32)[None, :]
+
+    kernel = make_kernel(RL, TW, W, WP, match, mismatch, gap_open,
+                         gap_extend, bonus)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TWP, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RL, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, N), jnp.int32),
+        interpret=interpret,
+    )(win_t, read_t, rlen2)
+    return out[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("band_radius", "match", "mismatch", "gap_open",
+                     "gap_extend", "bonus"))
+def banded_scores_via_pallas(
+    text: jnp.ndarray, reads: jnp.ndarray, reads_rc: jnp.ndarray,
+    rlen: jnp.ndarray, cand_start: jnp.ndarray, cand_lo: jnp.ndarray,
+    cand_hi: jnp.ndarray, cand_rev: jnp.ndarray, cand_valid: jnp.ndarray,
+    *, band_radius: int = 16, match: int = 1, mismatch: int = 4,
+    gap_open: int = 6, gap_extend: int = 1, bonus: int = 5) -> jnp.ndarray:
+    """Drop-in for vg_tpu.ops.align.banded_scores: XLA gathers the text
+    windows and per-candidate oriented reads, the Pallas kernel fills the
+    DP. Returns (R, C) int32 with -1 on invalid slots."""
+    R, RL = reads.shape
+    C = cand_start.shape[1]
+    B = band_radius
+    TW = RL + 2 * B
+    N = R * C
+    NP = _round_up(max(N, LANES), LANES)
+
+    pos = cand_start[:, :, None] + jnp.arange(TW, dtype=jnp.int32)
+    ok = ((pos >= cand_lo[:, :, None]) & (pos < cand_hi[:, :, None])
+          & (pos >= 0) & (pos < text.shape[0]))
+    win = jnp.where(ok, text[jnp.clip(pos, 0, text.shape[0] - 1)],
+                    jnp.uint8(6)).reshape(N, TW)
+    rd = jnp.where(cand_rev[:, :, None], reads_rc[:, None, :],
+                   reads[:, None, :]).reshape(N, RL)
+    rl = jnp.where(cand_valid, rlen[:, None], 0).reshape(N).astype(jnp.int32)
+    if NP != N:
+        win = jnp.pad(win, ((0, NP - N), (0, 0)), constant_values=6)
+        rd = jnp.pad(rd, ((0, NP - N), (0, 0)), constant_values=5)
+        rl = jnp.pad(rl, (0, NP - N))
+    out = banded_scores_pallas(
+        win, rd, rl, band_radius=band_radius, match=match,
+        mismatch=mismatch, gap_open=gap_open, gap_extend=gap_extend,
+        bonus=bonus)[:N].reshape(R, C)
+    return jnp.where(cand_valid, out, jnp.int32(-1))
