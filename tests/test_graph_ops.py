@@ -232,3 +232,41 @@ def test_rna_transcript_projection(x_graph, ref_test_dir):
         if t.strand == "-":
             want = dna.revcomp_str(want)
         assert g2.path_seq(p.path_name) == want
+
+
+def test_msa_to_graph():
+    from vg_tpu.construct.msa import msa_to_graph, parse_aligned_fasta
+
+    msa = """>s1
+ACGT-ACGT
+>s2
+ACGTTACGT
+>s3
+ACCT-ACGT
+"""
+    rows = parse_aligned_fasta(msa)
+    g = msa_to_graph(rows)
+    assert g.validate() == []
+    assert g.path_seq("s1") == "ACGTACGT"
+    assert g.path_seq("s2") == "ACGTTACGT"
+    assert g.path_seq("s3") == "ACCTACGT"
+    # shared prefix/suffix nodes are merged
+    assert g.node_count <= 8
+
+
+def test_simplify_small_snarls(x_graph):
+    from vg_tpu.graph.simplify import simplify_small_snarls
+
+    g = x_graph[0]
+    g2 = simplify_small_snarls(g, "x", max_bubble_size=5)
+    assert g2.node_count < g.node_count
+    assert g2.validate() == []
+    assert g2.path_seq("x") == g.path_seq("x")
+
+
+def test_dot_output(x_graph):
+    from vg_tpu.utils.viz import to_dot
+
+    dot = to_dot(x_graph[0], max_nodes=50)
+    assert dot.startswith("digraph")
+    assert "->" in dot

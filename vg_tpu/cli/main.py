@@ -610,6 +610,151 @@ def cmd_rna(args) -> int:
     return 0
 
 
+
+
+def cmd_msga(args) -> int:
+    from ..construct.msa import msa_to_graph, parse_aligned_fasta
+
+    with open(args.msa) as f:
+        rows = parse_aligned_fasta(f.read())
+    g = msa_to_graph(rows)
+    if args.output:
+        _save_graph_any(g, args.output)
+    else:
+        from ..io import gfa
+        gfa.write_gfa(g, sys.stdout)
+    print(f"msa graph: {g.node_count} nodes from {len(rows)} sequences",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_viz(args) -> int:
+    from ..utils.viz import to_dot
+
+    g = _load_graph_any(args.xg)
+    sys.stdout.write(to_dot(g, max_nodes=args.max_nodes))
+    return 0
+
+
+def cmd_simplify(args) -> int:
+    from ..graph.simplify import simplify_small_snarls
+
+    g = _load_graph_any(args.input)
+    ref = args.path or g.path_meta[0].name
+    g2 = simplify_small_snarls(g, ref, args.max_bubble)
+    _save_graph_any(g2, args.output)
+    print(f"simplified: {g.node_count} -> {g2.node_count} nodes",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_trace(args) -> int:
+    from ..index.haplotypes import haplotypes_from_paths
+
+    if args.index_prefix:
+        g, haps, _ = _load_bundle(args.index_prefix)
+    else:
+        g = _load_graph_any(args.xg)
+        haps = haplotypes_from_paths(g)
+    target = int(args.node)
+    for h in range(haps.count):
+        s0, s1 = int(haps.steps_start[h]), int(haps.steps_start[h + 1])
+        walk = haps.steps[s0:s1]
+        hits = [i for i, hd in enumerate(walk)
+                if int(g.node_id[int(hd) >> 1]) == target]
+        for i in hits:
+            a = max(0, i - args.context)
+            z = min(len(walk), i + args.context + 1)
+            steps = "".join(("<" if int(hd) & 1 else ">")
+                            + str(int(g.node_id[int(hd) >> 1]))
+                            for hd in walk[a:z])
+            sys.stdout.write(f"{haps.metas[h].name}\t{steps}\n")
+    return 0
+
+
+def cmd_sort(args) -> int:
+    from ..graph import ops
+    from ..ops.graph_align import topological_handles
+
+    g = _load_graph_any(args.input)
+    order = topological_handles(g)
+    if order is None:
+        print("error [vg_tpu sort]: graph is cyclic", file=sys.stderr)
+        return 1
+    seen = []
+    got = set()
+    for h in order:
+        nid = int(g.node_id[h >> 1])
+        if nid not in got:
+            got.add(nid)
+            seen.append(nid)
+    id_map = {nid: i + 1 for i, nid in enumerate(seen)}
+    g2 = ops._builder_from(g, id_map=id_map).freeze()
+    _save_graph_any(g2, args.output)
+    return 0
+
+
+def cmd_vectorize(args) -> int:
+    from ..io.gam import read_gam
+
+    for a in read_gam(args.gam):
+        mapped = 1 if (a.path and a.path.mappings) else 0
+        softclip = 0
+        matches = mism = ins = dele = 0
+        if mapped:
+            edits = [e for mp in a.path.mappings for e in mp.edits]
+            for e in edits:
+                if e.from_length == e.to_length:
+                    if e.sequence:
+                        mism += e.to_length
+                    else:
+                        matches += e.to_length
+                elif e.from_length == 0:
+                    ins += e.to_length
+                else:
+                    dele += e.from_length
+            if edits and edits[0].from_length == 0:
+                softclip += edits[0].to_length
+            if edits and edits[-1].from_length == 0:
+                softclip += edits[-1].to_length
+        row = [a.name, len(a.sequence), mapped, a.score, a.mapping_quality,
+               round(a.identity, 4), matches, mism, ins, dele, softclip]
+        sys.stdout.write("\t".join(str(x) for x in row) + "\n")
+    return 0
+
+
+def cmd_describe(args) -> int:
+    import numpy as np
+
+    path = args.input
+    kind = "unknown"
+    if path.endswith(".npz"):
+        try:
+            data = np.load(path)
+            import json as _json
+            meta = _json.loads(bytes(data["meta"]).decode())
+            kind = meta.get("kind", "npz")
+        except Exception:
+            kind = "npz (no vg_tpu metadata)"
+    elif path.endswith((".gfa",)):
+        kind = "GFA graph"
+    elif path.endswith((".vg",)):
+        kind = "vg protobuf graph"
+    elif path.endswith((".gam",)):
+        kind = "GAM alignments"
+    elif path.endswith((".gaf",)):
+        kind = "GAF alignments"
+    print(f"{path}: {kind}")
+    return 0
+
+
+def cmd_version(args) -> int:
+    from .. import __version__
+
+    print(f"vg_tpu {__version__}")
+    return 0
+
+
 # ----------------------------------------------------------------- parser
 
 def build_parser() -> argparse.ArgumentParser:
@@ -846,6 +991,47 @@ def build_parser() -> argparse.ArgumentParser:
     rn.add_argument("-o", "--output")
     rn.add_argument("-F", "--fasta", action="store_true")
     rn.set_defaults(func=cmd_rna)
+
+
+    ms = sub.add_parser("msga", help="aligned FASTA (MSA) -> graph")
+    ms.add_argument("msa")
+    ms.add_argument("-o", "--output")
+    ms.set_defaults(func=cmd_msga)
+
+    vz = sub.add_parser("viz", help="Graphviz dot output")
+    vz.add_argument("-x", "--xg", required=True)
+    vz.add_argument("-m", "--max-nodes", type=int, default=2000)
+    vz.set_defaults(func=cmd_viz)
+
+    sp = sub.add_parser("simplify", help="pop small non-reference bubbles")
+    sp.add_argument("input")
+    sp.add_argument("-p", "--path")
+    sp.add_argument("-m", "--max-bubble", type=int, default=10)
+    sp.add_argument("-o", "--output", required=True)
+    sp.set_defaults(func=cmd_simplify)
+
+    tr = sub.add_parser("trace", help="haplotype walks around a node")
+    tr.add_argument("-Z", "--index-prefix")
+    tr.add_argument("-x", "--xg")
+    tr.add_argument("-n", "--node", required=True)
+    tr.add_argument("-c", "--context", type=int, default=5)
+    tr.set_defaults(func=cmd_trace)
+
+    so = sub.add_parser("sort", help="topological id sort")
+    so.add_argument("input")
+    so.add_argument("-o", "--output", required=True)
+    so.set_defaults(func=cmd_sort)
+
+    vc2 = sub.add_parser("vectorize", help="alignments -> feature table")
+    vc2.add_argument("gam")
+    vc2.set_defaults(func=cmd_vectorize)
+
+    de = sub.add_parser("describe", help="identify a file")
+    de.add_argument("input")
+    de.set_defaults(func=cmd_describe)
+
+    vr = sub.add_parser("version", help="print version")
+    vr.set_defaults(func=cmd_version)
 
     return ap
 
