@@ -142,3 +142,37 @@ def test_vcf(ref_test_dir):
     vf2 = read_vcf(str(ref_test_dir / "small" / "x.vcf.gz"))
     assert len(vf2.records) > 50
     assert any(len(r.ref) != len(a) for r in vf2.records for a in r.alts)
+
+
+def test_gamp_roundtrip_and_best_path():
+    import io as _io
+
+    from vg_tpu.io.gam import Alignment, Edit, Mapping, Path, Position
+    from vg_tpu.io.gamp import (MultipathAlignment, Subpath, read_gamp,
+                                write_gamp)
+
+    p1 = Path(mappings=[Mapping(position=Position(node_id=1),
+                                edits=[Edit(from_length=4, to_length=4)],
+                                rank=1)])
+    p2 = Path(mappings=[Mapping(position=Position(node_id=2),
+                                edits=[Edit(from_length=4, to_length=4)],
+                                rank=1)])
+    mp = MultipathAlignment(
+        sequence="ACGTACGT", name="r1", mapping_quality=42,
+        subpaths=[Subpath(path=p1, score=9, next=[1]),
+                  Subpath(path=p2, score=5)],
+        start=[0])
+    buf = _io.BytesIO()
+    write_gamp(buf, [mp])
+    buf.seek(0)
+    (back,) = list(read_gamp(buf))
+    assert back.name == "r1" and back.mapping_quality == 42
+    assert len(back.subpaths) == 2
+    assert back.subpaths[0].next == [1]
+    assert back.subpaths[0].score == 9
+    best = back.best_alignment()
+    assert best.score == 14         # chain 0 -> 1
+    assert [m.position.node_id for m in best.path.mappings] == [1, 2]
+    # from_alignment inverse
+    mp2 = MultipathAlignment.from_alignment(best)
+    assert mp2.subpaths[0].score == 14

@@ -755,6 +755,35 @@ def cmd_version(args) -> int:
     return 0
 
 
+
+
+def cmd_mpmap(args) -> int:
+    from ..io.fastq import iter_fastq
+    from ..io.gamp import write_gamp
+    from ..map.giraffe import GiraffeMapper, GiraffeParams
+    from ..map.mpmap import MultipathMapper
+
+    g, haps, idx = _load_bundle(args.index_prefix)
+    mm = MultipathMapper(GiraffeMapper(haps, idx,
+                                       GiraffeParams(batch_reads=args.batch_size)))
+    mps = []
+    batch = []
+    for r in iter_fastq(args.fastq):
+        batch.append(r)
+        if len(batch) >= args.batch_size:
+            mps.extend(mm.map_batch(batch))
+            batch = []
+    if batch:
+        mps.extend(mm.map_batch(batch))
+    if args.output:
+        with open(args.output, "wb") as f:
+            write_gamp(f, mps)
+    else:
+        write_gamp(sys.stdout.buffer, mps)
+    print(f"mpmap: {len(mps)} multipath alignments", file=sys.stderr)
+    return 0
+
+
 # ----------------------------------------------------------------- parser
 
 def build_parser() -> argparse.ArgumentParser:
@@ -1032,6 +1061,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     vr = sub.add_parser("version", help="print version")
     vr.set_defaults(func=cmd_version)
+
+
+    mm = sub.add_parser("mpmap", help="multipath mapping (GAMP output)")
+    mm.add_argument("-Z", "--index-prefix", required=True)
+    mm.add_argument("-f", "--fastq", required=True)
+    mm.add_argument("-B", "--batch-size", type=int, default=512)
+    mm.add_argument("--output")
+    mm.set_defaults(func=cmd_mpmap)
 
     return ap
 
