@@ -184,3 +184,44 @@ def test_native_kernels_parity():
         assert (a is None) == (b is None or b is False)
         if a and b:
             assert a.score == b.score and a.matches == b.matches
+
+
+def test_ngs_error_model(ref_test_dir, tmp_path):
+    from vg_tpu.sim.simulator import NGSErrorModel
+
+    model = NGSErrorModel.train(str(ref_test_dir / "small" / "x.fa_1.fastq"))
+    assert model.read_length == 100
+    assert model.per_cycle_err is not None
+    assert 0 <= model.per_cycle_err.mean() < 0.5
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, 100).astype(np.uint8)
+    mutated, qual = model.mutate(codes, rng)
+    assert len(qual) == 100
+    assert len(mutated) == 100
+
+
+def test_haplotype_sampling(ref_test_dir):
+    from vg_tpu.construct.constructor import Constructor, ConstructorParams
+    from vg_tpu.index.haplotypes import thread_haplotypes
+    from vg_tpu.index.sampling import sample_haplotypes, score_haplotypes, read_minimizer_set
+    from vg_tpu.io.fastq import Read
+    from vg_tpu.utils import dna
+
+    ref = read_fasta(str(ref_test_dir / "small" / "x.fa"))
+    vcf = read_vcf(str(ref_test_dir / "small" / "x.vcf.gz"))
+    g, results = Constructor(ConstructorParams(max_node_size=32)).construct_graph(ref, vcf)
+    haps = thread_haplotypes(g, results, vcf)
+    # reads drawn from haplotype 1 only
+    rng = np.random.default_rng(4)
+    t0, t1 = haps.hap_text_range(1)
+    reads = []
+    for i in range(80):
+        s = int(rng.integers(t0, t1 - 100))
+        reads.append(Read(f"r{i}", dna.decode(haps.text[s : s + 100]), None))
+    keys = read_minimizer_set(reads)
+    scores = score_haplotypes(haps, keys)
+    assert scores[1] == scores.max()
+    sampled = sample_haplotypes(haps, reads, num_haplotypes=1)
+    names = [m.name for m in sampled.metas]
+    assert haps.metas[1].name in names
+    assert sampled.count <= 2      # chosen + ref

@@ -11,7 +11,7 @@ path + refpos are projected through the same machinery the mapper uses.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -112,3 +112,55 @@ class ReadSimulator:
             else:
                 codes = np.concatenate([codes[:p], codes[p + n :]])
         return codes
+
+
+class NGSErrorModel:
+    """FASTQ-trained error model (reference: NGSSimulator,
+    src/sampler.cpp:208 — per-cycle error rates learned from real base
+    qualities; simulated reads reuse sampled quality strings and draw
+    substitutions per position from them)."""
+
+    def __init__(self):
+        self.quality_strings: List[bytes] = []
+        self.per_cycle_err: Optional[np.ndarray] = None
+        self.read_length: int = 0
+
+    @classmethod
+    def train(cls, fastq_path: str, max_reads: int = 10000) -> "NGSErrorModel":
+        from ..io.fastq import iter_fastq
+
+        self = cls()
+        sums = None
+        count = 0
+        for r in iter_fastq(fastq_path):
+            if r.quality is None:
+                continue
+            q = np.frombuffer(r.quality.encode(), np.uint8).astype(np.float64) - 33
+            if sums is None:
+                sums = np.zeros(len(q), np.float64)
+                self.read_length = len(q)
+            if len(q) != self.read_length:
+                continue
+            sums += 10.0 ** (-q / 10.0)
+            self.quality_strings.append(r.quality.encode())
+            count += 1
+            if count >= max_reads:
+                break
+        if count:
+            self.per_cycle_err = sums / count
+        return self
+
+    def mutate(self, codes: np.ndarray, rng: np.random.Generator
+               ) -> Tuple[np.ndarray, bytes]:
+        """Apply per-cycle substitution errors; returns (codes, quality)."""
+        if self.per_cycle_err is None or not self.quality_strings:
+            return codes, b""
+        qual = self.quality_strings[int(rng.integers(0, len(self.quality_strings)))]
+        L = min(len(codes), self.read_length)
+        q = np.frombuffer(qual[:L], np.uint8).astype(np.float64) - 33
+        p = 10.0 ** (-q / 10.0)
+        hits = rng.random(L) < p
+        idx = np.nonzero(hits)[0]
+        codes = codes.copy()
+        codes[idx] = (codes[idx] + 1 + rng.integers(0, 3, len(idx))) % 4
+        return codes, qual[:L]
