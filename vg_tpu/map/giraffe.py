@@ -346,9 +346,19 @@ class GiraffeMapper:
         winners (single-end) or pair/rescue (paired-end)."""
         p = self.params
         R = len(reads)
-        codes = [dna.encode(r.sequence) for r in reads]
-        codes_rc = [dna.revcomp_codes(c) for c in codes]
-        rlens_real = np.array([len(c) for c in codes], dtype=np.int32)
+        lens = np.array([len(r.sequence) for r in reads], dtype=np.int32)
+        equal_len = R > 0 and bool(np.all(lens == lens[0]))
+        if equal_len:
+            # one bulk decode for the whole batch
+            blob = "".join(r.sequence for r in reads)
+            codes2d = dna.encode(blob).reshape(R, int(lens[0]))
+            codes = list(codes2d)
+            rc2d = dna.complement_codes(codes2d)[:, ::-1]
+            codes_rc = list(rc2d)
+        else:
+            codes = [dna.encode(r.sequence) for r in reads]
+            codes_rc = [dna.revcomp_codes(c) for c in codes]
+        rlens_real = lens
         RL = max(int(np.max(rlens_real)), p.pad_quantum)
         RL = -(-RL // p.pad_quantum) * p.pad_quantum
         C = p.max_candidates

@@ -158,23 +158,34 @@ def gapless_path(haps: HaplotypeSet, t0: int, t1: int,
         for h, off, ln in pieces:
             it.append((h, off, covered, covered + ln))
             covered += ln
+    # mismatch positions once per read (usually 0-3 of them)
+    bad = [int(x) for x in np.flatnonzero(fm)]
+    bi = 0
     rank = 0
     for h, off, fs, fe in it:
         rank += 1
         mp = Mapping(position=Position(
             node_id=int(graph.node_id[h >> 1]), offset=int(off),
             is_reverse=bool(h & 1)), rank=rank)
-        sub = fm[fs:fe]
-        cuts = np.flatnonzero(np.diff(sub)) + 1
-        seg_starts = np.concatenate([[0], cuts])
-        seg_ends = np.concatenate([cuts, [len(sub)]])
-        for a, b in zip(seg_starts, seg_ends):
-            a, b = int(a), int(b)
-            if sub[a]:
-                mp.edits.append(Edit(from_length=b - a, to_length=b - a,
-                                     sequence=read_str[fs + a : fs + b]))
-            else:
-                mp.edits.append(Edit(from_length=b - a, to_length=b - a))
+        while bi < len(bad) and bad[bi] < fs:
+            bi += 1
+        cur = fs
+        j = bi
+        while j < len(bad) and bad[j] < fe:
+            b = bad[j]
+            if b > cur:
+                mp.edits.append(Edit(from_length=b - cur, to_length=b - cur))
+            # merge the run of adjacent mismatches
+            e = b + 1
+            j += 1
+            while j < len(bad) and bad[j] == e and e < fe:
+                e += 1
+                j += 1
+            mp.edits.append(Edit(from_length=e - b, to_length=e - b,
+                                 sequence=read_str[b:e]))
+            cur = e
+        if fe > cur:
+            mp.edits.append(Edit(from_length=fe - cur, to_length=fe - cur))
         path.mappings.append(mp)
     return path
 

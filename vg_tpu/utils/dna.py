@@ -40,3 +40,8 @@ def revcomp_codes(codes: np.ndarray) -> np.ndarray:
 
 def revcomp_str(seq: str) -> str:
     return decode(revcomp_codes(encode(seq)))
+
+
+def complement_codes(codes: np.ndarray) -> np.ndarray:
+    """Elementwise complement without reversal (vectorized batch use)."""
+    return _COMP[np.asarray(codes, dtype=np.uint8)]
