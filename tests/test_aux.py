@@ -225,3 +225,30 @@ def test_haplotype_sampling(ref_test_dir):
     names = [m.name for m in sampled.metas]
     assert haps.metas[1].name in names
     assert sampled.count <= 2      # chosen + ref
+
+
+def test_index_registry_plan(tmp_path, ref_test_dir):
+    from vg_tpu.index.registry import IndexRegistry
+
+    reg = IndexRegistry(str(tmp_path / "x"))
+    reg.provide("reference", str(ref_test_dir / "small" / "x.fa"))
+    reg.provide("vcf", str(ref_test_dir / "small" / "x.vcf.gz"))
+    plan = reg.plan(IndexRegistry.giraffe_targets())
+    assert [r.output for r in plan] == ["graph", "haplotypes", "minimizer"]
+    done = reg.make(IndexRegistry.giraffe_targets())
+    assert len(done) == 3
+    assert reg.available("minimizer")
+    # resupplying intermediates skips recipes (resumability contract)
+    reg2 = IndexRegistry(str(tmp_path / "x"))
+    reg2.provide("reference", str(ref_test_dir / "small" / "x.fa"))
+    reg2.provide("vcf", str(ref_test_dir / "small" / "x.vcf.gz"))
+    assert reg2.plan(IndexRegistry.giraffe_targets()) == []
+
+
+def test_benchmark_harness():
+    from vg_tpu.utils.benchmark import run_benchmark
+
+    r = run_benchmark("noop", lambda: None, iterations=50)
+    assert r.iterations == 50
+    assert r.normalized_score > 0
+    assert "noop" in r.line()

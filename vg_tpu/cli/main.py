@@ -307,6 +307,23 @@ def cmd_stats(args) -> int:
 
 def cmd_paths(args) -> int:
     g = _load_graph_any(args.xg)
+    if args.extract_gam:
+        from ..io.gam import Alignment, Edit, Mapping, Path, Position, write_gam
+
+        alns = []
+        for pi, m in enumerate(g.path_meta):
+            path = Path()
+            for rank, h in enumerate(g.path_handles(pi), 1):
+                h = int(h)
+                ln = g.handle_len(h)
+                path.mappings.append(Mapping(
+                    position=Position(node_id=int(g.node_id[h >> 1]),
+                                      is_reverse=bool(h & 1)),
+                    edits=[Edit(from_length=ln, to_length=ln)], rank=rank))
+            alns.append(Alignment(name=m.name, sequence=g.path_seq(m.name),
+                                  path=path))
+        write_gam(sys.stdout.buffer, alns)
+        return 0
     if args.fasta:
         for m in g.path_meta:
             seq = g.path_seq(m.name)
@@ -784,6 +801,26 @@ def cmd_mpmap(args) -> int:
     return 0
 
 
+
+
+def cmd_annotate(args) -> int:
+    from ..io.gam import read_gam, write_gam
+    from ..map.project import PathPositionIndex
+
+    g = _load_graph_any(args.xg)
+    ppi = PathPositionIndex(g)
+    alns = []
+    for a in read_gam(args.gam):
+        ppi.annotate_refpos(a)
+        alns.append(a)
+    if args.output:
+        with open(args.output, "wb") as f:
+            write_gam(f, alns)
+    else:
+        write_gam(sys.stdout.buffer, alns)
+    return 0
+
+
 # ----------------------------------------------------------------- parser
 
 def build_parser() -> argparse.ArgumentParser:
@@ -866,6 +903,7 @@ def build_parser() -> argparse.ArgumentParser:
     pa = sub.add_parser("paths", help="list/extract paths")
     pa.add_argument("-x", "--xg", required=True)
     pa.add_argument("-F", "--fasta", action="store_true")
+    pa.add_argument("-X", "--extract-gam", action="store_true")
     pa.set_defaults(func=cmd_paths)
 
     sm = sub.add_parser("sim", help="simulate reads with truth")
@@ -1069,6 +1107,13 @@ def build_parser() -> argparse.ArgumentParser:
     mm.add_argument("-B", "--batch-size", type=int, default=512)
     mm.add_argument("--output")
     mm.set_defaults(func=cmd_mpmap)
+
+
+    an = sub.add_parser("annotate", help="add reference-path positions to GAM")
+    an.add_argument("-x", "--xg", required=True)
+    an.add_argument("-a", "--gam", required=True)
+    an.add_argument("--output")
+    an.set_defaults(func=cmd_annotate)
 
     return ap
 
