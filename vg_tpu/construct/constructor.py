@@ -228,6 +228,52 @@ class Constructor:
 
     # -- clump handling --------------------------------------------------------
 
+    def _canonicalize_symbolic(self, rec: VcfRecord, ref: str,
+                               contig: str) -> Optional[VcfRecord]:
+        """Rewrite symbolic SV alleles (<DEL>/<INS>/<INV>/<DUP> with
+        END/SEQ info) into explicit sequences (reference: the Constructor's
+        symbolic SV handling, src/constructor.cpp:985-1066 — same
+        semantics, applied as record canonicalization)."""
+        from copy import copy
+
+        from ..utils import dna as _dna
+
+        pos0 = rec.pos - 1
+        try:
+            end = rec.end            # 1-based inclusive, honors INFO END
+        except Exception:
+            end = rec.pos
+        span = ref[pos0:end]
+        alts = []
+        for alt in rec.alts:
+            a = alt.upper()
+            if not a.startswith("<"):
+                alts.append(alt)
+            elif a.startswith("<DEL"):
+                alts.append(span[:1])
+            elif a.startswith("<INV"):
+                alts.append(span[:1] + _dna.revcomp_str(span[1:]))
+            elif a.startswith("<DUP"):
+                alts.append(span + span[1:])
+            elif a.startswith("<INS"):
+                seq = rec.info.get("SEQ")
+                if not seq:
+                    self.warnings.append(
+                        f"skip <INS> without SEQ at {contig}:{rec.pos}")
+                    return None
+                alts.append(span[:1] + seq.upper())
+            else:
+                self.warnings.append(
+                    f"skip unsupported symbolic allele {alt} at "
+                    f"{contig}:{rec.pos}")
+                return None
+        out = copy(rec)
+        out.ref = span
+        out.alts = alts
+        out.info = dict(rec.info)
+        out.info.pop("END", None)    # explicit ref now carries the span
+        return out
+
     def _handle_clump(self, b, contig, ref, clump, sites, created_nodes,
                       node_len, nodes_starting_at, nodes_ending_at, inserts,
                       deletions_ending_at, deletion_starts,
@@ -251,10 +297,9 @@ class Constructor:
                     self.warnings.append(
                         f"skip symbolic variant at {contig}:{rec.pos}")
                     continue
-                # symbolic SV support lands with do_svs handling
-                self.warnings.append(
-                    f"skip symbolic SV at {contig}:{rec.pos} (not yet supported)")
-                continue
+                rec = self._canonicalize_symbolic(rec, ref, contig)
+                if rec is None:
+                    continue
             rec.ref = sanitize_sequence(rec.ref)
             rec.alts = [sanitize_sequence(a) for a in rec.alts]
             pos0 = rec.pos - 1
