@@ -210,3 +210,47 @@ def test_pallas_kernel_parity_interpret():
         jnp.asarray(windows), jnp.asarray(reads), jnp.asarray(rlen),
         band_radius=B, interpret=True))
     assert np.array_equal(ref, got)
+
+
+def test_wide_band_refinement(small_x):
+    """A read with a 30bp deletion (beyond band radius 16) still aligns
+    through the wide-band second pass."""
+    haps = small_x.haps
+    t0, t1 = haps.hap_text_range(0)
+    s = t0 + 200
+    left = haps.text[s : s + 60]
+    right = haps.text[s + 90 : s + 150]       # skip 30bp
+    codes = np.concatenate([left, right])
+    (aln,) = small_x.map_batch([Read("bigdel", dna.decode(codes), None)])
+    assert aln.path is not None
+    froms = sum(e.from_length for mp in aln.path.mappings for e in mp.edits)
+    tos = sum(e.to_length for mp in aln.path.mappings for e in mp.edits)
+    assert tos == len(codes)
+    assert froms >= len(codes) + 25           # the deletion is in the path
+    assert aln.score >= 120 * 1 - (6 + 29) + 10 - 5
+
+
+def test_multi_contig_construct_and_map(ref_test_dir):
+    """Two-contig FASTA+VCF (xy fixtures): both ref paths embedded, reads
+    from each contig map back to the right path."""
+    from vg_tpu.io.vcf import read_vcf
+
+    ref = read_fasta(str(ref_test_dir / "small" / "xy.fa"))
+    vcf = read_vcf(str(ref_test_dir / "small" / "xy2.vcf.gz"))
+    g, results = Constructor(ConstructorParams(max_node_size=32)).construct_graph(ref, vcf)
+    assert g.has_path("x") and g.has_path("y")
+    assert g.path_seq("x") == ref["x"].upper()
+    assert g.path_seq("y") == ref["y"].upper()
+    haps = thread_haplotypes(g, results, vcf)
+    idx = MinimizerIndex.build(haps)
+    m = GiraffeMapper(haps, idx)
+    # x and y are identical sequences in this fixture: every read is
+    # ambiguous between the two contigs, so placements must be correct in
+    # offset and MAPQ must reflect the two-way ambiguity (low)
+    reads = [Read("from_x", ref["x"].upper()[300:400], None),
+             Read("from_y", ref["y"].upper()[500:600], None)]
+    a1, a2 = m.map_batch(reads)
+    assert a1.refpos and a1.refpos[0].name in ("x", "y")
+    assert abs(a1.refpos[0].offset - 300) <= 5
+    assert abs(a2.refpos[0].offset - 500) <= 5
+    assert a1.mapping_quality <= 3 and a2.mapping_quality <= 3

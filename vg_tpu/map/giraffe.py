@@ -628,16 +628,33 @@ class GiraffeMapper:
         window = np.where(ok, self.haps.text[np.clip(pos, 0, len(self.haps.text) - 1)],
                           align_ops.SENTINEL).astype(np.uint8)
         oriented = codes_rc if is_rev else codes
+        scoring = align_ops.Scoring(p.match, p.mismatch, p.gap_open,
+                                    p.gap_extend, p.full_length_bonus)
         ta = self._gapless_check(oriented, window, device_score)
         if ta is None:
-            ta = banded_traceback(
-                oriented, window, p.band_radius,
-                align_ops.Scoring(p.match, p.mismatch, p.gap_open,
-                                  p.gap_extend, p.full_length_bonus))
+            ta = banded_traceback(oriented, window, p.band_radius, scoring)
+        if ta is not None:
+            assert ta.score == device_score, (
+                f"host/device DP disagreement: {ta.score} != {device_score}")
+        # wide-band refinement: indels beyond the device band radius clip
+        # or gap-split under B; a second host pass with 4x the band
+        # recovers them (vg's dozeu tail bands are similarly wider than
+        # the extension band)
+        if ta is None or ta.score < (L - 4 * p.mismatch) * p.match:
+            B2 = 4 * p.band_radius
+            diag = wstart + p.band_radius
+            pos2 = diag - B2 + np.arange(L + 2 * B2)
+            ok2 = (pos2 >= lo) & (pos2 < hi) & (pos2 >= 0) & \
+                (pos2 < len(self.haps.text))
+            window2 = np.where(
+                ok2, self.haps.text[np.clip(pos2, 0, len(self.haps.text) - 1)],
+                align_ops.SENTINEL).astype(np.uint8)
+            ta2 = banded_traceback(oriented, window2, B2, scoring)
+            if ta2 is not None and (ta is None or ta2.score > ta.score):
+                ta = ta2
+                wstart = diag - B2
         if ta is None:
             return
-        assert ta.score == device_score, (
-            f"host/device DP disagreement: {ta.score} != {device_score}")
         path = text_alignment_to_path(self.haps, ta, wstart, oriented, is_rev)
         aln.path = path
         aln.score = ta.score
