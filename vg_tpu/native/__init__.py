@@ -59,6 +59,11 @@ def lib() -> Optional[ctypes.CDLL]:
     L.extract_minimizers.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    L.global_align.restype = ctypes.c_int64
+    L.global_align.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
     L.banded_traceback.restype = ctypes.c_int64
     L.banded_traceback.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
@@ -130,3 +135,39 @@ def native_banded_traceback(read: np.ndarray, window: np.ndarray,
         score=int(score), read_start=int(spans[0]), read_end=int(spans[1]),
         text_start=int(spans[2]), text_end=int(spans[3]),
         edits=merged, matches=int(matches[0]))
+
+
+def native_global_align(a: np.ndarray, b: np.ndarray, scoring,
+                        max_cells: int = 4_000_000):
+    """C global alignment; None if native lib absent, False to fall back."""
+    L_ = lib()
+    if L_ is None:
+        return None
+    a = np.ascontiguousarray(a, np.uint8)
+    b = np.ascontiguousarray(b, np.uint8)
+    cap = 2 * (len(a) + len(b)) + 16
+    edits = np.zeros(cap * 3, np.int32)
+    n_edits = np.zeros(1, np.int64)
+    score = L_.global_align(
+        a.ctypes.data, len(a), b.ctypes.data, len(b),
+        scoring.match, scoring.mismatch, scoring.gap_open,
+        scoring.gap_extend, max_cells, edits.ctypes.data, cap,
+        n_edits.ctypes.data)
+    if n_edits[0] < 0:
+        return False
+    ops = edits[: n_edits[0] * 3].reshape(-1, 3)[::-1]
+    merged = []
+    for opc, ln, rp in ops:
+        kind = "MXID"[opc]
+        if merged and merged[-1][0] == kind and kind in ("M", "D"):
+            merged[-1] = (kind, merged[-1][1] + 1)
+        elif kind in ("M", "D"):
+            merged.append((kind, 1))
+        else:
+            if merged and merged[-1][0] == kind:
+                prev = merged[-1]
+                merged[-1] = (kind, prev[1] + 1,
+                              np.concatenate([prev[2], a[rp : rp + 1]]))
+            else:
+                merged.append((kind, 1, a[rp : rp + 1].copy()))
+    return int(score), merged

@@ -208,3 +208,99 @@ int64_t banded_traceback(const uint8_t* read, int64_t L,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Global (both-ends-pinned) affine alignment for chain links; same
+// objective as vg_tpu.ops.global_align.global_align. Edits as unit
+// triples (op, 1, read_pos) in traceback order, op 0=M 1=X 2=I 3=D.
+// Returns score; *n_edits = -1 if (la+1)*(lb+1) > max_cells (caller
+// falls back) or on edit overflow.
+int64_t global_align(const uint8_t* a, int64_t la, const uint8_t* b,
+                     int64_t lb, int32_t match, int32_t mismatch,
+                     int32_t gap_open, int32_t gap_extend,
+                     int64_t max_cells, int32_t* edits, int64_t edit_cap,
+                     int64_t* n_edits) {
+    const int64_t NEG = -(1LL << 40);
+    *n_edits = 0;
+    if (la == 0 && lb == 0) return 0;
+    if ((la + 1) * (lb + 1) > max_cells) { *n_edits = -1; return 0; }
+    const int64_t Wb = lb + 1;
+    std::vector<int64_t> H((la + 1) * Wb, NEG), E((la + 1) * Wb, NEG),
+        F((la + 1) * Wb, NEG);
+    H[0] = 0;
+    for (int64_t j = 1; j <= lb; j++) {
+        E[j] = -(gap_open + (j - 1) * gap_extend);
+        H[j] = E[j];
+    }
+    for (int64_t i = 1; i <= la; i++) {
+        int64_t* Hi = &H[i * Wb];
+        const int64_t* Hp = &H[(i - 1) * Wb];
+        int64_t* Ei = &E[i * Wb];
+        int64_t* Fi = &F[i * Wb];
+        const int64_t* Fp = &F[(i - 1) * Wb];
+        Fi[0] = -(gap_open + (i - 1) * gap_extend);
+        Hi[0] = Fi[0];
+        const uint8_t ab = a[i - 1];
+        for (int64_t j = 1; j <= lb; j++) {
+            const int64_t sub = (b[j - 1] == ab && ab < 4) ? match : -mismatch;
+            const int64_t diag = Hp[j - 1] + sub;
+            const int64_t fval = std::max(Hp[j] - gap_open,
+                                          Fp[j] - gap_extend);
+            Fi[j] = fval;
+            const int64_t hn = std::max(diag, fval);
+            const int64_t eval = std::max(Hi[j - 1] - gap_open,
+                                          Ei[j - 1] - gap_extend);
+            Ei[j] = eval;
+            Hi[j] = std::max(hn, eval);
+        }
+    }
+    const int64_t score = H[la * Wb + lb];
+    // traceback
+    int64_t i = la, j = lb, cnt = 0;
+    int state = 0;
+    auto push = [&](int32_t opc, int64_t rp) -> bool {
+        if (cnt >= edit_cap) return false;
+        edits[cnt * 3] = opc;
+        edits[cnt * 3 + 1] = 1;
+        edits[cnt * 3 + 2] = (int32_t)rp;
+        cnt++;
+        return true;
+    };
+    while (i > 0 || j > 0) {
+        if (state == 0) {
+            if (i > 0 && j > 0) {
+                const int64_t sub = (b[j - 1] == a[i - 1] && a[i - 1] < 4)
+                                        ? match : -mismatch;
+                if (H[i * Wb + j] == H[(i - 1) * Wb + j - 1] + sub) {
+                    if (!push(sub == match ? 0 : 1, i - 1)) {
+                        *n_edits = -1;
+                        return score;
+                    }
+                    i--; j--;
+                    continue;
+                }
+            }
+            if (j > 0 && H[i * Wb + j] == E[i * Wb + j]) state = 2;
+            else state = 1;
+        } else if (state == 2) {
+            if (!push(3, -1)) { *n_edits = -1; return score; }
+            const bool ext = j > 1 &&
+                E[i * Wb + j] == E[i * Wb + j - 1] - gap_extend &&
+                E[i * Wb + j] != H[i * Wb + j - 1] - gap_open;
+            j--;
+            state = ext ? 2 : 0;
+        } else {
+            if (!push(2, i - 1)) { *n_edits = -1; return score; }
+            const bool ext = i > 1 &&
+                F[i * Wb + j] == F[(i - 1) * Wb + j] - gap_extend &&
+                F[i * Wb + j] != H[(i - 1) * Wb + j] - gap_open;
+            i--;
+            state = ext ? 1 : 0;
+        }
+    }
+    *n_edits = cnt;
+    return score;
+}
+
+}  // extern "C"

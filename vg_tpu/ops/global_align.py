@@ -41,6 +41,12 @@ def global_align(a: np.ndarray, b: np.ndarray,
         return -(go + (la - 1) * ge), [("I", la, a.copy())]
     if (la + 1) * (lb + 1) > max_cells:
         return None
+    from ..native import lib as _native_lib, native_global_align
+
+    if _native_lib() is not None:
+        res = native_global_align(a, b, scoring, max_cells)
+        if res is not None and res is not False:
+            return res
 
     H = np.full((la + 1, lb + 1), NEG, dtype=np.int64)
     E = np.full((la + 1, lb + 1), NEG, dtype=np.int64)  # gap in a (D)
