@@ -176,3 +176,29 @@ def test_gamp_roundtrip_and_best_path():
     # from_alignment inverse
     mp2 = MultipathAlignment.from_alignment(best)
     assert mp2.subpaths[0].score == 14
+
+
+def test_gaf_roundtrip_positions():
+    import io as _io
+
+    from vg_tpu.io.gaf import alignment_to_gaf, parse_gaf_line
+    from vg_tpu.io.gam import Alignment, Edit, Mapping, Path, Position
+
+    aln = Alignment(name="r", sequence="ACGTACGTAC", score=20,
+                    mapping_quality=55)
+    aln.path = Path(mappings=[
+        Mapping(position=Position(node_id=5, offset=2),
+                edits=[Edit(from_length=6, to_length=6)], rank=1),
+        Mapping(position=Position(node_id=7, is_reverse=True),
+                edits=[Edit(from_length=4, to_length=4)], rank=2)])
+    line = alignment_to_gaf(aln)
+    back = parse_gaf_line(line)
+    assert back.name == "r"
+    assert back.mapping_quality == 55
+    assert back.score == 20
+    assert [(m.position.node_id, m.position.is_reverse)
+            for m in back.path.mappings] == [(5, False), (7, True)]
+    assert back.path.mappings[0].position.offset == 2
+    # aligned spans survive
+    froms = sum(e.from_length for m in back.path.mappings for e in m.edits)
+    assert froms == 10

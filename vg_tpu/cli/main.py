@@ -135,6 +135,12 @@ def cmd_giraffe(args) -> int:
     else:
         params = GiraffeParams(max_candidates=args.max_multimaps_internal,
                                batch_reads=args.batch_size)
+        if args.parameter_preset == "fast":
+            # reference fast preset: tighter caps (giraffe_main.cpp:940-951)
+            params.hit_cap = 10
+            params.hard_hit_cap = 500
+            params.score_fraction = 0.5
+            params.max_candidates = min(params.max_candidates, 4)
         mapper = GiraffeMapper(haps, idx, params)
     out = sys.stdout
     alns_out: List = []
@@ -232,7 +238,10 @@ def cmd_pack(args) -> int:
         g = _load_graph_any(args.xg)
     pk = Packer(g)
     batch = []
-    for a in read_gam(args.gam):
+    reader = read_gam
+    if args.gam.endswith(".gaf"):
+        from ..io.gaf import read_gaf as reader
+    for a in reader(args.gam):
         batch.append(a)
         if len(batch) >= 4096:
             pk.add_batch(batch)

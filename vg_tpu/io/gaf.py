@@ -54,3 +54,64 @@ def alignment_to_gaf(aln: Alignment) -> str:
 def write_gaf(fileobj: TextIO, alns) -> None:
     for a in alns:
         fileobj.write(alignment_to_gaf(a) + "\n")
+
+
+def parse_gaf_line(line: str) -> Alignment:
+    """GAF line -> Alignment. Path and intervals are recovered exactly;
+    without a cs/cg tag the aligned interval becomes one aligned block
+    (enough for pack coverage and position comparisons — reference
+    gaf readers make the same simplification for coverage use)."""
+    import re
+
+    from .gam import Edit, Mapping, Path, Position
+
+    cols = line.rstrip("\n").split("\t")
+    aln = Alignment(name=cols[0])
+    qlen = int(cols[1])
+    if cols[5] in ("*", ""):
+        return aln
+    qstart, qend = int(cols[2]), int(cols[3])
+    pstart, pend = int(cols[7]), int(cols[8])
+    matches = int(cols[9])
+    aln.mapping_quality = int(cols[11]) if cols[11] != "255" else 0
+    for tag in cols[12:]:
+        if tag.startswith("AS:i:"):
+            aln.score = int(tag[5:])
+        elif tag.startswith("id:f:"):
+            aln.identity = float(tag[5:])
+    steps = re.findall(r"([<>])(\d+)", cols[5])
+    path = Path()
+    consumed = pstart
+    remaining = pend - pstart
+    for rank, (orient, nid) in enumerate(steps, 1):
+        mp = Mapping(position=Position(node_id=int(nid),
+                                       is_reverse=(orient == "<")),
+                     rank=rank)
+        if rank == 1:
+            mp.position.offset = pstart
+        path.mappings.append(mp)
+    # single aligned block over the path interval (per-node split happens
+    # against a graph when needed)
+    if path.mappings:
+        if qstart > 0:
+            path.mappings[0].edits.append(
+                Edit(from_length=0, to_length=qstart))
+        path.mappings[0].edits.append(
+            Edit(from_length=remaining, to_length=qend - qstart))
+        if qend < qlen:
+            path.mappings[-1].edits.append(
+                Edit(from_length=0, to_length=qlen - qend))
+    aln.path = path
+    return aln
+
+
+def read_gaf(path_or_file) -> "Iterator[Alignment]":
+    if hasattr(path_or_file, "read"):
+        for line in path_or_file:
+            if line.strip():
+                yield parse_gaf_line(line)
+    else:
+        with open(path_or_file) as f:
+            for line in f:
+                if line.strip():
+                    yield parse_gaf_line(line)
