@@ -1,14 +1,16 @@
-"""Benchmark: giraffe-style 150bp read mapping throughput (reads/s/chip).
+"""Benchmark: giraffe-style 150bp paired-end mapping throughput
+(reads/s/chip — the reference headline workload).
 
-Baseline: reference vg giraffe short-read speed — 3520.61 reads/s/thread,
-~56.3k reads/s at 16 threads (BASELINE.md, scripts/giraffe-speed.sh).
-vs_baseline = our reads/s on one chip / 56330.
+Baseline: reference vg giraffe short-read paired speed — 3520.61
+reads/s/thread, ~56.3k reads/s at 16 threads (BASELINE.md,
+scripts/giraffe-speed.sh). vs_baseline = our reads/s on one chip / 56330.
 
 Workload: synthetic 1 Mbp pangenome (reference + 2 diploid samples at 0.1%
-SNP + 0.01% indel rate), minimizer index, 150bp single-end reads simulated
-at 1% error, mapped in fixed-size batches (seed -> cluster -> banded-DP on
-device -> winner/mapq -> GAM records).
+SNP + 0.01% indel rate), minimizer index, 150bp read pairs (450+-50bp
+fragments) at 1% error, mapped in fixed-size batches (seed -> cluster ->
+banded-DP on device -> pairing/rescue -> winner/mapq -> GAM records).
 
+BENCH_MODE=single switches to the single-end pipeline.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
@@ -79,6 +81,28 @@ def simulate_reads(rng, haps, n_reads, read_len=150, err=0.01):
     return reads
 
 
+def simulate_pairs(rng, haps, n_pairs, read_len=150, err=0.01,
+                   frag_mean=450, frag_sd=50):
+    from vg_tpu.io.fastq import Read
+    from vg_tpu.utils import dna
+
+    T = haps.total_len
+    out = []
+    for i in range(n_pairs):
+        frag = max(int(rng.normal(frag_mean, frag_sd)), read_len + 10)
+        s = int(rng.integers(0, T - frag))
+        c1 = haps.text[s : s + read_len].copy()
+        c2 = haps.text[s + frag - read_len : s + frag].copy()
+        for c in (c1, c2):
+            nerr = rng.binomial(read_len, err)
+            for _ in range(nerr):
+                p = int(rng.integers(0, read_len))
+                c[p] = (c[p] + 1 + rng.integers(0, 3)) % 4
+        out.append((Read(f"p{i}/1", dna.decode(c1), None),
+                    Read(f"p{i}/2", dna.decode(dna.revcomp_codes(c2)), None)))
+    return out
+
+
 def main():
     from vg_tpu.index.haplotypes import thread_haplotypes
     from vg_tpu.index.minimizer import MinimizerIndex
@@ -94,28 +118,51 @@ def main():
         f"text {haps.total_len} bp, {idx.unique_count} minimizers "
         f"({time.time()-t0:.1f}s)\n")
 
-    params = GiraffeParams(batch_reads=int(os.environ.get("BENCH_BATCH", "2048")))
-    mapper = GiraffeMapper(haps, idx, params)
-    n_bench = int(os.environ.get("BENCH_READS", "4096"))
-    reads = simulate_reads(rng, haps, n_bench + int(os.environ.get("BENCH_BATCH", "2048")))
-
-    # warmup (compile)
-    warm = int(os.environ.get("BENCH_BATCH", "2048"))
-    mapper.map_batch(reads[:warm])
-    t0 = time.time()
-    mapped = 0
-    aligned = 0
     bs = int(os.environ.get("BENCH_BATCH", "2048"))
-    batches = (reads[i : i + bs] for i in range(warm, len(reads), bs))
-    for alns in mapper.map_stream(batches):
-        mapped += len(alns)
-        aligned += sum(1 for a in alns if a.path is not None)
-    dt = time.time() - t0
-    rps = mapped / dt
-    sys.stderr.write(
-        f"[bench] {mapped} reads in {dt:.2f}s, {aligned/mapped*100:.1f}% aligned\n")
+    mode = os.environ.get("BENCH_MODE", "paired")
+    params = GiraffeParams(batch_reads=bs)
+    mapper = GiraffeMapper(haps, idx, params)
+    n_bench = int(os.environ.get("BENCH_READS", "16384"))
+
+    if mode == "paired":
+        from vg_tpu.map.paired import PairedGiraffeMapper
+
+        pm = PairedGiraffeMapper(mapper)
+        n_pairs = n_bench // 2
+        pairs = simulate_pairs(rng, haps, n_pairs + bs)
+        pm.map_pairs(pairs[:bs])            # warmup: compile + fragdist
+        t0 = time.time()
+        mapped = aligned = proper = 0
+        for i in range(bs, len(pairs), bs):
+            batch = pairs[i : i + bs]
+            for a, b in pm.map_pairs(batch):
+                mapped += 2
+                aligned += (a.path is not None) + (b.path is not None)
+                proper += bool(a.annotation.get("proper_pair"))
+        dt = time.time() - t0
+        rps = mapped / dt
+        sys.stderr.write(
+            f"[bench] paired: {mapped} reads in {dt:.2f}s, "
+            f"{aligned/mapped*100:.1f}% aligned, "
+            f"{200*proper/mapped:.1f}% proper\n")
+        metric = "giraffe_sr_paired_reads_per_s_per_chip"
+    else:
+        reads = simulate_reads(rng, haps, n_bench + bs)
+        mapper.map_batch(reads[:bs])
+        t0 = time.time()
+        mapped = aligned = 0
+        batches = (reads[i : i + bs] for i in range(bs, len(reads), bs))
+        for alns in mapper.map_stream(batches):
+            mapped += len(alns)
+            aligned += sum(1 for a in alns if a.path is not None)
+        dt = time.time() - t0
+        rps = mapped / dt
+        sys.stderr.write(
+            f"[bench] {mapped} reads in {dt:.2f}s, "
+            f"{aligned/mapped*100:.1f}% aligned\n")
+        metric = "giraffe_sr_reads_per_s_per_chip"
     print(json.dumps({
-        "metric": "giraffe_sr_reads_per_s_per_chip",
+        "metric": metric,
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_S, 4),

@@ -80,7 +80,9 @@ class ScoredBatch:
     cand_hi: np.ndarray
     cand_rev: np.ndarray
     cand_valid: np.ndarray
-    scores_raw: object       # (R, C) int32 DP scores (device or host array)
+    scores_raw: object       # (R, C) int32 DP scores
+    cand_refpath: Optional[np.ndarray] = None   # (R, C) ref path id or -1
+    cand_refoff: Optional[np.ndarray] = None    # (R, C) approx ref offset (device or host array)
 
     @property
     def scores(self) -> np.ndarray:
@@ -117,6 +119,15 @@ class GiraffeMapper:
         if ref_names is None:
             ref_names = [m.name for m in self.graph.path_meta]
         self.path_pos = PathPositionIndex(self.graph, ref_names)
+        # dense node -> (ref path id, ref offset) for pair-distance checks
+        # (first occurrence wins; -1 = off every reference path)
+        n = self.graph.node_count
+        self._node_ref_path = np.full(n, -1, np.int32)
+        self._node_ref_off = np.zeros(n, np.int64)
+        for idx, occs in self.path_pos.occ.items():
+            pi, step_off, step_rev = occs[0]
+            self._node_ref_path[idx] = pi
+            self._node_ref_off[idx] = step_off
         from ..utils.funnel import Funnel
 
         self.funnel = Funnel()
@@ -239,8 +250,10 @@ class GiraffeMapper:
         k = self.index.k
         out = (np.zeros((R, C), np.int32), np.zeros((R, C), np.int32),
                np.zeros((R, C), np.int32), np.zeros((R, C), bool),
-               np.zeros((R, C), bool))
-        cand_start, cand_lo, cand_hi, cand_rev, cand_valid = out
+               np.zeros((R, C), bool), np.full((R, C), -1, np.int32),
+               np.zeros((R, C), np.int64))
+        (cand_start, cand_lo, cand_hi, cand_rev, cand_valid,
+         cand_refpath, cand_refoff) = out
 
         ridx, offs, keys, canon_rev = extract_minimizers_batch(
             codes2d, k, self.index.w)
@@ -310,7 +323,10 @@ class GiraffeMapper:
         si = np.searchsorted(self.haps.step_text_pos[1:], a2, side="right")
         ghandle = self.haps.steps[si]
         goff = a2 - self.haps.step_text_pos[si]
-        okey = np.lexsort((-cl_score, goff, ghandle, cl_strand, cl_read))
+        # ties prefer the lowest haplotype so both mates of a pair dedup
+        # onto the same text copy of a shared region (pairing tests text
+        # ranges; vg's graph-distance check is orientation-free)
+        okey = np.lexsort((lo, -cl_score, goff, ghandle, cl_strand, cl_read))
         kcl = np.ones(len(okey), dtype=bool)
         if len(okey) > 1:
             kcl[1:] = ((cl_read[okey][1:] != cl_read[okey][:-1])
@@ -337,6 +353,14 @@ class GiraffeMapper:
         cand_hi[rr, rank] = hi[final].astype(np.int32)
         cand_rev[rr, rank] = cl_strand[final]
         cand_valid[rr, rank] = True
+        # approximate reference projection of the anchor for pair-distance
+        nid_idx = (ghandle[final] >> 1).astype(np.int64)
+        step_rev = (ghandle[final] & 1).astype(bool)
+        nlen = (self.graph.seq_start[nid_idx + 1]
+                - self.graph.seq_start[nid_idx])
+        fwd_off = np.where(step_rev, nlen - goff[final], goff[final])
+        cand_refpath[rr, rank] = self._node_ref_path[nid_idx]
+        cand_refoff[rr, rank] = self._node_ref_off[nid_idx] + fwd_off
         return out
 
     # ------------------------------------------------------------------- map
@@ -370,22 +394,30 @@ class GiraffeMapper:
         rlens[:R] = rlens_real
         reads_arr = np.full((Rpad, RL), 5, dtype=np.uint8)
         reads_rc_arr = np.full((Rpad, RL), 5, dtype=np.uint8)
-        for i, c in enumerate(codes):
-            reads_arr[i, : len(c)] = c
-            reads_rc_arr[i, : len(c)] = codes_rc[i]
+        if equal_len:
+            L0 = int(lens[0])
+            reads_arr[:R, :L0] = codes2d
+            reads_rc_arr[:R, :L0] = rc2d
+        else:
+            for i, c in enumerate(codes):
+                reads_arr[i, : len(c)] = c
+                reads_rc_arr[i, : len(c)] = codes_rc[i]
 
         import time as _time
 
         _t0 = _time.time()
-        if np.all(rlens_real == rlens_real[0]):
+        cand_refpath = np.full((R, C), -1, np.int32)
+        cand_refoff = np.zeros((R, C), np.int64)
+        if equal_len:
             # fast path: one vectorized seeding pass over the whole batch
-            cs, clo, chi, crev, cval = self._seed_batch(
-                np.stack([c for c in codes]))
+            cs, clo, chi, crev, cval, crp, cro = self._seed_batch(codes2d)
             cand_start = np.zeros((Rpad, C), np.int32); cand_start[:R] = cs
             cand_lo = np.zeros((Rpad, C), np.int32); cand_lo[:R] = clo
             cand_hi = np.zeros((Rpad, C), np.int32); cand_hi[:R] = chi
             cand_rev = np.zeros((Rpad, C), bool); cand_rev[:R] = crev
             cand_valid = np.zeros((Rpad, C), bool); cand_valid[:R] = cval
+            cand_refpath[:] = crp
+            cand_refoff[:] = cro
         else:
             cand_lists = [self._seed_read(c) for c in codes]
             cand_start = np.zeros((Rpad, C), dtype=np.int32)
@@ -426,7 +458,8 @@ class GiraffeMapper:
             reads=list(reads), codes=codes, codes_rc=codes_rc,
             cand_start=cand_start[:R], cand_lo=cand_lo[:R],
             cand_hi=cand_hi[:R], cand_rev=cand_rev[:R],
-            cand_valid=cand_valid[:R], scores_raw=scores_dev)
+            cand_valid=cand_valid[:R], scores_raw=scores_dev,
+            cand_refpath=cand_refpath, cand_refoff=cand_refoff)
 
     def rescore_candidates(self, sb: "ScoredBatch",
                            cand_start: np.ndarray, cand_lo: np.ndarray,
@@ -500,14 +533,9 @@ class GiraffeMapper:
         """Vectorized winner selection, MAPQ, and gapless-path emission;
         only indel winners fall back to the per-read DP traceback."""
         from .mapq import log_base
-        from .project import gapless_path
-
-        import time as _time
 
         p = self.params
         R = len(sb.reads)
-        B = p.band_radius
-        _t0 = _time.time()
         scores = sb.scores
         valid = sb.cand_valid & (scores > 0)
         any_valid = valid.any(axis=1)
@@ -527,6 +555,23 @@ class GiraffeMapper:
                                  -50.0)
         mapqs = np.clip(-10.0 / np.log(10.0) * one_minus, 0, p.max_mapq)
         mapqs = np.where(np.isfinite(mapqs), mapqs, p.max_mapq).astype(int)
+        return self.emit_chosen(sb, best_j, mapqs, any_valid)
+
+    def emit_chosen(self, sb: "ScoredBatch", best_j: np.ndarray,
+                    mapqs: np.ndarray, any_valid: np.ndarray
+                    ) -> List[Alignment]:
+        """Vectorized emission of one chosen candidate per read (shared by
+        the single-end winner path and the paired-end pairing path)."""
+        from .project import gapless_path
+
+        import time as _time
+
+        p = self.params
+        R = len(sb.reads)
+        B = p.band_radius
+        _t0 = _time.time()
+        scores = sb.scores
+        best_s = scores[np.arange(R), best_j]
 
         # batch gapless detection on the winners
         text = self.haps.text

@@ -66,8 +66,11 @@ class FragmentLengthDistribution:
             core = s[lo:hi]
             self._mean = float(core.mean())
             self._stdev = float(core.std() + 1e-9)
-            if self._stdev < 1.0:
-                self._stdev = 1.0
+            # floor keeps the pair bonus tolerant of small real length
+            # differences (indel alleles across haplotype copies) even when
+            # the training data is unnaturally uniform
+            if self._stdev < 10.0:
+                self._stdev = 10.0
         self.finalized = True
 
     @property
@@ -142,13 +145,128 @@ class PairedGiraffeMapper:
         self._rescue(sb1, sb2)
         self._rescue(sb2, sb1)
 
+        alns1, alns2, proper, frags = self._pair_batch(sb1, sb2)
         out: List[Tuple[Alignment, Alignment]] = []
         for i in range(len(pairs)):
-            a1, a2 = self._pair_one(sb1, sb2, i)
+            a1, a2 = alns1[i], alns2[i]
             a1.fragment_next = Alignment(name=a2.name)
             a2.fragment_prev = Alignment(name=a1.name)
+            if proper[i]:
+                for a in (a1, a2):
+                    a.annotation["proper_pair"] = True
+                    a.annotation["fragment_length"] = int(frags[i])
+            elif a1.path is not None or a2.path is not None:
+                for a in (a1, a2):
+                    a.annotation["proper_pair"] = False
             out.append((a1, a2))
         return out
+
+    def _pair_batch(self, sb1: ScoredBatch, sb2: ScoredBatch):
+        """Vectorized pairing over the whole batch: all (C1, C2) candidate
+        combos scored at once, winners emitted through the mapper's
+        vectorized path."""
+        m = self.mapper
+        p = m.params
+        pp = self.params
+        lam = log_base(p.match, p.mismatch)
+        R = len(sb1.reads)
+        C = sb1.scores.shape[1]
+        B = p.band_radius
+        s1 = sb1.scores.astype(np.float64)
+        s2 = sb2.scores.astype(np.float64)
+        v1 = sb1.cand_valid & (s1 > 0)
+        v2 = sb2.cand_valid & (s2 > 0)
+        L1 = np.array([len(c) for c in sb1.codes])
+        L2 = np.array([len(c) for c in sb2.codes])
+        d1 = sb1.cand_start + B            # (R, C)
+        d2 = sb2.cand_start + B
+        rev1 = sb1.cand_rev
+        rev2 = sb2.cand_rev
+
+        # fragment span per combo (R, C, C): read1-fwd combos measure
+        # d2+L2-d1, read1-rev combos d1+L1-d2. Mates may land on different
+        # haplotype copies of the same region, so distance is measured in
+        # reference-projected coordinates when both candidates project
+        # (vg measures graph min-distance; ref projection is its linear
+        # equivalent here), falling back to same-text-copy arithmetic.
+        f_fwd = (d2[:, None, :] + L2[:, None, None]) - d1[:, :, None]
+        f_rev = (d1[:, :, None] + L1[:, None, None]) - d2[:, None, :]
+        frag_txt = np.where(rev1[:, :, None], f_rev, f_fwd).astype(np.float64)
+        same_copy = sb1.cand_lo[:, :, None] == sb2.cand_lo[:, None, :]
+        rp1, ro1 = sb1.cand_refpath, sb1.cand_refoff
+        rp2, ro2 = sb2.cand_refpath, sb2.cand_refoff
+        on_ref = (rp1[:, :, None] >= 0) & (rp1[:, :, None] == rp2[:, None, :])
+        rf_fwd = (ro2[:, None, :] + L2[:, None, None]) - ro1[:, :, None]
+        rf_rev = (ro1[:, :, None] + L1[:, None, None]) - ro2[:, None, :]
+        frag_ref = np.where(rev1[:, :, None], rf_rev, rf_fwd).astype(np.float64)
+        frag = np.where(same_copy, frag_txt,
+                        np.where(on_ref, frag_ref, -1.0))
+        proper = ((rev1[:, :, None] != rev2[:, None, :])
+                  & (same_copy | on_ref)
+                  & (frag > 0) & (frag <= pp.max_fragment_length)
+                  & v1[:, :, None] & v2[:, None, :])
+        ll = self.fragdist.log_likelihood(frag)
+        pair_scaled = np.where(
+            proper, lam * (s1[:, :, None] + s2[:, None, :]) + ll, -np.inf)
+        flat = pair_scaled.reshape(R, C * C)
+        best_combo = np.argmax(flat, axis=1)
+        best_pair = flat[np.arange(R), best_combo]
+        j1p = best_combo // C
+        j2p = best_combo % C
+
+        # independent fallback
+        b1 = np.argmax(np.where(v1, s1, -np.inf), axis=1)
+        b2 = np.argmax(np.where(v2, s2, -np.inf), axis=1)
+        s1b = np.where(v1.any(axis=1), s1[np.arange(R), b1], 0.0)
+        s2b = np.where(v2.any(axis=1), s2[np.arange(R), b2], 0.0)
+        indep = lam * (s1b + s2b) - lam * pp.unpaired_penalty
+        use_pair = np.isfinite(best_pair) & (best_pair >= indep)
+
+        # pair MAPQ: logsumexp over proper combos; capped by each end's own
+        # candidate ambiguity (+25 for the pair evidence)
+        with np.errstate(over="ignore", invalid="ignore"):
+            mxp = best_pair
+            lsep = mxp + np.log(
+                np.nansum(np.exp(np.where(np.isfinite(flat),
+                                          flat - mxp[:, None], -np.inf)),
+                          axis=1))
+            deltap = best_pair - lsep
+            one_minus = np.where(deltap < -1e-12,
+                                 np.log1p(-np.exp(np.minimum(deltap, -1e-12))),
+                                 -50.0)
+        mq_pair = np.clip(-10.0 / np.log(10.0) * one_minus, 0, p.max_mapq)
+        mq_pair = np.where(np.isfinite(mq_pair), mq_pair, p.max_mapq)
+
+        def end_mapq(s, v, chosen):
+            sc = np.where(v, s * lam, -np.inf)
+            mx = sc.max(axis=1, where=v, initial=-np.inf)
+            with np.errstate(over="ignore", invalid="ignore"):
+                lse = mx + np.log(np.exp(sc - mx[:, None]).sum(axis=1))
+                ch = s[np.arange(R), chosen] * lam
+                delta = ch - lse
+                om = np.where(delta < -1e-12,
+                              np.log1p(-np.exp(np.minimum(delta, -1e-12))),
+                              -50.0)
+            mq = np.clip(-10.0 / np.log(10.0) * om, 0, p.max_mapq)
+            return np.where(np.isfinite(mq), mq, p.max_mapq)
+
+        j1 = np.where(use_pair, j1p, b1)
+        j2 = np.where(use_pair, j2p, b2)
+        mq1_solo = end_mapq(s1, v1, j1)
+        mq2_solo = end_mapq(s2, v2, j2)
+        mq1 = np.where(use_pair,
+                       np.minimum(mq_pair, mq1_solo + 25), mq1_solo)
+        mq2 = np.where(use_pair,
+                       np.minimum(mq_pair, mq2_solo + 25), mq2_solo)
+        any1 = v1.any(axis=1)
+        any2 = v2.any(axis=1)
+        alns1 = m.emit_chosen(sb1, j1, np.clip(mq1, 0, p.max_mapq).astype(int),
+                              any1)
+        alns2 = m.emit_chosen(sb2, j2, np.clip(mq2, 0, p.max_mapq).astype(int),
+                              any2)
+        frags = np.where(use_pair,
+                         frag.reshape(R, C * C)[np.arange(R), best_combo], 0)
+        return alns1, alns2, use_pair & any1 & any2, frags
 
     def map_pairs_flat(self, pairs) -> List[Alignment]:
         out = []
@@ -158,73 +276,6 @@ class PairedGiraffeMapper:
         return out
 
     # ----------------------------------------------------------- pairing
-
-    def _pair_one(self, sb1: ScoredBatch, sb2: ScoredBatch, i: int
-                  ) -> Tuple[Alignment, Alignment]:
-        m = self.mapper
-        p = m.params
-        pp = self.params
-        lam = log_base(p.match, p.mismatch)
-        s1 = sb1.scores[i].astype(np.float64)
-        s2 = sb2.scores[i].astype(np.float64)
-        v1 = sb1.cand_valid[i] & (s1 > 0)
-        v2 = sb2.cand_valid[i] & (s2 > 0)
-        if not v1.any() and not v2.any():
-            return m.emit(sb1, i, -1, 0), m.emit(sb2, i, -1, 0)
-
-        # all candidate combos: scaled score = lam*(s1+s2) + frag loglik
-        C = len(s1)
-        frag = np.full((C, C), -1.0)
-        for j1 in np.nonzero(v1)[0]:
-            for j2 in np.nonzero(v2)[0]:
-                f = _fragment_length(m, sb1, i, int(j1), sb2, i, int(j2))
-                if f is not None:
-                    frag[j1, j2] = f
-        proper = (frag > 0) & (frag <= pp.max_fragment_length)
-        pair_scaled = np.full((C, C), -np.inf)
-        if proper.any():
-            ll = self.fragdist.log_likelihood(frag)
-            pair_scaled = np.where(
-                proper, lam * (s1[:, None] + s2[None, :]) + ll, -np.inf)
-        # improper combination fallback: best independent candidates with a
-        # penalty (vg treats these as non-proper pairs)
-        best1 = int(np.argmax(np.where(v1, s1, -np.inf))) if v1.any() else -1
-        best2 = int(np.argmax(np.where(v2, s2, -np.inf))) if v2.any() else -1
-        indep = (lam * ((s1[best1] if best1 >= 0 else 0)
-                        + (s2[best2] if best2 >= 0 else 0))
-                 - lam * pp.unpaired_penalty)
-
-        if proper.any() and pair_scaled.max() >= indep:
-            j1, j2 = np.unravel_index(int(np.argmax(pair_scaled)), (C, C))
-            # pair mapq over the proper-combo score distribution, capped by
-            # each end's own candidate ambiguity (reference
-            # minimizer_mapper.cpp:2684-2789 pair caps)
-            combos = pair_scaled[np.isfinite(pair_scaled)]
-            mq_pair = _mapq_scaled(combos, float(pair_scaled[j1, j2]))
-            mq1 = min(mq_pair, _end_cap(s1, v1, int(j1), lam),
-                      p.max_mapq)
-            mq2 = min(mq_pair, _end_cap(s2, v2, int(j2), lam),
-                      p.max_mapq)
-            a1 = m.emit(sb1, i, int(j1), int(mq1))
-            a2 = m.emit(sb2, i, int(j2), int(mq2))
-            for a in (a1, a2):
-                a.annotation["proper_pair"] = True
-                a.annotation["fragment_length"] = int(frag[j1, j2])
-            return a1, a2
-
-        # not properly paired: emit independent winners
-        def solo(sb, best, v, s):
-            if best < 0:
-                return m.emit(sb, i, -1, 0)
-            vs = s[v]
-            which = int(np.nonzero(np.nonzero(v)[0] == best)[0][0])
-            mq = mapq_exact(vs, which=which, match=p.match,
-                            mismatch=p.mismatch, max_mapq=p.max_mapq)
-            a = m.emit(sb, i, best, mq)
-            a.annotation["proper_pair"] = False
-            return a
-
-        return solo(sb1, best1, v1, s1), solo(sb2, best2, v2, s2)
 
     # ----------------------------------------------------------- rescue
 
@@ -344,26 +395,6 @@ def _fragment_length(m: GiraffeMapper, sb1: ScoredBatch, i1: int, j1: int,
     else:                                       # read2 fwd, read1 rev
         frag = (d1 + L1) - d2
     return float(frag) if frag > 0 else None
-
-
-def _end_cap(s: np.ndarray, v: np.ndarray, j: int, lam: float) -> int:
-    """MAPQ cap from one end's own candidate ambiguity."""
-    vs = s[v]
-    if len(vs) <= 1:
-        return 60
-    which = int(np.nonzero(np.nonzero(v)[0] == j)[0][0]) if v[j] else 0
-    return mapq_exact(vs, which=which) + 25   # pair evidence relaxes the cap
-
-
-def _mapq_scaled(scaled: np.ndarray, best: float, max_mapq: int = 60) -> int:
-    m = scaled.max()
-    lse = m + math.log(np.exp(scaled - m).sum())
-    delta = best - lse
-    if delta >= -1e-12:
-        return max_mapq
-    one_minus = math.log1p(-math.exp(delta))
-    mapq = -(10.0 / math.log(10.0)) * one_minus
-    return int(min(max(mapq, 0.0), max_mapq))
 
 
 def _seed_scan(window: np.ndarray, read: np.ndarray, k: int) -> np.ndarray:
