@@ -56,6 +56,26 @@ def _bundle_paths(prefix: str):
 def _load_bundle(prefix: str):
     from ..io import native
 
+    if prefix.endswith(".gbz"):
+        # load a reference-ecosystem GBZ directly; the minimizer index is
+        # built on the fly like vg giraffe regenerating missing indexes
+        # (test/t/50_vg_giraffe.t:32-43)
+        from ..index.minimizer import MinimizerIndex
+        from ..io.gbz import gbz_to_graph, read_gbz
+
+        g, haps = gbz_to_graph(read_gbz(prefix))
+        import os
+
+        mp = prefix + ".min.npz"
+        if os.path.exists(mp):
+            idx = native.load_minimizer(mp)
+        else:
+            idx = MinimizerIndex.build(haps)
+            try:
+                native.save_minimizer(mp, idx)
+            except OSError:
+                pass
+        return g, haps, idx
     gp, hp, mp = _bundle_paths(prefix)
     g = native.load_graph(gp)
     haps = native.load_haplotypes(hp, g)
@@ -98,7 +118,11 @@ def cmd_autoindex(args) -> int:
     from ..io.fasta import read_fasta
     from ..io.vcf import read_vcf
 
-    if args.gfa:
+    if args.gbz:
+        from ..io.gbz import gbz_to_graph, read_gbz
+
+        g, haps = gbz_to_graph(read_gbz(args.gbz))
+    elif args.gfa:
         g = _load_graph_any(args.gfa)
         haps = haplotypes_from_paths(g)
     else:
@@ -850,6 +874,7 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("-r", "--reference")
     a.add_argument("-v", "--vcf")
     a.add_argument("-g", "--gfa")
+    a.add_argument("-Z", "--gbz")
     a.add_argument("-m", "--node-max", type=int, default=32)
     a.add_argument("-k", "--kmer-length", type=int, default=29)
     a.add_argument("-w", "--window-length", type=int, default=11)

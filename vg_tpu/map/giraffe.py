@@ -117,7 +117,11 @@ class GiraffeMapper:
         self.text_dev = jnp.asarray(haps.text)
         ref_names = ref_path_names
         if ref_names is None:
-            ref_names = [m.name for m in self.graph.path_meta]
+            from ..graph.arraygraph import SENSE_REFERENCE
+
+            ref_sense = [m.name for m in self.graph.path_meta
+                         if m.sense == SENSE_REFERENCE]
+            ref_names = ref_sense or [m.name for m in self.graph.path_meta]
         self.path_pos = PathPositionIndex(self.graph, ref_names)
         # dense node -> (ref path id, ref offset) for pair-distance checks
         # (first occurrence wins; -1 = off every reference path)
@@ -318,22 +322,14 @@ class GiraffeMapper:
         lo = self.haps.text_start[hap]
         hi = self.haps.text_start[hap + 1]
 
-        # dedup clusters projecting to the same graph placement
+        # graph projection of the anchor (used for MAPQ placement dedup
+        # downstream; haplotype copies of one region stay as separate
+        # candidates so the DP picks the best-matching copy)
         a2 = np.clip(anchor, lo, hi - 1)
         si = np.searchsorted(self.haps.step_text_pos[1:], a2, side="right")
         ghandle = self.haps.steps[si]
         goff = a2 - self.haps.step_text_pos[si]
-        # ties prefer the lowest haplotype so both mates of a pair dedup
-        # onto the same text copy of a shared region (pairing tests text
-        # ranges; vg's graph-distance check is orientation-free)
-        okey = np.lexsort((lo, -cl_score, goff, ghandle, cl_strand, cl_read))
-        kcl = np.ones(len(okey), dtype=bool)
-        if len(okey) > 1:
-            kcl[1:] = ((cl_read[okey][1:] != cl_read[okey][:-1])
-                       | (cl_strand[okey][1:] != cl_strand[okey][:-1])
-                       | (ghandle[okey][1:] != ghandle[okey][:-1])
-                       | (goff[okey][1:] != goff[okey][:-1]))
-        keep_idx = okey[kcl]
+        keep_idx = np.arange(len(cl_read))
 
         # top-C per read by score
         o2 = np.lexsort((-cl_score[keep_idx], cl_read[keep_idx]))
@@ -543,10 +539,13 @@ class GiraffeMapper:
         best_j = np.argmax(masked, axis=1)
         best_s = masked[np.arange(R), best_j]
 
-        # batch MAPQ: exact log-sum-exp posterior over valid candidates
+        # batch MAPQ: exact log-sum-exp posterior over valid candidates,
+        # with haplotype copies of the same placement collapsed to their
+        # best score (they are one mapping, not independent evidence)
         lam = log_base(p.match, p.mismatch)
-        sc = np.where(valid, scores * lam, -np.inf)
-        mx = sc.max(axis=1, where=valid, initial=-np.inf)
+        uniq = self._distinct_placements(sb, valid)
+        sc = np.where(valid & uniq, scores * lam, -np.inf)
+        mx = np.maximum(sc.max(axis=1), best_s * lam)
         with np.errstate(over="ignore", invalid="ignore"):
             lse = mx + np.log(np.exp(sc - mx[:, None]).sum(axis=1))
             delta = best_s * lam - lse
@@ -556,6 +555,28 @@ class GiraffeMapper:
         mapqs = np.clip(-10.0 / np.log(10.0) * one_minus, 0, p.max_mapq)
         mapqs = np.where(np.isfinite(mapqs), mapqs, p.max_mapq).astype(int)
         return self.emit_chosen(sb, best_j, mapqs, any_valid)
+
+    def _distinct_placements(self, sb: "ScoredBatch",
+                             valid: np.ndarray) -> np.ndarray:
+        """(R, C) mask keeping, per distinct placement, only the
+        best-scoring candidate. Placement = (strand, ref projection within
+        half a read length); off-reference candidates fall back to their
+        haplotype-copy identity (conservative: treated as distinct)."""
+        scores = sb.scores
+        R, C = scores.shape
+        rp = sb.cand_refpath if sb.cand_refpath is not None else             np.full((R, C), -1, np.int32)
+        ro = sb.cand_refoff if sb.cand_refoff is not None else             np.zeros((R, C), np.int64)
+        L = max((len(c) for c in sb.codes), default=100)
+        tol = max(L // 2, 32)
+        same = ((sb.cand_rev[:, :, None] == sb.cand_rev[:, None, :])
+                & (rp[:, :, None] >= 0)
+                & (rp[:, :, None] == rp[:, None, :])
+                & (np.abs(ro[:, :, None] - ro[:, None, :]) <= tol))
+        better = (scores[:, None, :] > scores[:, :, None]) | (
+            (scores[:, None, :] == scores[:, :, None])
+            & (np.arange(C)[None, None, :] < np.arange(C)[None, :, None]))
+        dup = (same & better & valid[:, None, :]).any(axis=2)
+        return ~dup
 
     def emit_chosen(self, sb: "ScoredBatch", best_j: np.ndarray,
                     mapqs: np.ndarray, any_valid: np.ndarray

@@ -68,8 +68,12 @@ class LongReadMapper:
         self.params.chain.kmer = index.k
         self.scoring = scoring
         self.graph = haps.graph
+        from ..graph.arraygraph import SENSE_REFERENCE
+
+        ref_sense = [m.name for m in self.graph.path_meta
+                     if m.sense == SENSE_REFERENCE]
         self.path_pos = PathPositionIndex(
-            self.graph, [m.name for m in self.graph.path_meta])
+            self.graph, ref_sense or [m.name for m in self.graph.path_meta])
 
     # ----------------------------------------------------------- anchors
 

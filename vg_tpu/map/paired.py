@@ -176,6 +176,10 @@ class PairedGiraffeMapper:
         s2 = sb2.scores.astype(np.float64)
         v1 = sb1.cand_valid & (s1 > 0)
         v2 = sb2.cand_valid & (s2 > 0)
+        # haplotype copies of one placement are one mapping; keep the best
+        # copy per placement for both selection and MAPQ
+        v1 = v1 & m._distinct_placements(sb1, v1)
+        v2 = v2 & m._distinct_placements(sb2, v2)
         L1 = np.array([len(c) for c in sb1.codes])
         L2 = np.array([len(c) for c in sb2.codes])
         d1 = sb1.cand_start + B            # (R, C)
