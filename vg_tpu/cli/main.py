@@ -854,6 +854,34 @@ def cmd_annotate(args) -> int:
     return 0
 
 
+
+
+def cmd_convert(args) -> int:
+    g = _load_graph_any(args.input)
+    _save_graph_any(g, args.output)
+    return 0
+
+
+def cmd_gampcompare(args) -> int:
+    from ..io.gamp import read_gamp
+    from ..io.gam import read_gam
+    from ..map.gamcompare import compare
+
+    test = [mp.best_alignment() for mp in read_gamp(args.gamp)]
+    truth = list(read_gam(args.truth_gam))
+    # positions for the converted alignments
+    g = _load_graph_any(args.xg) if args.xg else None
+    if g is not None:
+        from ..map.project import PathPositionIndex
+
+        ppi = PathPositionIndex(g)
+        for a in test:
+            ppi.annotate_refpos(a)
+    stats = compare(test, truth, range_bp=args.range)
+    print(json.dumps(stats))
+    return 0
+
+
 # ----------------------------------------------------------------- parser
 
 def build_parser() -> argparse.ArgumentParser:
@@ -1149,10 +1177,35 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--output")
     an.set_defaults(func=cmd_annotate)
 
+
+    cv = sub.add_parser("convert", help="graph format conversion")
+    cv.add_argument("input")
+    cv.add_argument("-o", "--output", required=True)
+    cv.set_defaults(func=cmd_convert)
+
+    gpc = sub.add_parser("gampcompare", help="multipath correctness compare")
+    gpc.add_argument("gamp")
+    gpc.add_argument("truth_gam")
+    gpc.add_argument("-x", "--xg")
+    gpc.add_argument("-r", "--range", type=int, default=100)
+    gpc.set_defaults(func=cmd_gampcompare)
+
     return ap
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    import os
+
+    plat = os.environ.get("VGTPU_PLATFORM")
+    if plat:
+        # the axon sitecustomize pins JAX_PLATFORMS; this override wins if
+        # set before the first backend use (e.g. VGTPU_PLATFORM=cpu)
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     args = build_parser().parse_args(argv)
     return args.func(args)
 
