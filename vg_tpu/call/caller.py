@@ -36,6 +36,10 @@ class CallParams:
     min_total_support_for_call: float = 2.0
     avg_support_switch_len: int = 50      # min->avg support switch
     max_gq: int = 256
+    # binomial allele-balance filter (reference XADL,
+    # snarl_caller.cpp:351-368): hets whose balance is this improbable
+    # under Binomial(n, 0.5) get FILTER=lowad
+    min_ad_log_likelihood: float = -9.0
 
 
 @dataclass
@@ -61,6 +65,12 @@ class VariantCall:
         return "\t".join([
             self.chrom, str(self.pos), ".", self.ref, alt_s, str(self.gq),
             self.filter, info, fmt, sample])
+
+
+def _log_binom(n: float, k: float) -> float:
+    n, k = float(n), float(k)
+    return (math.lgamma(n + 1) - math.lgamma(k + 1)
+            - math.lgamma(n - k + 1))
 
 
 def _log_poisson(k: float, lam: float) -> float:
@@ -169,6 +179,16 @@ class SnarlCaller:
         a1, a2 = combos[bi]
         if a1 == ref_ti and a2 == ref_ti:
             return None                       # hom-ref: no VCF record
+        # allele-balance filter for hets (binomial log-likelihood at p=0.5)
+        filt = "PASS"
+        if a1 != a2:
+            s1v, s2v = supports[a1], supports[a2]
+            n_tot = s1v + s2v
+            kmin = min(s1v, s2v)
+            if n_tot >= 4:
+                xadl = (_log_binom(n_tot, kmin) + n_tot * math.log(0.5))
+                if xadl < p.min_ad_log_likelihood:
+                    filt = "lowad"
 
         # VCF record: left-anchor at the last base of the start node
         anchor_off = start_off + g.node_len(int(g.node_id[sn.start >> 1])) - 1
@@ -188,6 +208,7 @@ class SnarlCaller:
             alts=alts, genotype=gt, gq=max(gq, 0),
             depth=self.exp_depth,
             allele_supports=[supports[ref_ti]] + [supports[a] for a in alt_ids],
+            filter=filt,
             snarl=(sn.start, sn.end))
 
     def _ref_walk(self, sn: Snarl) -> Optional[List[int]]:
