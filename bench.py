@@ -127,39 +127,51 @@ def main():
     if mode == "paired":
         from vg_tpu.map.paired import PairedGiraffeMapper
 
+        import io as _io
+
+        from vg_tpu.io.gam import write_messages
+
         pm = PairedGiraffeMapper(mapper)
         n_pairs = n_bench // 2
         pairs = simulate_pairs(rng, haps, n_pairs + bs)
         pm.map_pairs(pairs[:bs])            # warmup: compile + fragdist
+        out = _io.BytesIO()
         t0 = time.time()
-        mapped = aligned = proper = 0
+        mapped = 0
         for i in range(bs, len(pairs), bs):
-            batch = pairs[i : i + bs]
-            for a, b in pm.map_pairs(batch):
-                mapped += 2
-                aligned += (a.path is not None) + (b.path is not None)
-                proper += bool(a.annotation.get("proper_pair"))
+            recs = pm.map_pairs_encoded(pairs[i : i + bs])
+            if recs is None:
+                recs = [a.encode() for a in
+                        pm.map_pairs_flat(pairs[i : i + bs])]
+            mapped += len(recs)
+            write_messages(out, recs)
         dt = time.time() - t0
         rps = mapped / dt
         sys.stderr.write(
-            f"[bench] paired: {mapped} reads in {dt:.2f}s, "
-            f"{aligned/mapped*100:.1f}% aligned, "
-            f"{200*proper/mapped:.1f}% proper\n")
+            f"[bench] paired: {mapped} reads in {dt:.2f}s -> "
+            f"{out.getbuffer().nbytes/1e6:.1f} MB GAM\n")
         metric = "giraffe_sr_paired_reads_per_s_per_chip"
     else:
+        import io as _io
+
+        from vg_tpu.io.gam import write_messages
+
         reads = simulate_reads(rng, haps, n_bench + bs)
         mapper.map_batch(reads[:bs])
+        out = _io.BytesIO()
         t0 = time.time()
-        mapped = aligned = 0
+        mapped = 0
+        nbytes = 0
         batches = (reads[i : i + bs] for i in range(bs, len(reads), bs))
-        for alns in mapper.map_stream(batches):
-            mapped += len(alns)
-            aligned += sum(1 for a in alns if a.path is not None)
+        for recs in mapper.map_stream_encoded(batches):
+            mapped += len(recs)
+            write_messages(out, recs)
         dt = time.time() - t0
+        nbytes = out.getbuffer().nbytes
         rps = mapped / dt
         sys.stderr.write(
-            f"[bench] {mapped} reads in {dt:.2f}s, "
-            f"{aligned/mapped*100:.1f}% aligned\n")
+            f"[bench] {mapped} reads in {dt:.2f}s -> "
+            f"{nbytes/1e6:.1f} MB GAM\n")
         metric = "giraffe_sr_reads_per_s_per_chip"
     print(json.dumps({
         "metric": metric,

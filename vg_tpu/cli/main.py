@@ -181,6 +181,30 @@ def cmd_giraffe(args) -> int:
             alns_out.extend(alns)
 
     n = 0
+    # single-end GAM: stream encoded records through the native emitter
+    if (args.output_format == "gam" and not args.fastq_mate
+            and not args.interleaved and hasattr(mapper, "map_stream_encoded")):
+        from ..io.gam import write_messages
+
+        def batches():
+            batch = []
+            for r in iter_fastq(args.fastq):
+                batch.append(r)
+                if len(batch) >= args.batch_size:
+                    yield batch
+                    batch = []
+            if batch:
+                yield batch
+
+        sink = open(args.output, "wb") if args.output else sys.stdout.buffer
+        n = 0
+        for recs in mapper.map_stream_encoded(batches()):
+            write_messages(sink, recs)
+            n += len(recs)
+        if args.output:
+            sink.close()
+        print(f"mapped {n} reads", file=sys.stderr)
+        return 0
     if args.fastq_mate or args.interleaved:
         pm = PairedGiraffeMapper(mapper)
         if args.fastq_mate:

@@ -128,10 +128,12 @@ class GiraffeMapper:
         n = self.graph.node_count
         self._node_ref_path = np.full(n, -1, np.int32)
         self._node_ref_off = np.zeros(n, np.int64)
+        self._node_ref_rev = np.zeros(n, bool)
         for idx, occs in self.path_pos.occ.items():
             pi, step_off, step_rev = occs[0]
             self._node_ref_path[idx] = pi
             self._node_ref_off[idx] = step_off
+            self._node_ref_rev[idx] = step_rev
         from ..utils.funnel import Funnel
 
         self.funnel = Funnel()
@@ -511,6 +513,24 @@ class GiraffeMapper:
         sb = self.score_reads(reads)
         return self.emit_batch(sb)
 
+    def map_stream_encoded(self, batches):
+        """map_stream variant yielding lists of encoded GAM records (native
+        fast path; falls back to object emission + encode)."""
+        pending = None
+        for batch in batches:
+            sb = self.score_reads(batch)
+            if pending is not None:
+                recs = self.emit_batch_encoded(pending)
+                if recs is None:
+                    recs = [a.encode() for a in self.emit_batch(pending)]
+                yield recs
+            pending = sb
+        if pending is not None:
+            recs = self.emit_batch_encoded(pending)
+            if recs is None:
+                recs = [a.encode() for a in self.emit_batch(pending)]
+            yield recs
+
     def map_stream(self, batches) -> "Iterator[List[Alignment]]":
         """Map an iterator of read batches with device/host overlap: batch
         i+1's DP runs on device while batch i's winners emit on host (the
@@ -649,6 +669,170 @@ class GiraffeMapper:
             for aln in out:
                 self.funnel.annotate(aln, per_read)
         return out
+
+
+    # -------------------------------------------------- encoded emission
+
+    def emit_batch_encoded(self, sb: "ScoredBatch"):
+        """Winner selection + MAPQ as emit_batch, but gapless winners are
+        encoded straight to GAM protobuf bytes by the native kernel
+        (the production output path: no per-read Python objects).
+        Returns a list of bytes-like protobuf messages in read order, or
+        None when the native library is unavailable."""
+        from ..native import lib as native_lib
+        from .mapq import log_base
+
+        if native_lib() is None:
+            return None
+        p = self.params
+        R = len(sb.reads)
+        scores = sb.scores
+        valid = sb.cand_valid & (scores > 0)
+        any_valid = valid.any(axis=1)
+        masked = np.where(valid, scores, -1)
+        best_j = np.argmax(masked, axis=1)
+        best_s = masked[np.arange(R), best_j]
+        lam = log_base(p.match, p.mismatch)
+        uniq = self._distinct_placements(sb, valid)
+        sc = np.where(valid & uniq, scores * lam, -np.inf)
+        mx = np.maximum(sc.max(axis=1), best_s * lam)
+        with np.errstate(over="ignore", invalid="ignore"):
+            lse = mx + np.log(np.exp(sc - mx[:, None]).sum(axis=1))
+            delta = best_s * lam - lse
+            one_minus = np.where(delta < -1e-12,
+                                 np.log1p(-np.exp(np.minimum(delta, -1e-12))),
+                                 -50.0)
+        mapqs = np.clip(-10.0 / np.log(10.0) * one_minus, 0, p.max_mapq)
+        mapqs = np.where(np.isfinite(mapqs), mapqs, p.max_mapq).astype(np.int32)
+        return self.emit_chosen_encoded(sb, best_j, mapqs, any_valid)
+
+    def emit_chosen_encoded(self, sb: "ScoredBatch", best_j: np.ndarray,
+                            mapqs: np.ndarray, any_valid: np.ndarray):
+        from ..native import lib as native_lib, native_emit_gapless_gam
+
+        if native_lib() is None:
+            return None
+        p = self.params
+        R = len(sb.reads)
+        B = p.band_radius
+        scores = sb.scores
+        best_s = scores[np.arange(R), best_j]
+        mapqs = np.asarray(mapqs, np.int32)
+
+        text = self.haps.text
+        L_arr = np.array([len(c) for c in sb.codes])
+        RL = int(L_arr.max()) if R else 0
+        ar = np.arange(R)
+        diag = sb.cand_start[ar, best_j].astype(np.int64) + B
+        lo = sb.cand_lo[ar, best_j]
+        hi = sb.cand_hi[ar, best_j]
+        rev = sb.cand_rev[ar, best_j]
+        pos = diag[:, None] + np.arange(RL)
+        ok = (pos >= lo[:, None]) & (pos < hi[:, None]) & (pos >= 0) & \
+             (pos < len(text))
+        tw = np.where(ok, text[np.clip(pos, 0, len(text) - 1)],
+                      align_ops.SENTINEL).astype(np.uint8)
+        oriented = np.full((R, RL), 5, np.uint8)
+        for i in range(R):
+            c = sb.codes_rc[i] if rev[i] else sb.codes[i]
+            oriented[i, : len(c)] = c
+        col = np.arange(RL)[None, :]
+        inread = col < L_arr[:, None]
+        mism = ((tw != oriented) | (oriented >= 4)) & inread
+        mm = mism.sum(axis=1)
+        gl_score = (L_arr - mm) * p.match - mm * p.mismatch \
+            + 2 * p.full_length_bonus
+        fast = any_valid & (gl_score == best_s)
+        w = np.nonzero(fast)[0]
+        Nw = len(w)
+
+        records: List[object] = [None] * R
+        if Nw:
+            t0 = diag[w]
+            t1 = t0 + L_arr[w]
+            # refpos of the alignment's first mapping (vectorized
+            # positions_of): fwd winners anchor at t0's node; rev winners
+            # at t1's node in flipped orientation
+            stp = self.haps.step_text_pos
+            si0 = np.searchsorted(stp[1:], t0, side="right")
+            si1 = np.searchsorted(stp[1:], t1 - 1, side="right")
+            si = np.where(rev[w], si1, si0)
+            h = self.haps.steps[si]
+            nidx = (h >> 1).astype(np.int64)
+            nlen = (self.graph.seq_start[nidx + 1]
+                    - self.graph.seq_start[nidx])
+            off_fwd = t0 - stp[si0]
+            off_rev = nlen - (t1 - stp[si1])
+            moff = np.where(rev[w], off_rev, off_fwd)
+            mrev = (h & 1).astype(bool) ^ rev[w]
+            rp = self._node_ref_path[nidx]
+            step_off = self._node_ref_off[nidx]
+            step_rev = self._node_ref_rev[nidx]
+            same_or = mrev == step_rev
+            roff = np.where(same_or, step_off + moff,
+                            step_off + (nlen - moff))
+            rrev = ~same_or
+            names_b = [r.name.encode() for r in (sb.reads[i] for i in w)]
+            reads_b = [sb.reads[i].sequence.encode() for i in w]
+            quals_b = [bytes((ord(q) - 33) for q in sb.reads[i].quality)
+                       if sb.reads[i].quality else b"" for i in w]
+
+            def blob(parts):
+                off = np.zeros(len(parts) + 1, np.int64)
+                np.cumsum([len(x) for x in parts], out=off[1:])
+                return off, np.frombuffer(b"".join(parts) or b"\0",
+                                          np.uint8)
+
+            name_off, names = blob(names_b)
+            read_off, reads_blob = blob(reads_b)
+            qual_off, quals = blob(quals_b)
+            refnames_b = [n.encode() for n in self.path_pos.path_names]
+            refname_off, refnames = blob(refnames_b)
+            arrs = {
+                "N": Nw, "t0": t0, "t1": t1,
+                "rev": rev[w].astype(np.uint8),
+                "mapq": mapqs[w].astype(np.int32),
+                "score": best_s[w].astype(np.int32),
+                "name_off": name_off, "names": names,
+                "read_off": read_off, "reads": reads_blob,
+                "qual_off": qual_off, "quals": quals,
+                "mism": np.ascontiguousarray(mism[w]).astype(np.uint8),
+                "RL": RL, "rlen": L_arr[w].astype(np.int64),
+                "step_text_pos": self.haps.step_text_pos,
+                "steps": self.haps.steps,
+                "n_steps": len(self.haps.steps),
+                "node_id": self.graph.node_id,
+                "seq_start": self.graph.seq_start,
+                "ref_path": rp.astype(np.int32),
+                "ref_off": roff.astype(np.int64),
+                "ref_rev": rrev.astype(np.uint8),
+                "refname_off": refname_off, "refnames": refnames,
+            }
+            cap = int(read_off[-1] * 6 + Nw * 512 + 4096)
+            res = native_emit_gapless_gam(arrs, cap)
+            if res is None:
+                return None
+            buf, rec_off = res
+            mv = memoryview(buf)
+            for k, i in enumerate(w):
+                records[i] = mv[int(rec_off[k]) : int(rec_off[k + 1])]
+
+        # fallback: unmapped + indel winners via the object path
+        slow = np.nonzero(~fast)[0]
+        if len(slow):
+            sub_best = best_j.copy()
+            for i in slow:
+                if not any_valid[i]:
+                    r = sb.reads[i]
+                    qual = bytes((ord(q) - 33) for q in r.quality) \
+                        if r.quality else b""
+                    records[i] = Alignment(
+                        name=r.name, sequence=r.sequence,
+                        quality=qual).encode()
+                else:
+                    aln = self.emit(sb, i, int(best_j[i]), int(mapqs[i]))
+                    records[i] = aln.encode()
+        return records
 
     def _gapless_check(self, oriented: np.ndarray, window: np.ndarray,
                        device_score: int):

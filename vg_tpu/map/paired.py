@@ -145,7 +145,11 @@ class PairedGiraffeMapper:
         self._rescue(sb1, sb2)
         self._rescue(sb2, sb1)
 
-        alns1, alns2, proper, frags = self._pair_batch(sb1, sb2)
+        sel = self._pair_select(sb1, sb2)
+        j1, j2, mq1, mq2, any1, any2, use_pair, frags = sel
+        alns1 = m.emit_chosen(sb1, j1, mq1, any1)
+        alns2 = m.emit_chosen(sb2, j2, mq2, any2)
+        proper = use_pair & any1 & any2
         out: List[Tuple[Alignment, Alignment]] = []
         for i in range(len(pairs)):
             a1, a2 = alns1[i], alns2[i]
@@ -161,10 +165,10 @@ class PairedGiraffeMapper:
             out.append((a1, a2))
         return out
 
-    def _pair_batch(self, sb1: ScoredBatch, sb2: ScoredBatch):
+    def _pair_select(self, sb1: ScoredBatch, sb2: ScoredBatch):
         """Vectorized pairing over the whole batch: all (C1, C2) candidate
-        combos scored at once, winners emitted through the mapper's
-        vectorized path."""
+        combos scored at once; returns chosen candidates + MAPQs (emission
+        happens through the mapper's vectorized or encoded path)."""
         m = self.mapper
         p = m.params
         pp = self.params
@@ -264,13 +268,52 @@ class PairedGiraffeMapper:
                        np.minimum(mq_pair, mq2_solo + 25), mq2_solo)
         any1 = v1.any(axis=1)
         any2 = v2.any(axis=1)
-        alns1 = m.emit_chosen(sb1, j1, np.clip(mq1, 0, p.max_mapq).astype(int),
-                              any1)
-        alns2 = m.emit_chosen(sb2, j2, np.clip(mq2, 0, p.max_mapq).astype(int),
-                              any2)
         frags = np.where(use_pair,
                          frag.reshape(R, C * C)[np.arange(R), best_combo], 0)
-        return alns1, alns2, use_pair & any1 & any2, frags
+        return (j1, j2, np.clip(mq1, 0, p.max_mapq).astype(np.int32),
+                np.clip(mq2, 0, p.max_mapq).astype(np.int32),
+                any1, any2, use_pair, frags)
+
+    def map_pairs_encoded(self, pairs: Sequence[Tuple[Read, Read]]):
+        """Paired mapping with native encoded GAM output: interleaved
+        records (r1, r2, ...) with fragment linkage and pair annotations
+        appended as protobuf suffixes. None if the native path is off."""
+        if not pairs:
+            return []
+        m = self.mapper
+        reads1 = [a for a, _ in pairs]
+        reads2 = [b for _, b in pairs]
+        sb1 = m.score_reads(reads1)
+        sb2 = m.score_reads(reads2)
+        if not self.fragdist.finalized:
+            self._observe_batch(sb1, sb2)
+        if not self.fragdist.finalized:
+            self.fragdist.finalize()
+        self._rescue(sb1, sb2)
+        self._rescue(sb2, sb1)
+        sel = self._pair_select(sb1, sb2)
+        if sel is None:
+            return None
+        j1, j2, mq1, mq2, any1, any2, use_pair, frags = sel
+        recs1 = m.emit_chosen_encoded(sb1, j1, mq1, any1)
+        recs2 = m.emit_chosen_encoded(sb2, j2, mq2, any2)
+        if recs1 is None or recs2 is None:
+            return None
+        from ..io.wire import field_bytes, field_str
+
+        out = []
+        for i in range(len(pairs)):
+            # fragment_next (12) on read1, fragment_prev (11) on read2
+            nm1 = field_bytes(12, field_str(3, reads2[i].name))
+            nm2 = field_bytes(11, field_str(3, reads1[i].name))
+            suffix = b""
+            if use_pair[i]:
+                suffix = _annotation_suffix(True, int(frags[i]))
+            elif any1[i] or any2[i]:
+                suffix = _annotation_suffix(False, 0)
+            out.append(bytes(recs1[i]) + nm1 + suffix)
+            out.append(bytes(recs2[i]) + nm2 + suffix)
+        return out
 
     def map_pairs_flat(self, pairs) -> List[Alignment]:
         out = []
@@ -435,3 +478,16 @@ def _seed_scan(window: np.ndarray, read: np.ndarray, k: int) -> np.ndarray:
         members = d[d // 8 == b]
         out.append(int(np.median(members)))
     return np.array(out, np.int64)
+
+
+def _annotation_suffix(proper: bool, fragment_length: int) -> bytes:
+    """Encoded `annotation` Struct (field 100) with proper_pair and
+    fragment_length — appended to native records (protobuf field order is
+    free, so suffix concatenation is valid)."""
+    from ..io.gam import _encode_struct
+    from ..io.wire import field_bytes
+
+    d = {"proper_pair": proper}
+    if fragment_length:
+        d["fragment_length"] = fragment_length
+    return field_bytes(100, _encode_struct(d))

@@ -171,3 +171,53 @@ def native_global_align(a: np.ndarray, b: np.ndarray, scoring,
             else:
                 merged.append((kind, 1, a[rp : rp + 1].copy()))
     return int(score), merged
+
+
+def register_emit(L):
+    import ctypes
+
+    L.emit_gapless_gam.restype = ctypes.c_int64
+    L.emit_gapless_gam.argtypes = (
+        [ctypes.c_int64]                 # N
+        + [ctypes.c_void_p] * 12         # t0..mism (incl. qual blob)
+        + [ctypes.c_int64]               # RL
+        + [ctypes.c_void_p] * 3          # rlen, step_text_pos, steps
+        + [ctypes.c_int64]               # n_steps
+        + [ctypes.c_void_p] * 7          # node_id..refnames
+        + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p])  # out, cap, rec_off
+
+
+def native_emit_gapless_gam(arrs, out_cap):
+    """Low-level call; arrs = dict of contiguous numpy arrays (see
+    GiraffeMapper.emit_batch_encoded). Returns (buffer, rec_offsets) or
+    None when the native lib is absent / buffer too small."""
+    import ctypes
+
+    L_ = lib()
+    if L_ is None:
+        return None
+    if not hasattr(L_, "_emit_registered"):
+        register_emit(L_)
+        L_._emit_registered = True
+    N = int(arrs["N"])
+    out = np.zeros(out_cap, np.uint8)
+    rec_off = np.zeros(N + 1, np.int64)
+    rc = L_.emit_gapless_gam(
+        N,
+        arrs["t0"].ctypes.data, arrs["t1"].ctypes.data,
+        arrs["rev"].ctypes.data, arrs["mapq"].ctypes.data,
+        arrs["score"].ctypes.data, arrs["name_off"].ctypes.data,
+        arrs["names"].ctypes.data, arrs["read_off"].ctypes.data,
+        arrs["reads"].ctypes.data, arrs["qual_off"].ctypes.data,
+        arrs["quals"].ctypes.data, arrs["mism"].ctypes.data,
+        ctypes.c_int64(int(arrs["RL"])), arrs["rlen"].ctypes.data,
+        arrs["step_text_pos"].ctypes.data, arrs["steps"].ctypes.data,
+        ctypes.c_int64(int(arrs["n_steps"])),
+        arrs["node_id"].ctypes.data, arrs["seq_start"].ctypes.data,
+        arrs["ref_path"].ctypes.data, arrs["ref_off"].ctypes.data,
+        arrs["ref_rev"].ctypes.data, arrs["refname_off"].ctypes.data,
+        arrs["refnames"].ctypes.data,
+        out.ctypes.data, out_cap, rec_off.ctypes.data)
+    if rc != 0:
+        return None
+    return out, rec_off

@@ -304,3 +304,260 @@ int64_t global_align(const uint8_t* a, int64_t la, const uint8_t* b,
 }
 
 }  // extern "C"
+
+namespace {
+
+// protobuf wire helpers
+inline int64_t put_varint(uint8_t* out, int64_t pos, uint64_t v) {
+    while (v >= 0x80) {
+        out[pos++] = (uint8_t)(v | 0x80);
+        v >>= 7;
+    }
+    out[pos++] = (uint8_t)v;
+    return pos;
+}
+inline int64_t put_tag(uint8_t* out, int64_t pos, uint32_t field,
+                       uint32_t wt) {
+    return put_varint(out, pos, (field << 3) | wt);
+}
+inline int varint_size(uint64_t v) {
+    int n = 1;
+    while (v >= 0x80) { v >>= 7; n++; }
+    return n;
+}
+
+const char* BASES = "ACGTN";
+
+}  // namespace
+
+extern "C" {
+
+// Encode gapless-winner GAM Alignment messages straight from arrays.
+// For each winner i: text interval [t0,t1), oriented mismatch mask row,
+// original read string, name, mapq/score, optional refpos.
+// Output: concatenated protobuf messages; rec_off[i] = start, rec_off[N] = end.
+// Returns 0 ok, -1 out buffer too small.
+int64_t emit_gapless_gam(
+    int64_t N,
+    const int64_t* t0s, const int64_t* t1s, const uint8_t* revs,
+    const int32_t* mapqs, const int32_t* scores,
+    const int64_t* name_off, const uint8_t* names,
+    const int64_t* read_off, const uint8_t* reads,   // ASCII, original strand
+    const int64_t* qual_off, const uint8_t* quals,   // phred bytes ('' = none)
+    const uint8_t* mism, int64_t RL,                 // (N, RL) oriented masks
+    const int64_t* rlens,
+    const int64_t* step_text_pos, const int64_t* steps, int64_t n_steps,
+    const int64_t* node_id, const int64_t* seq_start,
+    const int32_t* ref_path, const int64_t* ref_off, const uint8_t* ref_rev,
+    const int64_t* refname_off, const uint8_t* refnames,
+    uint8_t* out, int64_t out_cap, int64_t* rec_off) {
+    int64_t pos = 0;
+    std::vector<uint8_t> mapbuf, pathbuf, tmp;
+    for (int64_t i = 0; i < N; i++) {
+        rec_off[i] = pos;
+        const int64_t L = rlens[i];
+        const int64_t t0 = t0s[i], t1 = t1s[i];
+        const bool rev = revs[i];
+        const uint8_t* mrow = mism + i * RL;
+        // locate step range via binary search over step_text_pos
+        int64_t lo = 0, hi = n_steps;
+        while (lo < hi) {          // first step with end > t0
+            int64_t mid = (lo + hi) / 2;
+            if (step_text_pos[mid + 1] > t0) hi = mid; else lo = mid + 1;
+        }
+        // build mappings: forward pieces [si..], or reversed when rev
+        struct Piece { int64_t handle, off, len, fs; };
+        std::vector<Piece> pieces;
+        int64_t cur = t0, si = lo, covered = 0;
+        while (cur < t1) {
+            int64_t send = step_text_pos[si + 1];
+            int64_t take = std::min(t1, send) - cur;
+            pieces.push_back({steps[si], cur - step_text_pos[si], take,
+                              covered});
+            covered += take;
+            cur += take;
+            si++;
+        }
+        pathbuf.clear();
+        int64_t rank = 0;
+        const int64_t n_pieces = (int64_t)pieces.size();
+        for (int64_t pi = 0; pi < n_pieces; pi++) {
+            const Piece& pc = rev ? pieces[n_pieces - 1 - pi] : pieces[pi];
+            int64_t h = pc.handle, off = pc.off, len = pc.len;
+            int64_t nid = node_id[h >> 1];
+            int64_t nlen = seq_start[(h >> 1) + 1] - seq_start[h >> 1];
+            bool mrev = (h & 1) != 0;
+            if (rev) { mrev = !mrev; off = nlen - off - len; }
+            // flipped-space interval of this piece within the read
+            int64_t fs = rev ? (L - pc.fs - len) : pc.fs;
+            rank++;
+            mapbuf.clear();
+            // position submessage (field 1)
+            tmp.clear();
+            tmp.resize(64);
+            int64_t tp = 0;
+            tp = put_tag(tmp.data(), tp, 1, 0);
+            tp = put_varint(tmp.data(), tp, (uint64_t)nid);
+            if (off) {
+                tp = put_tag(tmp.data(), tp, 2, 0);
+                tp = put_varint(tmp.data(), tp, (uint64_t)off);
+            }
+            if (mrev) {
+                tp = put_tag(tmp.data(), tp, 4, 0);
+                tmp[tp++] = 1;
+            }
+            mapbuf.push_back((1 << 3) | 2);
+            {
+                uint8_t vb[10];
+                int64_t vp = put_varint(vb, 0, (uint64_t)tp);
+                mapbuf.insert(mapbuf.end(), vb, vb + vp);
+            }
+            mapbuf.insert(mapbuf.end(), tmp.data(), tmp.data() + tp);
+            // edits (field 2): runs of matches / mismatches over
+            // flipped-space interval [fs, fs+len)
+            int64_t e = fs;
+            const int64_t fe = fs + len;
+            while (e < fe) {
+                // flipped mask value at position e: mask is oriented-space;
+                // flipped index j maps to oriented index L-1-j when rev
+                auto mis_at = [&](int64_t j) -> bool {
+                    int64_t oi = rev ? (L - 1 - j) : j;
+                    return mrow[oi] != 0;
+                };
+                bool state = mis_at(e);
+                int64_t run_end = e + 1;
+                while (run_end < fe && mis_at(run_end) == state) run_end++;
+                int64_t n = run_end - e;
+                tmp.clear();
+                tmp.resize(32 + (state ? n : 0));
+                int64_t ep = 0;
+                ep = put_tag(tmp.data(), ep, 1, 0);
+                ep = put_varint(tmp.data(), ep, (uint64_t)n);
+                ep = put_tag(tmp.data(), ep, 2, 0);
+                ep = put_varint(tmp.data(), ep, (uint64_t)n);
+                if (state) {
+                    ep = put_tag(tmp.data(), ep, 3, 2);
+                    ep = put_varint(tmp.data(), ep, (uint64_t)n);
+                    const uint8_t* rd = reads + read_off[i];
+                    for (int64_t q = 0; q < n; q++)
+                        tmp[ep++] = rd[e + q];
+                }
+                mapbuf.push_back((2 << 3) | 2);
+                {
+                    uint8_t vb[10];
+                    int64_t vp = put_varint(vb, 0, (uint64_t)ep);
+                    mapbuf.insert(mapbuf.end(), vb, vb + vp);
+                }
+                mapbuf.insert(mapbuf.end(), tmp.data(), tmp.data() + ep);
+                e = run_end;
+            }
+            // rank (field 5)
+            {
+                uint8_t vb[16];
+                int64_t vp = 0;
+                vp = put_tag(vb, vp, 5, 0);
+                vp = put_varint(vb, vp, (uint64_t)rank);
+                mapbuf.insert(mapbuf.end(), vb, vb + vp);
+            }
+            // append mapping to path (field 2 of Path)
+            pathbuf.push_back((2 << 3) | 2);
+            {
+                uint8_t vb[10];
+                int64_t vp = put_varint(vb, 0, (uint64_t)mapbuf.size());
+                pathbuf.insert(pathbuf.end(), vb, vb + vp);
+            }
+            pathbuf.insert(pathbuf.end(), mapbuf.begin(), mapbuf.end());
+        }
+        // assemble Alignment
+        const int64_t name_len = name_off[i + 1] - name_off[i];
+        const int64_t read_len = read_off[i + 1] - read_off[i];
+        // refpos submessage
+        tmp.clear();
+        if (ref_path[i] >= 0) {
+            const int64_t rn0 = refname_off[ref_path[i]];
+            const int64_t rn1 = refname_off[ref_path[i] + 1];
+            tmp.resize(32 + (rn1 - rn0));
+            int64_t rp = 0;
+            if (ref_off[i]) {
+                rp = put_tag(tmp.data(), rp, 2, 0);
+                rp = put_varint(tmp.data(), rp, (uint64_t)ref_off[i]);
+            }
+            if (ref_rev[i]) {
+                rp = put_tag(tmp.data(), rp, 4, 0);
+                tmp[rp++] = 1;
+            }
+            rp = put_tag(tmp.data(), rp, 5, 2);
+            rp = put_varint(tmp.data(), rp, (uint64_t)(rn1 - rn0));
+            for (int64_t q = rn0; q < rn1; q++) tmp[rp++] = refnames[q];
+            tmp.resize(rp);
+        }
+        const int64_t qual_len = qual_off[i + 1] - qual_off[i];
+        int64_t need = 1 + varint_size(read_len) + read_len
+                     + (qual_len ? 12 + qual_len : 0)
+                     + 1 + varint_size(pathbuf.size()) + pathbuf.size()
+                     + 1 + varint_size(name_len) + name_len
+                     + 12 + 12
+                     + (tmp.empty() ? 0
+                        : (2 + varint_size(tmp.size()) + (int64_t)tmp.size()))
+                     + 10;  // identity double
+        if (pos + need + 16 > out_cap) return -1;
+        // sequence (field 1)
+        pos = put_tag(out, pos, 1, 2);
+        pos = put_varint(out, pos, (uint64_t)read_len);
+        memcpy(out + pos, reads + read_off[i], read_len);
+        pos += read_len;
+        // path (field 2)
+        pos = put_tag(out, pos, 2, 2);
+        pos = put_varint(out, pos, (uint64_t)pathbuf.size());
+        memcpy(out + pos, pathbuf.data(), pathbuf.size());
+        pos += pathbuf.size();
+        // name (field 3)
+        if (name_len) {
+            pos = put_tag(out, pos, 3, 2);
+            pos = put_varint(out, pos, (uint64_t)name_len);
+            memcpy(out + pos, names + name_off[i], name_len);
+            pos += name_len;
+        }
+        // quality (field 4)
+        {
+            const int64_t ql = qual_off[i + 1] - qual_off[i];
+            if (ql) {
+                if (pos + ql + 12 > out_cap) return -1;
+                pos = put_tag(out, pos, 4, 2);
+                pos = put_varint(out, pos, (uint64_t)ql);
+                memcpy(out + pos, quals + qual_off[i], ql);
+                pos += ql;
+            }
+        }
+        // mapping_quality (5), score (6)
+        if (mapqs[i]) {
+            pos = put_tag(out, pos, 5, 0);
+            pos = put_varint(out, pos, (uint64_t)mapqs[i]);
+        }
+        if (scores[i]) {
+            pos = put_tag(out, pos, 6, 0);
+            pos = put_varint(out, pos, (uint64_t)scores[i]);
+        }
+        // identity (16, double)
+        {
+            int64_t mmc = 0;
+            for (int64_t q = 0; q < L; q++) mmc += mrow[q] ? 1 : 0;
+            double ident = L ? (double)(L - mmc) / (double)L : 0.0;
+            pos = put_tag(out, pos, 16, 1);
+            memcpy(out + pos, &ident, 8);
+            pos += 8;
+        }
+        // refpos (19)
+        if (!tmp.empty()) {
+            pos = put_tag(out, pos, 19, 2);
+            pos = put_varint(out, pos, (uint64_t)tmp.size());
+            memcpy(out + pos, tmp.data(), tmp.size());
+            pos += (int64_t)tmp.size();
+        }
+        rec_off[i + 1] = pos;
+    }
+    rec_off[N] = pos;
+    return 0;
+}
+
+}  // extern "C"
