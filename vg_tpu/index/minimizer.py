@@ -123,6 +123,13 @@ def extract_minimizers_batch(codes2d: np.ndarray, k: int = DEFAULT_K,
     if L < k:
         z = np.zeros(0, np.int64)
         return z, z, np.zeros(0, np.uint64), np.zeros(0, bool)
+    from ..native import lib as _nlib, native_extract_minimizers_batch
+
+    if _nlib() is not None:
+        res = native_extract_minimizers_batch(
+            np.asarray(codes2d, np.uint8), k, w)
+        if res is not None:
+            return res
     from numpy.lib.stride_tricks import sliding_window_view
 
     valid_base = codes2d < 4

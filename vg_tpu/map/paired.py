@@ -339,14 +339,12 @@ class PairedGiraffeMapper:
         mu, sd = self.fragdist.mean, self.fragdist.stdev
         radius = int(mu + pp.rescue_stdevs * sd)
 
-        todo = []
-        for i in range(len(sb_need.reads)):
-            need_v = sb_need.cand_valid[i] & (sb_need.scores[i] > 0)
-            have_v = sb_have.cand_valid[i] & (sb_have.scores[i] > 0)
-            if need_v.any() or not have_v.any():
-                continue
-            j = int(np.argmax(np.where(have_v, sb_have.scores[i], -1)))
-            todo.append((i, j))
+        need_any = (sb_need.cand_valid & (sb_need.scores > 0)).any(axis=1)
+        have_v = sb_have.cand_valid & (sb_have.scores > 0)
+        have_any = have_v.any(axis=1)
+        cand_js = np.argmax(np.where(have_v, sb_have.scores, -1), axis=1)
+        todo = [(int(i), int(cand_js[i]))
+                for i in np.nonzero(~need_any & have_any)[0]]
         if not todo:
             return
 

@@ -221,3 +221,33 @@ def native_emit_gapless_gam(arrs, out_cap):
     if rc != 0:
         return None
     return out, rec_off
+
+
+def native_extract_minimizers_batch(codes2d: np.ndarray, k: int, w: int):
+    """Batch rolling-minimizer extraction in C; None if lib absent."""
+    import ctypes
+
+    L_ = lib()
+    if L_ is None:
+        return None
+    if not hasattr(L_, "_batch_registered"):
+        L_.extract_minimizers_batch.restype = ctypes.c_int64
+        L_.extract_minimizers_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
+        L_._batch_registered = True
+    codes2d = np.ascontiguousarray(codes2d, np.uint8)
+    R, L = codes2d.shape
+    cap = R * L
+    ridx = np.empty(cap, np.int64)
+    offs = np.empty(cap, np.int64)
+    keys = np.empty(cap, np.uint64)
+    rev = np.empty(cap, np.uint8)
+    n = L_.extract_minimizers_batch(
+        codes2d.ctypes.data, R, L, k, w, ridx.ctypes.data,
+        offs.ctypes.data, keys.ctypes.data, rev.ctypes.data, cap)
+    if n < 0:
+        return None
+    return ridx[:n], offs[:n], keys[:n], rev[:n].astype(bool)

@@ -561,3 +561,26 @@ int64_t emit_gapless_gam(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Batch minimizer extraction over equal-length rows: reads (R, L)
+// row-major. Outputs flat arrays + per-read counts. Caps at out_cap.
+int64_t extract_minimizers_batch(const uint8_t* reads, int64_t R, int64_t L,
+                                 int32_t k, int32_t w,
+                                 int64_t* out_read, int64_t* out_offs,
+                                 uint64_t* out_keys, uint8_t* out_rev,
+                                 int64_t out_cap) {
+    int64_t total = 0;
+    for (int64_t r = 0; r < R; r++) {
+        if (total + L > out_cap) return -1;
+        const int64_t cnt = extract_minimizers(
+            reads + r * L, L, k, w, out_offs + total, out_keys + total,
+            out_rev + total);
+        for (int64_t i = 0; i < cnt; i++) out_read[total + i] = r;
+        total += cnt;
+    }
+    return total;
+}
+
+}  // extern "C"
