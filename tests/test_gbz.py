@@ -60,3 +60,44 @@ def test_map_against_gbz(y_gbz, ref_test_dir):
         assert a.score == 110
         assert a.refpos and a.refpos[0].name == "y"
         assert abs(a.refpos[0].offset - i * 90) <= 2
+
+
+def test_gbz_write_roundtrip_fixture(y_gbz, tmp_path):
+    """Write the fixture's graph+haplotypes with our writer; read it back;
+    everything must survive (reader and writer are mutually validating)."""
+    from vg_tpu.io.gbz_write import write_gbz
+
+    g, haps = gbz_to_graph(y_gbz)
+    out = tmp_path / "y.rt.gbz"
+    write_gbz(str(out), g, haps)
+    gbz2 = read_gbz(str(out))
+    g2, haps2 = gbz_to_graph(gbz2)
+    assert dict(g.iter_nodes()) == dict(g2.iter_nodes())
+    assert set(g.iter_edges()) == set(g2.iter_edges())
+    for m in g.path_meta:
+        assert g2.path_seq(m.name) == g.path_seq(m.name)
+    assert np.array_equal(haps.text, haps2.text)
+
+
+def test_gbz_write_constructed_graph(ref_test_dir, tmp_path):
+    """Construct x from FASTA+VCF, export GBZ, reload, and map a read."""
+    from vg_tpu.construct.constructor import Constructor, ConstructorParams
+    from vg_tpu.index.haplotypes import thread_haplotypes
+    from vg_tpu.index.minimizer import MinimizerIndex
+    from vg_tpu.io.gbz_write import write_gbz
+    from vg_tpu.io.vcf import read_vcf
+    from vg_tpu.map.giraffe import GiraffeMapper
+
+    ref = read_fasta(str(ref_test_dir / "small" / "x.fa"))
+    vcf = read_vcf(str(ref_test_dir / "small" / "x.vcf.gz"))
+    g, results = Constructor(ConstructorParams(max_node_size=32)).construct_graph(ref, vcf)
+    haps = thread_haplotypes(g, results, vcf)
+    out = tmp_path / "x.gbz"
+    write_gbz(str(out), g, haps)
+    g2, haps2 = gbz_to_graph(read_gbz(str(out)))
+    assert dict(g.iter_nodes()) == dict(g2.iter_nodes())
+    assert np.array_equal(np.sort(haps.text), np.sort(haps2.text))
+    m = GiraffeMapper(haps2, MinimizerIndex.build(haps2))
+    refseq = ref["x"].upper()
+    (aln,) = m.map_batch([Read("t", refseq[100:200], None)])
+    assert aln.score == 110

@@ -137,6 +137,10 @@ def cmd_autoindex(args) -> int:
     native.save_graph(gp, g)
     native.save_haplotypes(hp, haps)
     native.save_minimizer(mp, idx)
+    if args.gbz_out:
+        from ..io.gbz_write import write_gbz
+
+        write_gbz(args.gbz_out, g, haps)
     print(f"indexed: {g.node_count} nodes, {haps.count} haplotypes "
           f"({haps.total_len} bp text), {idx.unique_count} minimizers",
           file=sys.stderr)
@@ -882,6 +886,12 @@ def cmd_annotate(args) -> int:
 
 def cmd_convert(args) -> int:
     g = _load_graph_any(args.input)
+    if args.output.endswith(".gbz"):
+        from ..index.haplotypes import haplotypes_from_paths
+        from ..io.gbz_write import write_gbz
+
+        write_gbz(args.output, g, haplotypes_from_paths(g))
+        return 0
     _save_graph_any(g, args.output)
     return 0
 
@@ -927,6 +937,7 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("-v", "--vcf")
     a.add_argument("-g", "--gfa")
     a.add_argument("-Z", "--gbz")
+    a.add_argument("--gbz-out", help="also export the index as a GBZ")
     a.add_argument("-m", "--node-max", type=int, default=32)
     a.add_argument("-k", "--kmer-length", type=int, default=29)
     a.add_argument("-w", "--window-length", type=int, default=11)
