@@ -19,8 +19,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import align as align_ops
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data",
+              devices=None) -> Mesh:
+    devs = devices if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
