@@ -423,9 +423,11 @@ class Alignment:
 
 def write_messages(fileobj: BinaryIO, messages: Iterable[bytes],
                    tag_name: bytes | None = b"GAM",
-                   group_size: int = 1000) -> None:
-    """Write messages in vg stream framing (BGZF, grouped, optionally tagged)."""
-    w = bgzf.BGZFWriter(fileobj)
+                   group_size: int = 1000, level: int = 1) -> None:
+    """Write messages in vg stream framing (BGZF, grouped, optionally
+    tagged). Compression level 1 by default: GAM streams are write-hot
+    and htslib-compatible at any level."""
+    w = bgzf.BGZFWriter(fileobj, level=level)
     group: List[bytes] = []
 
     def flush_group():

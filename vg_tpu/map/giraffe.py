@@ -566,7 +566,7 @@ class GiraffeMapper:
         uniq = self._distinct_placements(sb, valid)
         sc = np.where(valid & uniq, scores * lam, -np.inf)
         mx = np.maximum(sc.max(axis=1), best_s * lam)
-        with np.errstate(over="ignore", invalid="ignore"):
+        with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
             lse = mx + np.log(np.exp(sc - mx[:, None]).sum(axis=1))
             delta = best_s * lam - lse
             one_minus = np.where(delta < -1e-12,
@@ -696,7 +696,7 @@ class GiraffeMapper:
         uniq = self._distinct_placements(sb, valid)
         sc = np.where(valid & uniq, scores * lam, -np.inf)
         mx = np.maximum(sc.max(axis=1), best_s * lam)
-        with np.errstate(over="ignore", invalid="ignore"):
+        with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
             lse = mx + np.log(np.exp(sc - mx[:, None]).sum(axis=1))
             delta = best_s * lam - lse
             one_minus = np.where(delta < -1e-12,

@@ -232,7 +232,7 @@ class PairedGiraffeMapper:
 
         # pair MAPQ: logsumexp over proper combos; capped by each end's own
         # candidate ambiguity (+25 for the pair evidence)
-        with np.errstate(over="ignore", invalid="ignore"):
+        with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
             mxp = best_pair
             lsep = mxp + np.log(
                 np.nansum(np.exp(np.where(np.isfinite(flat),
@@ -248,7 +248,7 @@ class PairedGiraffeMapper:
         def end_mapq(s, v, chosen):
             sc = np.where(v, s * lam, -np.inf)
             mx = sc.max(axis=1, where=v, initial=-np.inf)
-            with np.errstate(over="ignore", invalid="ignore"):
+            with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
                 lse = mx + np.log(np.exp(sc - mx[:, None]).sum(axis=1))
                 ch = s[np.arange(R), chosen] * lam
                 delta = ch - lse
