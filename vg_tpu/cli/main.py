@@ -185,6 +185,39 @@ def cmd_giraffe(args) -> int:
             alns_out.extend(alns)
 
     n = 0
+    # paired GAM: stream encoded interleaved records
+    if (args.output_format == "gam" and (args.fastq_mate or args.interleaved)
+            and hasattr(mapper, "score_reads")):
+        from ..io.gam import write_messages
+        from ..map.paired import PairedGiraffeMapper
+
+        pm = PairedGiraffeMapper(mapper)
+        if args.fastq_mate:
+            it = iter_fastq_paired(args.fastq, args.fastq_mate)
+        else:
+            it = iter_fastq_interleaved(args.fastq)
+        sink = open(args.output, "wb") if args.output else sys.stdout.buffer
+        batch = []
+        n = 0
+
+        def flush_pairs(batch):
+            recs = pm.map_pairs_encoded(batch)
+            if recs is None:
+                recs = [a.encode() for a in pm.map_pairs_flat(batch)]
+            write_messages(sink, recs)
+            return len(recs)
+
+        for pair in it:
+            batch.append(pair)
+            if len(batch) >= args.batch_size:
+                n += flush_pairs(batch)
+                batch = []
+        if batch:
+            n += flush_pairs(batch)
+        if args.output:
+            sink.close()
+        print(f"mapped {n} reads", file=sys.stderr)
+        return 0
     # single-end GAM: stream encoded records through the native emitter
     if (args.output_format == "gam" and not args.fastq_mate
             and not args.interleaved and hasattr(mapper, "map_stream_encoded")):
