@@ -135,14 +135,13 @@ def main():
         n_pairs = n_bench // 2
         pairs = simulate_pairs(rng, haps, n_pairs + bs)
         pm.map_pairs(pairs[:bs])            # warmup: compile + fragdist
+        from vg_tpu.parallel.pipeline import map_pairs_encoded_mt
+
         out = _io.BytesIO()
         t0 = time.time()
         mapped = 0
-        for i in range(bs, len(pairs), bs):
-            recs = pm.map_pairs_encoded(pairs[i : i + bs])
-            if recs is None:
-                recs = [a.encode() for a in
-                        pm.map_pairs_flat(pairs[i : i + bs])]
+        for recs in map_pairs_encoded_mt(
+                pm, (pairs[i : i + bs] for i in range(bs, len(pairs), bs))):
             mapped += len(recs)
             write_messages(out, recs)
         dt = time.time() - t0
@@ -158,12 +157,14 @@ def main():
 
         reads = simulate_reads(rng, haps, n_bench + bs)
         mapper.map_batch(reads[:bs])
+        from vg_tpu.parallel.pipeline import map_stream_encoded_mt
+
         out = _io.BytesIO()
         t0 = time.time()
         mapped = 0
         nbytes = 0
         batches = (reads[i : i + bs] for i in range(bs, len(reads), bs))
-        for recs in mapper.map_stream_encoded(batches):
+        for recs in map_stream_encoded_mt(mapper, batches):
             mapped += len(recs)
             write_messages(out, recs)
         dt = time.time() - t0

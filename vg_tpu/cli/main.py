@@ -233,9 +233,11 @@ def cmd_giraffe(args) -> int:
             if batch:
                 yield batch
 
+        from ..parallel.pipeline import map_stream_encoded_mt
+
         sink = open(args.output, "wb") if args.output else sys.stdout.buffer
         n = 0
-        for recs in mapper.map_stream_encoded(batches()):
+        for recs in map_stream_encoded_mt(mapper, batches()):
             write_messages(sink, recs)
             n += len(recs)
         if args.output:

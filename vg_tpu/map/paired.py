@@ -274,7 +274,15 @@ class PairedGiraffeMapper:
                 np.clip(mq2, 0, p.max_mapq).astype(np.int32),
                 any1, any2, use_pair, frags)
 
-    def map_pairs_encoded(self, pairs: Sequence[Tuple[Read, Read]]):
+    def score_pairs(self, pairs: Sequence[Tuple[Read, Read]]):
+        """Stage 1: seed + dispatch both sides (pipelinable)."""
+        m = self.mapper
+        sb1 = m.score_reads([a for a, _ in pairs])
+        sb2 = m.score_reads([b for _, b in pairs])
+        return sb1, sb2
+
+    def map_pairs_encoded(self, pairs: Sequence[Tuple[Read, Read]],
+                          scored=None):
         """Paired mapping with native encoded GAM output: interleaved
         records (r1, r2, ...) with fragment linkage and pair annotations
         appended as protobuf suffixes. None if the native path is off."""
@@ -283,8 +291,11 @@ class PairedGiraffeMapper:
         m = self.mapper
         reads1 = [a for a, _ in pairs]
         reads2 = [b for _, b in pairs]
-        sb1 = m.score_reads(reads1)
-        sb2 = m.score_reads(reads2)
+        if scored is not None:
+            sb1, sb2 = scored
+        else:
+            sb1 = m.score_reads(reads1)
+            sb2 = m.score_reads(reads2)
         if not self.fragdist.finalized:
             self._observe_batch(sb1, sb2)
         if not self.fragdist.finalized:

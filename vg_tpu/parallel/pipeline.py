@@ -1,0 +1,116 @@
+"""Threaded host pipeline for the mapping loop.
+
+The reference overlaps reading, mapping, and emission with OpenMP threads
+(vg::io::for_each_parallel). vg_tpu's host stages are dominated by
+GIL-releasing work — native C kernels (seeding, GAM encoding), numpy, the
+device DP, and zlib — so a small thread pipeline recovers the same
+overlap without processes:
+
+    stage S (thread): seed + dispatch device DP   (score_reads)
+    stage E (thread): fetch scores + emit encoded GAM records
+    caller         : consume records (write/BGZF)
+
+Queue depth is bounded so at most a few batches are in flight.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, List, Optional
+
+
+def map_stream_encoded_mt(mapper, batches: Iterable, depth: int = 3
+                          ) -> Iterator[List[bytes]]:
+    """Yield encoded GAM record lists per batch, pipelined across threads."""
+    q_scored: "queue.Queue" = queue.Queue(maxsize=depth)
+    q_out: "queue.Queue" = queue.Queue(maxsize=depth)
+    DONE = object()
+    err: List[BaseException] = []
+
+    def seeder():
+        try:
+            for batch in batches:
+                q_scored.put(mapper.score_reads(batch))
+        except BaseException as e:   # propagate to consumer
+            err.append(e)
+        finally:
+            q_scored.put(DONE)
+
+    def emitter():
+        try:
+            while True:
+                sb = q_scored.get()
+                if sb is DONE:
+                    break
+                recs = mapper.emit_batch_encoded(sb)
+                if recs is None:
+                    recs = [a.encode() for a in mapper.emit_batch(sb)]
+                q_out.put(recs)
+        except BaseException as e:
+            err.append(e)
+        finally:
+            q_out.put(DONE)
+
+    t1 = threading.Thread(target=seeder, daemon=True)
+    t2 = threading.Thread(target=emitter, daemon=True)
+    t1.start()
+    t2.start()
+    while True:
+        recs = q_out.get()
+        if recs is DONE:
+            break
+        yield recs
+    t1.join()
+    t2.join()
+    if err:
+        raise err[0]
+
+
+def map_pairs_encoded_mt(paired_mapper, pair_batches: Iterable,
+                         depth: int = 3) -> Iterator[List[bytes]]:
+    """Paired pipeline: seeding/dispatch of batch i+1 overlaps pairing +
+    emission of batch i."""
+    q_scored: "queue.Queue" = queue.Queue(maxsize=depth)
+    q_out: "queue.Queue" = queue.Queue(maxsize=depth)
+    DONE = object()
+    err: List[BaseException] = []
+
+    def seeder():
+        try:
+            for batch in pair_batches:
+                q_scored.put((batch, paired_mapper.score_pairs(batch)))
+        except BaseException as e:
+            err.append(e)
+        finally:
+            q_scored.put(DONE)
+
+    def finisher():
+        try:
+            while True:
+                item = q_scored.get()
+                if item is DONE:
+                    break
+                batch, scored = item
+                recs = paired_mapper.map_pairs_encoded(batch, scored=scored)
+                if recs is None:
+                    recs = [a.encode()
+                            for a in paired_mapper.map_pairs_flat(batch)]
+                q_out.put(recs)
+        except BaseException as e:
+            err.append(e)
+        finally:
+            q_out.put(DONE)
+
+    t1 = threading.Thread(target=seeder, daemon=True)
+    t2 = threading.Thread(target=finisher, daemon=True)
+    t1.start()
+    t2.start()
+    while True:
+        recs = q_out.get()
+        if recs is DONE:
+            break
+        yield recs
+    t1.join()
+    t2.join()
+    if err:
+        raise err[0]
