@@ -162,7 +162,8 @@ def cmd_giraffe(args) -> int:
         mapper = LongReadMapper(haps, idx)
     else:
         params = GiraffeParams(max_candidates=args.max_multimaps_internal,
-                               batch_reads=args.batch_size)
+                               batch_reads=args.batch_size,
+                               track_provenance=args.track_provenance)
         if args.parameter_preset == "fast":
             # reference fast preset: tighter caps (giraffe_main.cpp:940-951)
             params.hit_cap = 10
@@ -278,6 +279,8 @@ def cmd_giraffe(args) -> int:
                 write_gam(f, alns_out)
         else:
             write_gam(sys.stdout.buffer, alns_out)
+    if args.track_provenance and hasattr(mapper, "funnel"):
+        print(mapper.funnel.report(), file=sys.stderr)
     elif args.output_format == "sam":
         from ..io.sam import write_sam
         from ..surject.surjector import Surjector
@@ -991,6 +994,8 @@ def build_parser() -> argparse.ArgumentParser:
     gme.add_argument("--output")
     gme.add_argument("-b", "--parameter-preset", default="default",
                      choices=["default", "fast", "hifi", "r10", "lr"])
+    gme.add_argument("--track-provenance", action="store_true",
+                     help="funnel stage annotations + stderr report")
     gme.set_defaults(func=cmd_giraffe)
 
     s = sub.add_parser("surject", help="GAM -> SAM on reference paths")

@@ -322,8 +322,16 @@ class LongReadMapper:
         self.path_pos.annotate_refpos(aln)
         return aln
 
-    def map_batch(self, reads: Sequence[Read]) -> List[Alignment]:
-        return [self.map_read(r) for r in reads]
+    def map_batch(self, reads: Sequence[Read],
+                  threads: int = 1) -> List[Alignment]:
+        """Long-read mapping; threads>1 available but the chaining loop is
+        currently GIL-bound, so the default stays serial (see TODO.md)."""
+        if threads <= 1 or len(reads) < 4:
+            return [self.map_read(r) for r in reads]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            return list(ex.map(self.map_read, reads))
 
 
 def _merge_edits(edits: List[Tuple]) -> List[Tuple]:
