@@ -144,3 +144,31 @@ def test_cli_gamsort_filter_stats(indexed, capsys, tmp_path):
     out = dict(l.split("\t") for l in capsys.readouterr().out.splitlines())
     assert int(out["total"]) == 50
     assert int(out["aligned"]) >= 45
+
+
+def test_cli_gamsort_external(indexed, tmp_path):
+    d, prefix = indexed
+    mapped_gam = d / "mapped.gam"
+    out = tmp_path / "ext.gam"
+    assert main(["gamsort", str(mapped_gam), "-e", "--chunk-size", "10",
+                 "--output", str(out)]) == 0
+    from vg_tpu.io.gam import read_gam
+    from vg_tpu.utils.alnstats import sort_key
+
+    alns = list(read_gam(str(out)))
+    keys = [sort_key(a) for a in alns]
+    assert keys == sorted(keys)
+    assert len(alns) == 50
+
+
+def test_cli_haplotypes_sampling(indexed, tmp_path):
+    d, prefix = indexed
+    fq = d / "reads.fq"
+    out_prefix = str(tmp_path / "sampled")
+    assert main(["haplotypes", "-Z", prefix, "-f", str(fq),
+                 "-n", "1", "-p", out_prefix]) == 0
+    from vg_tpu.io import native
+
+    g = native.load_graph(out_prefix + ".vgz.npz")
+    haps = native.load_haplotypes(out_prefix + ".hpt.npz", g)
+    assert haps.count <= 2

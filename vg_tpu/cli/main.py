@@ -637,6 +637,17 @@ def cmd_inject(args) -> int:
 
 
 def cmd_gamsort(args) -> int:
+    if args.external:
+        from ..utils.alnstats import external_sort_gam
+
+        if not args.output:
+            print("error [vg_tpu gamsort]: --external needs --output",
+                  file=sys.stderr)
+            return 1
+        n = external_sort_gam(args.gam, args.output,
+                              chunk_records=args.chunk_size)
+        print(f"sorted {n} records", file=sys.stderr)
+        return 0
     from ..io.gam import read_gam, write_gam
     from ..utils.alnstats import sort_alignments
 
@@ -954,6 +965,31 @@ def cmd_gampcompare(args) -> int:
     return 0
 
 
+
+
+def cmd_haplotypes(args) -> int:
+    from ..index.minimizer import MinimizerIndex
+    from ..index.sampling import sample_haplotypes
+    from ..io import native
+    from ..io.fastq import iter_fastq
+
+    g, haps, _ = _load_bundle(args.index_prefix)
+    reads = []
+    for i, r in enumerate(iter_fastq(args.fastq)):
+        reads.append(r)
+        if i >= args.max_reads:
+            break
+    sampled = sample_haplotypes(haps, reads,
+                                num_haplotypes=args.num_haplotypes)
+    gp, hp, mp = _bundle_paths(args.output_prefix)
+    native.save_graph(gp, g)
+    native.save_haplotypes(hp, sampled)
+    native.save_minimizer(mp, MinimizerIndex.build(sampled))
+    print(f"sampled {sampled.count} haplotypes "
+          f"({sampled.total_len} bp text)", file=sys.stderr)
+    return 0
+
+
 # ----------------------------------------------------------------- parser
 
 def build_parser() -> argparse.ArgumentParser:
@@ -1163,6 +1199,9 @@ def build_parser() -> argparse.ArgumentParser:
     gs = sub.add_parser("gamsort", help="sort GAM by graph coordinate")
     gs.add_argument("gam")
     gs.add_argument("--output")
+    gs.add_argument("-e", "--external", action="store_true",
+                    help="disk-backed merge sort for large inputs")
+    gs.add_argument("--chunk-size", type=int, default=100000)
     gs.set_defaults(func=cmd_gamsort)
 
     fl = sub.add_parser("filter", help="filter alignments")
@@ -1264,6 +1303,16 @@ def build_parser() -> argparse.ArgumentParser:
     gpc.add_argument("-x", "--xg")
     gpc.add_argument("-r", "--range", type=int, default=100)
     gpc.set_defaults(func=cmd_gampcompare)
+
+
+    hp = sub.add_parser("haplotypes",
+                        help="sample haplotypes best supported by reads")
+    hp.add_argument("-Z", "--index-prefix", required=True)
+    hp.add_argument("-f", "--fastq", required=True)
+    hp.add_argument("-n", "--num-haplotypes", type=int, default=4)
+    hp.add_argument("--max-reads", type=int, default=20000)
+    hp.add_argument("-p", "--output-prefix", required=True)
+    hp.set_defaults(func=cmd_haplotypes)
 
     return ap
 

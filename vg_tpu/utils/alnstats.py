@@ -85,3 +85,54 @@ def sort_key(a: Alignment):
 
 def sort_alignments(alns: List[Alignment]) -> List[Alignment]:
     return sorted(alns, key=sort_key)
+
+
+def external_sort_gam(in_path: str, out_path: str,
+                      chunk_records: int = 100_000) -> int:
+    """Disk-backed merge sort for GAMs too large for memory (vg gamsort's
+    StreamSorter role, reference src/stream_sorter.hpp). Returns record
+    count."""
+    import heapq
+    import os
+    import tempfile
+
+    from ..io.gam import Alignment, read_messages, write_messages
+    from ..io import bgzf
+
+    chunks = []
+    buf = []
+
+    def flush():
+        if not buf:
+            return
+        buf.sort(key=lambda t: t[0])
+        f = tempfile.NamedTemporaryFile(delete=False, suffix=".gamchunk")
+        write_messages(f, (m for _, m in buf))
+        f.close()
+        chunks.append(f.name)
+        buf.clear()
+
+    with open(in_path, "rb") as f:
+        data = f.read()
+    n = 0
+    for msg in read_messages(data):
+        a = Alignment.decode(msg)
+        buf.append((sort_key(a), msg))
+        n += 1
+        if len(buf) >= chunk_records:
+            flush()
+    flush()
+
+    def chunk_iter(path):
+        with open(path, "rb") as f:
+            data = f.read()
+        for msg in read_messages(data):
+            a = Alignment.decode(msg)
+            yield (sort_key(a), msg)
+
+    merged = heapq.merge(*(chunk_iter(c) for c in chunks))
+    with open(out_path, "wb") as f:
+        write_messages(f, (m for _, m in merged))
+    for c in chunks:
+        os.unlink(c)
+    return n
