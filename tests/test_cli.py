@@ -172,3 +172,33 @@ def test_cli_haplotypes_sampling(indexed, tmp_path):
     g = native.load_graph(out_prefix + ".vgz.npz")
     haps = native.load_haplotypes(out_prefix + ".hpt.npz", g)
     assert haps.count <= 2
+
+
+def test_cli_surject_bam(indexed, capsys, tmp_path):
+    """surject --bam emits a BAM whose records match the SAM output."""
+    d, prefix = indexed
+    mapped_gam = d / "mapped.gam"
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["surject", "-Z", prefix, "-i", str(mapped_gam)]) == 0
+    sam_lines = [l for l in buf.getvalue().splitlines()
+                 if l and not l.startswith("@")]
+
+    bam_f = tmp_path / "out.bam"
+    assert main(["surject", "-Z", prefix, "-i", str(mapped_gam),
+                 "-b", str(bam_f)]) == 0
+    from vg_tpu.io.bam import read_bam
+    header, refs, recs = read_bam(str(bam_f))
+    assert ("x", 1001) in refs
+    assert len(recs) == len(sam_lines)
+    for line, rec in zip(sam_lines, recs):
+        cols = line.split("\t")
+        assert rec.qname == cols[0]
+        assert rec.flag == int(cols[1])
+        assert rec.rname == cols[2]
+        assert rec.pos == int(cols[3])
+        assert rec.cigar == cols[5]
+        assert rec.seq == cols[9]

@@ -202,3 +202,52 @@ def test_gaf_roundtrip_positions():
     # aligned spans survive
     froms = sum(e.from_length for m in back.path.mappings for e in m.edits)
     assert froms == 10
+
+
+def test_bam_roundtrip(tmp_path):
+    """BAM writer/reader roundtrip (mutually validating: no htslib here)."""
+    from vg_tpu.io.bam import read_bam, write_bam
+    from vg_tpu.io.sam import SamRecord, sam_header
+
+    refs = [("x", 1001), ("y", 500)]
+    recs = [
+        SamRecord(qname="r1", flag=0, rname="x", pos=10, mapq=60,
+                  cigar="50M", seq="A" * 50, qual="I" * 50,
+                  tags=[("AS", "i", 55), ("NM", "i", 2)]),
+        # odd-length sequence exercises the trailing nibble
+        SamRecord(qname="r2", flag=16, rname="y", pos=3, mapq=13,
+                  cigar="20M1D10M2S", seq="ACGTN" * 6 + "ACG",
+                  qual="".join(chr(33 + (i % 40)) for i in range(33)),
+                  tags=[("RG", "Z", "grp1")]),
+        # unmapped, no qual
+        SamRecord(qname="r3", flag=4, seq="ACGT", qual="*"),
+        # mate on same ref via '='
+        SamRecord(qname="r4", flag=99, rname="x", pos=100, mapq=60,
+                  cigar="30M", rnext="=", pnext=250, tlen=180,
+                  seq="C" * 30, qual="F" * 30),
+    ]
+    p = tmp_path / "t.bam"
+    with open(p, "wb") as f:
+        write_bam(f, sam_header(refs), refs, recs)
+    # file magic: BGZF (gzip) container
+    raw = p.read_bytes()
+    assert raw[:2] == b"\x1f\x8b"
+
+    header, refs2, back = read_bam(str(p))
+    assert refs2 == refs
+    assert any(l.startswith("@SQ\tSN:x\tLN:1001") for l in header)
+    assert len(back) == len(recs)
+    for orig, got in zip(recs, back):
+        assert got.qname == orig.qname
+        assert got.flag == orig.flag
+        assert got.pos == orig.pos
+        assert got.mapq == orig.mapq
+        assert got.cigar == orig.cigar
+        assert got.seq == orig.seq
+        if orig.qual != "*":
+            assert got.qual == orig.qual
+        assert got.tags == orig.tags
+    # rname resolution: '=' expands, unmapped stays '*'
+    assert back[2].rname == "*" and back[2].pos == 0
+    assert back[3].rnext == "x" and back[3].pnext == 250
+    assert back[3].tlen == 180

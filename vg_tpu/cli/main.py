@@ -313,8 +313,15 @@ def cmd_surject(args) -> int:
         recs = sj.surject_pairs(pairs)
     else:
         recs = sj.surject_batch(alns)
-    write_sam(sys.stdout, sj.header(sample=args.sample,
-                                    read_group=args.read_group), recs)
+    header = sj.header(sample=args.sample, read_group=args.read_group)
+    if args.bam:
+        from ..io.bam import write_bam
+        out = open(args.bam, "wb") if args.bam != "-" else sys.stdout.buffer
+        write_bam(out, header, sj.ref_lengths(), recs)
+        if args.bam != "-":
+            out.close()
+    else:
+        write_sam(sys.stdout, header, recs)
     return 0
 
 
@@ -1034,12 +1041,14 @@ def build_parser() -> argparse.ArgumentParser:
                      help="funnel stage annotations + stderr report")
     gme.set_defaults(func=cmd_giraffe)
 
-    s = sub.add_parser("surject", help="GAM -> SAM on reference paths")
+    s = sub.add_parser("surject", help="GAM -> SAM/BAM on reference paths")
     s.add_argument("-Z", "--index-prefix")
     s.add_argument("-x", "--xg")
     s.add_argument("-i", "--input", required=True)
     s.add_argument("-p", "--path")
     s.add_argument("--paired", action="store_true")
+    s.add_argument("-b", "--bam", metavar="FILE",
+                   help="write BAM to FILE ('-' for stdout) instead of SAM")
     s.add_argument("--sample")
     s.add_argument("--read-group")
     s.set_defaults(func=cmd_surject)

@@ -1,6 +1,6 @@
 """SAM text output (reference: HTSWriter/HTSAlignmentEmitter,
-src/hts_alignment_emitter.hpp:131-289 — here a direct text writer; BAM/CRAM
-conversion is downstream tooling's job, `samtools view` handles it).
+src/hts_alignment_emitter.hpp:131-289 — here a direct text writer; binary
+BAM output shares these records via io/bam.py).
 
 The sequence dictionary comes from reference-sense paths, like vg's
 hts_alignment_emitter builds @SQ from path metadata
