@@ -202,3 +202,28 @@ def test_cli_surject_bam(indexed, capsys, tmp_path):
         assert rec.pos == int(cols[3])
         assert rec.cigar == cols[5]
         assert rec.seq == cols[9]
+
+
+def test_cli_gamsort_index_find(indexed, capsys, tmp_path):
+    """gamsort -i writes a .gai; find -l pulls alignments by node."""
+    d, prefix = indexed
+    mapped_gam = d / "mapped.gam"
+    sorted_gam = tmp_path / "sorted.gam"
+    gai = tmp_path / "sorted.gam.gai"
+    assert main(["gamsort", str(mapped_gam), "--output", str(sorted_gam),
+                 "-i", str(gai)]) == 0
+    assert gai.exists()
+    from vg_tpu.io.gam import read_gam
+
+    alns = list(read_gam(str(sorted_gam)))
+    assert len(alns) == 50
+    # pick a node visited by some alignment and look it up
+    node = alns[10].path.mappings[0].position.node_id
+    out = tmp_path / "hits.gam"
+    assert main(["find", "-n", str(node), "-l", str(sorted_gam),
+                 "-o", str(out)]) == 0
+    hits = list(read_gam(str(out)))
+    assert hits
+    expect = {a.name for a in alns if a.path and node in
+              {mp.position.node_id for mp in a.path.mappings}}
+    assert {a.name for a in hits} == expect

@@ -251,3 +251,42 @@ def test_bam_roundtrip(tmp_path):
     assert back[2].rname == "*" and back[2].pos == 0
     assert back[3].rnext == "x" and back[3].pnext == 250
     assert back[3].tlen == 180
+
+
+def test_gam_index_random_access(tmp_path):
+    """Sorted-GAM node-range index: lookup reads only overlapping groups."""
+    import os
+
+    from vg_tpu.io.gam import Alignment, Edit, Mapping, Path, Position, read_gam
+    from vg_tpu.io.gam_index import GamIndex, find_alignments, write_indexed_gam
+    from vg_tpu.utils.alnstats import sort_alignments
+
+    def aln(name, nodes):
+        a = Alignment(name=name, sequence="ACGT", score=4)
+        a.path = Path(mappings=[
+            Mapping(position=Position(node_id=n),
+                    edits=[Edit(from_length=1, to_length=1)], rank=i + 1)
+            for i, n in enumerate(nodes)])
+        return a
+
+    alns = [aln(f"r{n}", [n, n + 1]) for n in range(1, 2001)]
+    alns.append(Alignment(name="unmapped", sequence="ACGT"))
+    alns = sort_alignments(alns)
+    gam = tmp_path / "s.gam"
+    gai = tmp_path / "s.gam.gai"
+    n = write_indexed_gam(str(gam), str(gai), alns, group_size=100)
+    assert n == 2001
+    # the stream is still a valid GAM end-to-end
+    assert sum(1 for _ in read_gam(str(gam))) == 2001
+
+    idx = GamIndex.load(str(gai))
+    size = os.path.getsize(gam)
+    # a narrow query touches few groups, not the whole file
+    narrow = idx.ranges(500, 510, size)
+    assert sum(e - s for s, e in narrow) < size / 4
+
+    got = sorted(a.name for a in find_alignments(str(gam), str(gai), 500, 505))
+    # r499 covers nodes 499-500 ... r505 covers 505-506
+    assert got == [f"r{n}" for n in range(499, 506)]
+    # query beyond all nodes finds nothing (and skips the unmapped tail)
+    assert list(find_alignments(str(gam), str(gai), 10_000, 10_001)) == []

@@ -585,6 +585,19 @@ def cmd_prune(args) -> int:
 
 
 def cmd_find(args) -> int:
+    if args.alignments:
+        # alignment lookup against a sorted+indexed GAM (vg find -l role)
+        from ..io.gam import write_gam
+        from ..io.gam_index import find_alignments
+
+        gai = args.gai or args.alignments + ".gai"
+        nodes = [int(n) for n in args.node]
+        alns = list(find_alignments(args.alignments, gai,
+                                    min(nodes), max(nodes)))
+        with open(args.output, "wb") as f:
+            write_gam(f, alns)
+        print(f"found {len(alns)} alignments", file=sys.stderr)
+        return 0
     from ..graph import ops
 
     g = _load_graph_any(args.xg)
@@ -659,6 +672,16 @@ def cmd_gamsort(args) -> int:
     from ..utils.alnstats import sort_alignments
 
     alns = sort_alignments(list(read_gam(args.gam)))
+    if args.index:
+        from ..io.gam_index import write_indexed_gam
+
+        if not args.output:
+            print("error [vg_tpu gamsort]: --index needs --output",
+                  file=sys.stderr)
+            return 1
+        n = write_indexed_gam(args.output, args.index, alns)
+        print(f"sorted {n} records + index", file=sys.stderr)
+        return 0
     if args.output:
         with open(args.output, "wb") as f:
             write_gam(f, alns)
@@ -1164,10 +1187,13 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("-o", "--output", required=True)
     pr.set_defaults(func=cmd_prune)
 
-    fd = sub.add_parser("find", help="node-context subgraph")
-    fd.add_argument("-x", "--xg", required=True)
+    fd = sub.add_parser("find", help="node-context subgraph / indexed GAM lookup")
+    fd.add_argument("-x", "--xg")
     fd.add_argument("-n", "--node", action="append", required=True)
     fd.add_argument("-c", "--context", type=int, default=1)
+    fd.add_argument("-l", "--alignments", metavar="SORTED.gam",
+                    help="pull alignments touching the nodes from an indexed GAM")
+    fd.add_argument("--gai", help="index path (default: SORTED.gam.gai)")
     fd.add_argument("-o", "--output", required=True)
     fd.set_defaults(func=cmd_find)
 
@@ -1210,6 +1236,8 @@ def build_parser() -> argparse.ArgumentParser:
     gs.add_argument("--output")
     gs.add_argument("-e", "--external", action="store_true",
                     help="disk-backed merge sort for large inputs")
+    gs.add_argument("-i", "--index", metavar="FILE.gai",
+                    help="also write a random-access node-range index")
     gs.add_argument("--chunk-size", type=int, default=100000)
     gs.set_defaults(func=cmd_gamsort)
 
