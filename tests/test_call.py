@@ -168,3 +168,30 @@ def test_call_empty_pack_no_variants(x_setup):
     pk = Packer(g)
     sc = SnarlCaller(g, pk, "x")
     assert sc.call() == []
+
+
+def test_haplotype_traversals_restrict(x_setup):
+    """GBWT-restricted traversal finding: every haplotype-found walk is a
+    valid snarl traversal some haplotype actually takes, and alleles
+    absent from all haplotypes are excluded."""
+    from vg_tpu.graph.snarls import haplotype_traversals
+
+    g, haps, vcf, refseq = x_setup
+    sns = snarls_along_path(g, "x")
+    n_checked = n_restricted = 0
+    for sn in sns[:30]:
+        all_travs = {tuple(t) for t in snarl_traversals(g, sn, 64)}
+        hap_travs = haplotype_traversals(haps, sn, 64)
+        if not all_travs:
+            continue
+        n_checked += 1
+        for t in hap_travs:
+            assert tuple(t) in all_travs, "hap walk not a snarl traversal"
+            assert t[0] == sn.start and t[-1] == sn.end
+        # dedup holds
+        assert len({tuple(t) for t in hap_travs}) == len(hap_travs)
+        if len(hap_travs) < len(all_travs):
+            n_restricted += 1
+    assert n_checked >= 20
+    # with 2 haplotypes + ref, many multi-allele snarls must shrink
+    assert n_restricted >= 1

@@ -81,12 +81,15 @@ def _log_poisson(k: float, lam: float) -> float:
 class SnarlCaller:
     def __init__(self, graph: ArrayGraph, pack: Packer,
                  ref_path: str, params: Optional[CallParams] = None,
-                 sample_name: str = "SAMPLE"):
+                 sample_name: str = "SAMPLE", haplotypes=None):
         self.graph = graph
         self.pack = pack
         self.ref_path = ref_path
         self.params = params or CallParams()
         self.sample_name = sample_name
+        # when a HaplotypeSet is given, allele enumeration is restricted to
+        # walks the haplotypes take (vg call -g / GBWTTraversalFinder role)
+        self.haplotypes = haplotypes
         self.exp_depth = pack.mean_coverage(ref_path)
         # path offset of every step on the ref path
         pi = graph.path_index(ref_path)
@@ -128,7 +131,12 @@ class SnarlCaller:
     def genotype_snarl(self, sn: Snarl) -> Optional[VariantCall]:
         p = self.params
         g = self.graph
-        travs = snarl_traversals(g, sn, p.max_traversals)
+        if self.haplotypes is not None:
+            from ..graph.snarls import haplotype_traversals
+            travs = haplotype_traversals(self.haplotypes, sn,
+                                         p.max_traversals)
+        else:
+            travs = snarl_traversals(g, sn, p.max_traversals)
         start_off = self.ref_offset.get(sn.start)
         if start_off is None:
             return None

@@ -117,7 +117,11 @@ class Packer:
 
     @classmethod
     def load(cls, graph: ArrayGraph, path: str) -> "Packer":
+        import os
+
         self = cls(graph)
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path += ".npz"  # np.savez appends .npz to extensionless names
         data = np.load(path)
         self.base_coverage = data["base"].astype(np.int32)
         self.edge_coverage = data["edge"].astype(np.int32)

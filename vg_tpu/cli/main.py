@@ -359,10 +359,13 @@ def cmd_call(args) -> int:
     from ..call.pack import Packer
     from ..graph.arraygraph import SENSE_REFERENCE
 
+    haps = None
     if args.index_prefix:
-        g, _, _ = _load_bundle(args.index_prefix)
+        g, haps, _ = _load_bundle(args.index_prefix)
     else:
         g = _load_graph_any(args.xg)
+    if not args.gbwt_restrict:
+        haps = None
     pk = Packer.load(g, args.pack)
     ref_path = args.path
     if ref_path is None:
@@ -373,7 +376,8 @@ def cmd_call(args) -> int:
                   "to call against; pass -p", file=sys.stderr)
             return 1
         ref_path = names[0]
-    sc = SnarlCaller(g, pk, ref_path, sample_name=args.sample)
+    sc = SnarlCaller(g, pk, ref_path, sample_name=args.sample,
+                     haplotypes=haps)
     sc.write_vcf(sys.stdout)
     return 0
 
@@ -1090,6 +1094,8 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("-k", "--pack", required=True)
     cl.add_argument("-p", "--path")
     cl.add_argument("-s", "--sample", default="SAMPLE")
+    cl.add_argument("-g", "--gbwt-restrict", action="store_true",
+                    help="restrict alleles to indexed haplotype walks")
     cl.set_defaults(func=cmd_call)
 
     v = sub.add_parser("view", help="format conversion")

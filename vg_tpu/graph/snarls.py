@@ -131,3 +131,41 @@ def snarl_traversals(graph: ArrayGraph, sn: Snarl,
                 if (c >> 1) not in {w >> 1 for w in walk[1:]}:
                     stack.append(walk + [c])
     return results
+
+
+def haplotype_traversals(haps, sn: Snarl,
+                         max_traversals: int = 32) -> List[List[int]]:
+    """Snarl traversals restricted to walks the indexed haplotypes actually
+    take (reference: GBWTTraversalFinder, src/traversal_finder.hpp:457-521 —
+    there a GBWT search from the snarl start; here a scan over the
+    materialized haplotype step walks, vectorized over occurrence sites).
+
+    Returns deduplicated directed handle walks start..end, each oriented
+    with the snarl (reverse-strand haplotype passes are flipped)."""
+    steps = haps.steps
+    bounds = haps.steps_start
+    out: List[List[int]] = []
+    seen = set()
+
+    def scan(anchor: int, stop: int, flip: bool):
+        occ = np.nonzero(steps == anchor)[0]
+        for pos in occ:
+            hap = int(np.searchsorted(bounds, pos, side="right")) - 1
+            end = int(bounds[hap + 1])
+            for j in range(int(pos) + 1, min(end, int(pos) + 200)):
+                if int(steps[j]) == stop:
+                    walk = [int(h) for h in steps[pos : j + 1]]
+                    if flip:
+                        walk = [h ^ 1 for h in reversed(walk)]
+                    key = tuple(walk)
+                    if key not in seen:
+                        seen.add(key)
+                        out.append(walk)
+                    break
+            if len(out) >= max_traversals:
+                return
+
+    scan(sn.start, sn.end, flip=False)          # forward passes
+    if len(out) < max_traversals:
+        scan(sn.end ^ 1, sn.start ^ 1, flip=True)  # reverse-strand passes
+    return out
