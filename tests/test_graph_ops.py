@@ -270,3 +270,53 @@ def test_dot_output(x_graph):
     dot = to_dot(x_graph[0], max_nodes=50)
     assert dot.startswith("digraph")
     assert "->" in dot
+
+
+def test_rna_haplotype_transcripts():
+    """Haplotype-specific transcripts follow each haplotype's alleles
+    inside exons; walks identical to the reference transcript collapse
+    away (vg rna -l pantranscriptome role)."""
+    from vg_tpu.graph.arraygraph import GraphBuilder
+    from vg_tpu.index.haplotypes import HaplotypeMeta, HaplotypeSet
+    from vg_tpu.io.gtf import Transcript
+    from vg_tpu.rna.transcriptome import Transcriptome
+    import numpy as np
+
+    b = GraphBuilder()
+    n1 = b.add_node("AAAA")   # ref offsets [0,4)
+    n2 = b.add_node("C")      # [4,5) ref SNP allele
+    n3 = b.add_node("G")      # alt SNP allele
+    n4 = b.add_node("TTTT")   # [5,9)
+    n5 = b.add_node("GGGG")   # [9,13)
+    for f, t in [(n1, n2), (n1, n3), (n2, n4), (n3, n4), (n4, n5)]:
+        b.add_edge(f, t)
+    b.add_path("chr", [(n1, False), (n2, False), (n4, False), (n5, False)])
+    g = b.freeze()
+    idx = {int(nid): i for i, nid in enumerate(g.node_id)}
+
+    def walk(nids):
+        return np.array([idx[n] * 2 for n in nids], dtype=np.int64)
+
+    haps = HaplotypeSet(
+        g, [HaplotypeMeta("hap1"), HaplotypeMeta("hap2")],
+        [walk([n1, n2, n4, n5]), walk([n1, n3, n4, n5])])
+
+    t = Transcript("tx1", "chr", "+", exons=[(2, 7), (9, 13)])
+    g2, hts = Transcriptome(g).project_haplotypes([t], haps)
+    assert g2.validate() == []
+    # reference transcript: AA|C|TT + GGGG
+    assert g2.path_seq("tx1") == "AACTTGGGG"
+    # hap1 spells the reference walk -> collapsed away; hap2 carries the SNP
+    assert len(hts) == 1
+    ht = hts[0]
+    assert ht.haplotypes == ["hap2"]
+    assert ht.path_name == "tx1_H1"
+    assert g2.path_seq("tx1_H1") == "AAGTTGGGG"
+
+    # minus-strand: haplotype transcript is the reverse complement
+    tm = Transcript("tx2", "chr", "-", exons=[(2, 7)])
+    g3, hts2 = Transcriptome(g).project_haplotypes([tm], haps)
+    from vg_tpu.utils import dna
+    assert g3.path_seq("tx2") == dna.revcomp_str("AACTT")
+    assert len(hts2) == 1
+    assert g3.path_seq("tx2_H1") == dna.revcomp_str("AAGTT")

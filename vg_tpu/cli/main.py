@@ -756,9 +756,29 @@ def cmd_rna(args) -> int:
     from ..io.gtf import read_gtf
     from ..rna.transcriptome import Transcriptome
 
-    g = _load_graph_any(args.graph)
+    haps = None
+    if args.index_prefix:
+        g, haps, _ = _load_bundle(args.index_prefix)
+    else:
+        g = _load_graph_any(args.graph)
     ts = read_gtf(args.transcripts)
-    g2, projected = Transcriptome(g).project(ts)
+    tr = Transcriptome(g)
+    if args.haplotype_transcripts:
+        if haps is None:
+            print("error [vg_tpu rna]: -l needs -Z with indexed haplotypes",
+                  file=sys.stderr)
+            return 1
+        g2, hap_ts = tr.project_haplotypes(ts, haps)
+        projected = [p for p in tr._last_projected]
+        if args.output:
+            _save_graph_any(g2, args.output)
+        for ht in hap_ts:
+            sys.stdout.write(f"{ht.transcript_id}\t{ht.path_name}"
+                             f"\t{ht.strand}\t{','.join(ht.haplotypes)}\n")
+        print(f"projected {len(projected)} transcripts, "
+              f"{len(hap_ts)} haplotype-specific", file=sys.stderr)
+        return 0
+    g2, projected = tr.project(ts)
     if args.output:
         _save_graph_any(g2, args.output)
     if args.fasta:
@@ -1272,8 +1292,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
     rn = sub.add_parser("rna", help="project GTF transcripts onto the graph")
-    rn.add_argument("graph")
+    rn.add_argument("graph", nargs="?")
+    rn.add_argument("-Z", "--index-prefix")
     rn.add_argument("-n", "--transcripts", required=True, help="GTF/GFF file")
+    rn.add_argument("-l", "--haplotype-transcripts", action="store_true",
+                    help="also project transcripts through indexed haplotypes")
     rn.add_argument("-o", "--output")
     rn.add_argument("-F", "--fasta", action="store_true")
     rn.set_defaults(func=cmd_rna)
