@@ -252,3 +252,55 @@ def test_benchmark_harness():
     assert r.iterations == 50
     assert r.normalized_score > 0
     assert "noop" in r.line()
+
+
+def test_haplotype_recombination(ref_test_dir):
+    """Recombinator role: reads from a mosaic (hap1 first half, hap2
+    second half) yield a stitched haplotype that is a valid graph walk
+    and better-supported than either source haplotype."""
+    from vg_tpu.construct.constructor import Constructor, ConstructorParams
+    from vg_tpu.index.haplotypes import thread_haplotypes
+    from vg_tpu.index.sampling import (read_minimizer_set,
+                                       recombine_haplotypes,
+                                       score_haplotypes)
+    from vg_tpu.io.fastq import Read
+    from vg_tpu.utils import dna
+
+    ref = read_fasta(str(ref_test_dir / "small" / "x.fa"))
+    vcf = read_vcf(str(ref_test_dir / "small" / "x.vcf.gz"))
+    g, results = Constructor(
+        ConstructorParams(max_node_size=32)).construct_graph(ref, vcf)
+    haps = thread_haplotypes(g, results, vcf)
+    assert haps.count >= 2
+
+    # mosaic read set: left half of hap 1, right half of hap 2
+    rng = np.random.default_rng(11)
+    reads = []
+    for h, lo_frac, hi_frac in ((1, 0.0, 0.5), (2, 0.5, 1.0)):
+        t0, t1 = haps.hap_text_range(h)
+        span = t1 - t0
+        lo = t0 + int(span * lo_frac)
+        hi = t0 + int(span * hi_frac)
+        for i in range(60):
+            s = int(rng.integers(lo, max(hi - 100, lo + 1)))
+            reads.append(Read(f"m{h}_{i}",
+                              dna.decode(haps.text[s : s + 100]), None))
+
+    rec = recombine_haplotypes(haps, reads, num_haplotypes=2,
+                               subchain_len=150)
+    assert rec.count >= 1
+    # every recombined walk is a real walk: consecutive edges exist
+    for h in range(rec.count):
+        s0, s1 = int(rec.steps_start[h]), int(rec.steps_start[h + 1])
+        wk = rec.steps[s0:s1]
+        for a, b in zip(wk[:-1], wk[1:]):
+            assert len(g.follow(int(a))) == 0 or \
+                int(b) in {int(x) for x in g.follow(int(a))}
+
+    # the top mosaic beats both sources on read support
+    keys = read_minimizer_set(reads)
+    src = score_haplotypes(haps, keys)
+    got = score_haplotypes(rec, keys)
+    best_rec = max(got[h] for h in range(rec.count)
+                   if rec.metas[h].sample == "recomb")
+    assert best_rec >= max(src[1], src[2]) - 1e-9

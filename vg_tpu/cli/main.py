@@ -1023,7 +1023,7 @@ def cmd_gampcompare(args) -> int:
 
 def cmd_haplotypes(args) -> int:
     from ..index.minimizer import MinimizerIndex
-    from ..index.sampling import sample_haplotypes
+    from ..index.sampling import recombine_haplotypes, sample_haplotypes
     from ..io import native
     from ..io.fastq import iter_fastq
 
@@ -1033,8 +1033,13 @@ def cmd_haplotypes(args) -> int:
         reads.append(r)
         if i >= args.max_reads:
             break
-    sampled = sample_haplotypes(haps, reads,
-                                num_haplotypes=args.num_haplotypes)
+    if args.recombine:
+        sampled = recombine_haplotypes(haps, reads,
+                                       num_haplotypes=args.num_haplotypes,
+                                       subchain_len=args.subchain_length)
+    else:
+        sampled = sample_haplotypes(haps, reads,
+                                    num_haplotypes=args.num_haplotypes)
     gp, hp, mp = _bundle_paths(args.output_prefix)
     native.save_graph(gp, g)
     native.save_haplotypes(hp, sampled)
@@ -1376,6 +1381,10 @@ def build_parser() -> argparse.ArgumentParser:
     hp.add_argument("-Z", "--index-prefix", required=True)
     hp.add_argument("-f", "--fastq", required=True)
     hp.add_argument("-n", "--num-haplotypes", type=int, default=4)
+    hp.add_argument("-R", "--recombine", action="store_true",
+                    help="stitch per-subchain best fragments into synthetic"
+                         " haplotypes instead of whole-haplotype selection")
+    hp.add_argument("--subchain-length", type=int, default=10000)
     hp.add_argument("--max-reads", type=int, default=20000)
     hp.add_argument("-p", "--output-prefix", required=True)
     hp.set_defaults(func=cmd_haplotypes)
