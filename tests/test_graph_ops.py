@@ -320,3 +320,46 @@ def test_rna_haplotype_transcripts():
     assert g3.path_seq("tx2") == dna.revcomp_str("AACTT")
     assert len(hts2) == 1
     assert g3.path_seq("tx2_H1") == dna.revcomp_str("AAGTT")
+
+
+def test_rna_pantranscriptome_spliced_mapping(x_graph, ref_test_dir):
+    """RNA reads spanning exon-exon junctions map contiguously against the
+    transcript text, and the emitted graph path crosses the splice edge
+    (mpmap spliced-alignment role via the pantranscriptome)."""
+    from vg_tpu.index.minimizer import MinimizerIndex
+    from vg_tpu.io.fastq import Read
+    from vg_tpu.io.gtf import read_gtf
+    from vg_tpu.map.giraffe import GiraffeMapper
+    from vg_tpu.rna.transcriptome import Transcriptome
+
+    g = x_graph[0]
+    ts = [t for t in read_gtf(str(ref_test_dir / "small" / "x.gtf"))
+          if len(t.exons) >= 2]
+    assert ts
+    tr = Transcriptome(g)
+    g2, projected = tr.project(ts)
+    tx_haps = Transcriptome.pantranscriptome_haplotypes(g2, projected)
+    assert tx_haps.count == len(projected)
+    m = GiraffeMapper(tx_haps, MinimizerIndex.build(tx_haps))
+
+    t = ts[0]
+    seq = g2.path_seq(t.transcript_id)
+    # junction offset within the (strand-oriented) transcript sequence
+    j = (t.exons[0][1] - t.exons[0][0]) if t.strand == "+" else \
+        (t.exons[-1][1] - t.exons[-1][0])
+    lo, hi = max(0, j - 40), min(len(seq), j + 40)
+    read = Read("junction", seq[lo:hi], None)
+    alns = m.map_batch([read])
+    a = alns[0]
+    assert a.path and a.path.mappings, "junction read unmapped"
+    # full-length, essentially exact (bonus 5 both ends)
+    assert a.score >= (hi - lo) + 2 * 5 - 2
+    # the alignment's walk is a sub-walk of the transcript path across the
+    # junction (distinct exon nodes on both sides)
+    tx_nodes = [int(g2.node_id[int(h) >> 1])
+                for h in g2.path_handles(g2.path_index(t.transcript_id))]
+    aln_nodes = [mp.position.node_id for mp in a.path.mappings]
+    s = "".join(f",{n}" for n in tx_nodes)
+    assert "".join(f",{n}" for n in aln_nodes) in s or \
+        "".join(f",{n}" for n in reversed(aln_nodes)) in s
+    assert len(aln_nodes) >= 2

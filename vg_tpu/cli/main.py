@@ -772,6 +772,19 @@ def cmd_rna(args) -> int:
         projected = [p for p in tr._last_projected]
         if args.output:
             _save_graph_any(g2, args.output)
+        if args.index_out:
+            # pantranscriptome bundle: map RNA reads with giraffe/mpmap -Z
+            from ..index.minimizer import MinimizerIndex
+            from ..io import native
+            from ..rna.transcriptome import Transcriptome as _T
+
+            tx_haps = _T.pantranscriptome_haplotypes(g2, projected, hap_ts)
+            gp, hp_, mp_ = _bundle_paths(args.index_out)
+            native.save_graph(gp, g2)
+            native.save_haplotypes(hp_, tx_haps)
+            native.save_minimizer(mp_, MinimizerIndex.build(tx_haps))
+            print(f"pantranscriptome index: {tx_haps.count} transcript "
+                  f"texts ({tx_haps.total_len} bp)", file=sys.stderr)
         for ht in hap_ts:
             sys.stdout.write(f"{ht.transcript_id}\t{ht.path_name}"
                              f"\t{ht.strand}\t{','.join(ht.haplotypes)}\n")
@@ -1302,6 +1315,9 @@ def build_parser() -> argparse.ArgumentParser:
     rn.add_argument("-n", "--transcripts", required=True, help="GTF/GFF file")
     rn.add_argument("-l", "--haplotype-transcripts", action="store_true",
                     help="also project transcripts through indexed haplotypes")
+    rn.add_argument("-b", "--index-out", metavar="PREFIX",
+                    help="write a pantranscriptome mapping bundle (map RNA "
+                         "reads with giraffe/mpmap -Z PREFIX)")
     rn.add_argument("-o", "--output")
     rn.add_argument("-F", "--fasta", action="store_true")
     rn.set_defaults(func=cmd_rna)

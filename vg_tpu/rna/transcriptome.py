@@ -247,6 +247,31 @@ class Transcriptome:
         return b.freeze(), out
 
     @staticmethod
+    def pantranscriptome_haplotypes(g: ArrayGraph,
+                                    projected: Sequence[ProjectedTranscript],
+                                    hap_ts: Sequence["HaplotypeTranscript"]
+                                    = ()):
+        """Index the transcript paths (reference + haplotype-specific) as
+        the haplotype text for RNA read mapping. This is the TPU-native
+        answer to mpmap's spliced multipath alignment (reference
+        src/multipath_mapper.cpp splice handling): introns are absent from
+        transcript texts, so a junction-spanning read aligns contiguously
+        and its graph projection crosses the splice edge."""
+        import numpy as np
+
+        from ..index.haplotypes import HaplotypeMeta, HaplotypeSet
+
+        metas, walks = [], []
+        for name in ([p.path_name for p in projected]
+                     + [h.path_name for h in hap_ts]):
+            hs = g.path_handles(g.path_index(name))
+            if len(hs) == 0:
+                continue
+            metas.append(HaplotypeMeta(name=name, contig=name))
+            walks.append(np.asarray(hs, dtype=np.int64))
+        return HaplotypeSet(g, metas, walks)
+
+    @staticmethod
     def transcript_fasta(g: ArrayGraph,
                          projected: Sequence[ProjectedTranscript]) -> str:
         out = []
