@@ -88,3 +88,22 @@ def test_rescue_recovers_seedless_mate(paired_mapper):
     assert rescued >= 45, f"only {rescued}/50 mates rescued"
     proper = sum(1 for a, b in out if a.annotation.get("proper_pair"))
     assert proper >= 45
+
+
+def test_folded_dispatch_matches_separate(paired_mapper, ref_test_dir):
+    """The folded 2R-read device dispatch (score_pairs) must score both
+    mates identically to two separate dispatches."""
+    pairs = list(iter_fastq_paired(
+        str(ref_test_dir / "small" / "x.fa_1.fastq"),
+        str(ref_test_dir / "small" / "x.fa_2.fastq")))[:20]
+    m = paired_mapper.mapper
+    sb1, sb2 = m.score_reads(
+        [a for a, _ in pairs] + [b for _, b in pairs]).split(len(pairs))
+    ref1 = m.score_reads([a for a, _ in pairs])
+    ref2 = m.score_reads([b for _, b in pairs])
+    R = len(pairs)
+    np.testing.assert_array_equal(sb1.scores[:R], ref1.scores[:R])
+    np.testing.assert_array_equal(sb2.scores[:R], ref2.scores[:R])
+    np.testing.assert_array_equal(sb1.cand_start, ref1.cand_start[:R])
+    np.testing.assert_array_equal(sb2.cand_rev, ref2.cand_rev[:R])
+    assert [r.name for r in sb2.reads] == [b.name for _, b in pairs]

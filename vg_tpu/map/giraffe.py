@@ -93,6 +93,24 @@ class ScoredBatch:
     def diag(self) -> np.ndarray:
         return self.cand_start  # + band_radius gives the seed diagonal
 
+    def split(self, n: int) -> Tuple["ScoredBatch", "ScoredBatch"]:
+        """Split into the first n reads and the rest. Slicing scores_raw
+        on-device keeps the DP fetch lazy, so a folded two-mate dispatch
+        (paired path) splits without forcing a transfer."""
+        R = len(self.reads)
+
+        def view(lo, hi):
+            cut = (lambda x: None if x is None else x[lo:hi])
+            return ScoredBatch(
+                self.reads[lo:hi], self.codes[lo:hi], self.codes_rc[lo:hi],
+                self.cand_start[lo:hi], self.cand_lo[lo:hi],
+                self.cand_hi[lo:hi], self.cand_rev[lo:hi],
+                self.cand_valid[lo:hi], self.scores_raw[lo:hi],
+                cand_refpath=cut(self.cand_refpath),
+                cand_refoff=cut(self.cand_refoff))
+
+        return view(0, n), view(n, R)
+
 
 @dataclass
 class _Candidate:
