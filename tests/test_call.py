@@ -195,3 +195,19 @@ def test_haplotype_traversals_restrict(x_setup):
     assert n_checked >= 20
     # with 2 haplotypes + ref, many multi-allele snarls must shrink
     assert n_restricted >= 1
+
+
+def test_node_avg_all_matches_scalar(x_setup):
+    from vg_tpu.call.pack import Packer
+
+    g, haps, vcf, refseq = x_setup
+    pk = Packer(g)
+    rng = np.random.default_rng(3)
+    # synthesize some coverage directly
+    pk.base_coverage[:] = rng.integers(0, 30, len(pk.base_coverage))
+    pk._node_avg_all = None
+    navg = pk.node_avg_all()
+    assert len(navg) == g.node_count
+    for i in range(0, g.node_count, 7):
+        nid = int(g.node_id[i])
+        assert abs(navg[i] - pk.node_avg(nid)) < 1e-9

@@ -106,13 +106,13 @@ class SnarlCaller:
         get_average_traversal_support_switch_threshold,
         src/graph_caller.cpp:2452-2467)."""
         g = self.graph
+        navg = self.pack.node_avg_all()   # vectorized once per pack state
         vals: List[float] = []
         length = 0
         for i, h in enumerate(walk):
             if 0 < i < len(walk) - 1:
-                nid = int(g.node_id[h >> 1])
-                vals.append(self.pack.node_avg(nid))
-                length += g.node_len(nid)
+                vals.append(float(navg[h >> 1]))
+                length += g.node_len(int(g.node_id[h >> 1]))
             if i + 1 < len(walk):
                 vals.append(float(self.pack.edge_support(h, int(walk[i + 1]))))
         if not vals:

@@ -71,6 +71,7 @@ class Packer:
             self.base_coverage += np.cumsum(diff[:-1]).astype(np.int32)
         if edge_ids:
             np.add.at(self.edge_coverage, np.asarray(edge_ids), 1)
+        self._node_avg_all = None   # invalidate the cached per-node means
 
     # -- queries -------------------------------------------------------------
 
@@ -82,6 +83,22 @@ class Packer:
     def node_avg(self, node_id: int) -> float:
         c = self.node_coverage(node_id)
         return float(c.mean()) if len(c) else 0.0
+
+    def node_avg_all(self) -> np.ndarray:
+        """(n_nodes,) mean base coverage per node index, computed once for
+        the whole graph (the vectorized form the snarl-calling loop reads —
+        the reference parallelizes per-snarl support with OpenMP,
+        src/graph_caller.cpp; here the heavy reduction is one reduceat)."""
+        if getattr(self, "_node_avg_all", None) is None:
+            g = self.graph
+            if len(self.base_coverage) == 0 or g.node_count == 0:
+                self._node_avg_all = np.zeros(g.node_count)
+            else:
+                sums = np.add.reduceat(
+                    self.base_coverage.astype(np.int64), g.seq_start[:-1])
+                lens = np.maximum(np.diff(g.seq_start), 1)
+                self._node_avg_all = sums / lens
+        return self._node_avg_all
 
     def node_min(self, node_id: int) -> float:
         c = self.node_coverage(node_id)
