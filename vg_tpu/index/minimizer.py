@@ -199,16 +199,31 @@ class MinimizerIndex:
 
     @classmethod
     def build(cls, haps: HaplotypeSet, k: int = DEFAULT_K, w: int = DEFAULT_W,
-              max_alt_positions: int = 4) -> "MinimizerIndex":
+              max_alt_positions: int = 4,
+              threads: int = 4) -> "MinimizerIndex":
+        """Index construction is parallel over haplotypes: the native
+        extraction kernel releases the GIL, so a thread pool gives real
+        speedup (the reference's index-construction job parallelism,
+        SURVEY.md §2.3, expressed per-haplotype)."""
         self = cls(k, w, max_alt_positions)
         all_keys: List[np.ndarray] = []
         all_pos: List[np.ndarray] = []
         all_rev: List[np.ndarray] = []
         graph_key: List[np.ndarray] = []  # graph placement for dedup
-        for h in range(haps.count):
+
+        def extract_one(h):
             t0, t1 = haps.hap_text_range(h)
-            codes = haps.text[t0:t1]
-            offs, keys, is_rev = extract_minimizers(codes, k, w)
+            return t0, extract_minimizers(haps.text[t0:t1], k, w)
+
+        if threads > 1 and haps.count > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=threads) as ex:
+                extracted = list(ex.map(extract_one, range(haps.count)))
+        else:
+            extracted = [extract_one(h) for h in range(haps.count)]
+
+        for t0, (offs, keys, is_rev) in extracted:
             if len(offs) == 0:
                 continue
             text_pos = offs + t0
