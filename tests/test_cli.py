@@ -227,3 +227,22 @@ def test_cli_gamsort_index_find(indexed, capsys, tmp_path):
     expect = {a.name for a in alns if a.path and node in
               {mp.position.node_id for mp in a.path.mappings}}
     assert {a.name for a in hits} == expect
+
+
+def test_cli_inject_from_bam(indexed, capsys, tmp_path):
+    """surject -b then inject the BAM directly: full GAM roundtrip."""
+    d, prefix = indexed
+    mapped_gam = d / "mapped.gam"
+    bam_f = tmp_path / "rt.bam"
+    assert main(["surject", "-Z", prefix, "-i", str(mapped_gam),
+                 "-b", str(bam_f)]) == 0
+    inj_gam = tmp_path / "rt.gam"
+    assert main(["inject", "-x", prefix + ".vgz.npz", str(bam_f),
+                 "--output", str(inj_gam)]) == 0
+    from vg_tpu.io.gam import read_gam
+
+    orig = {a.name for a in read_gam(str(mapped_gam))}
+    back = list(read_gam(str(inj_gam)))
+    assert {a.name for a in back} == orig
+    assert sum(1 for a in back if a.path and a.path.mappings) >= \
+        0.9 * len(back)

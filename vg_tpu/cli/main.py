@@ -650,8 +650,14 @@ def cmd_inject(args) -> int:
 
     g = _load_graph_any(args.xg)
     inj = Injector(g)
-    with open(args.sam) as f:
-        alns = inj.inject_all(parse_sam(f))
+    if args.sam.endswith(".bam"):
+        from ..io.bam import read_bam
+
+        _, _, recs = read_bam(args.sam)
+        alns = inj.inject_all(recs)
+    else:
+        with open(args.sam) as f:
+            alns = inj.inject_all(parse_sam(f))
     if args.output:
         with open(args.output, "wb") as f:
             write_gam(f, alns)
