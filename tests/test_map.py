@@ -254,3 +254,31 @@ def test_multi_contig_construct_and_map(ref_test_dir):
     assert abs(a1.refpos[0].offset - 300) <= 5
     assert abs(a2.refpos[0].offset - 500) <= 5
     assert a1.mapping_quality <= 3 and a2.mapping_quality <= 3
+
+
+def test_overhanging_read_at_haplotype_end(small_x):
+    """A read overhanging its haplotype end must not take the gapless fast
+    path (which would walk off the text); it clips via the DP traceback
+    instead (regression: fast-path clamp in emit_chosen)."""
+    haps = small_x.haps
+    t0, t1 = haps.hap_text_range(0)
+    # last 140 real bases + 10 bases that run off the end of the haplotype
+    codes = np.concatenate([
+        haps.text[t1 - 140 : t1],
+        (haps.text[t0 : t0 + 10] + 1) % 4,    # junk tail
+    ])
+    reads = [Read("overhang", dna.decode(codes), None)]
+    (aln,) = small_x.map_batch(reads)        # must not raise
+    assert aln.path is not None
+    tos = sum(e.to_length for mp in aln.path.mappings for e in mp.edits)
+    assert tos == 150
+    # graph positions in the path must all be in range
+    g = small_x.graph
+    for mp in aln.path.mappings:
+        nlen = len(g.node_seq(mp.position.node_id))
+        assert 0 <= mp.position.offset < nlen
+    # encoded emission path handles it identically (no out-of-bounds read)
+    sb = small_x.score_reads(reads)
+    recs = small_x.emit_batch_encoded(sb)
+    if recs is not None:
+        assert len(recs) == 1 and len(bytes(recs[0])) > 0

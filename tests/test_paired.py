@@ -40,6 +40,8 @@ def test_paired_simulated(paired_mapper, ref_test_dir):
         str(ref_test_dir / "small" / "x.fa_1.fastq"),
         str(ref_test_dir / "small" / "x.fa_2.fastq")))[:300]
     out = paired_mapper.map_pairs(pairs)
+    out += paired_mapper.finish()        # EOF flush of warmup buffer
+    assert len(out) == len(pairs)
     n_proper = sum(1 for a, b in out if a.annotation.get("proper_pair"))
     aligned = sum((a.path is not None) + (b.path is not None) for a, b in out)
     assert aligned == 2 * len(out)
@@ -81,6 +83,7 @@ def test_rescue_recovers_seedless_mate(paired_mapper):
         clean.append((Read(f"c{i}/1", dna.decode(c1), None),
                       Read(f"c{i}/2", dna.decode(dna.revcomp_codes(c2)), None)))
     paired_mapper.map_pairs(clean)
+    paired_mapper.finish()               # force-finalize at "EOF"
     assert paired_mapper.fragdist.finalized
 
     out = paired_mapper.map_pairs(pairs)
@@ -88,6 +91,35 @@ def test_rescue_recovers_seedless_mate(paired_mapper):
     assert rescued >= 45, f"only {rescued}/50 mates rescued"
     proper = sum(1 for a, b in out if a.annotation.get("proper_pair"))
     assert proper >= 45
+
+
+def test_fragment_model_streaming_matches_batch(paired_mapper, ref_test_dir):
+    """Streaming small batches must accumulate fragment samples across
+    batches and produce the same fragment model as one big batch
+    (reference contract: warmup until 1000 samples or EOF,
+    src/minimizer_mapper.cpp:72, giraffe_main.cpp:2369-2379)."""
+    pairs = list(iter_fastq_paired(
+        str(ref_test_dir / "small" / "x.fa_1.fastq"),
+        str(ref_test_dir / "small" / "x.fa_2.fastq")))[:120]
+
+    big = PairedGiraffeMapper(paired_mapper.mapper)
+    out_big = big.map_pairs(pairs)
+    out_big += big.finish()
+
+    small = PairedGiraffeMapper(paired_mapper.mapper)
+    out_small = []
+    for i in range(0, len(pairs), 17):    # awkward batch size on purpose
+        out_small += small.map_pairs(pairs[i : i + 17])
+    out_small += small.finish()
+
+    assert small.fragdist.finalized and big.fragdist.finalized
+    assert abs(small.fragdist.mean - big.fragdist.mean) < 1e-6
+    assert abs(small.fragdist.stdev - big.fragdist.stdev) < 1e-6
+    assert len(out_small) == len(out_big) == len(pairs)
+    # same reads end up properly paired either way
+    prop_b = {a.name for a, b in out_big if a.annotation.get("proper_pair")}
+    prop_s = {a.name for a, b in out_small if a.annotation.get("proper_pair")}
+    assert prop_b == prop_s
 
 
 def test_folded_dispatch_matches_separate(paired_mapper, ref_test_dir):

@@ -215,6 +215,10 @@ def cmd_giraffe(args) -> int:
                 batch = []
         if batch:
             n += flush_pairs(batch)
+        tail = pm.finish_encoded()       # flush warmup-buffered pairs
+        if tail:
+            write_messages(sink, tail)
+            n += len(tail)
         if args.output:
             sink.close()
         print(f"mapped {n} reads", file=sys.stderr)
@@ -261,6 +265,10 @@ def cmd_giraffe(args) -> int:
         if batch:
             flush(pm.map_pairs_flat(batch))
             n += 2 * len(batch)
+        tail = pm.finish()
+        for a1, a2 in tail:
+            flush([a1, a2])
+            n += 2
     else:
         batch = []
         for r in iter_fastq(args.fastq):

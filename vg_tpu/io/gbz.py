@@ -89,22 +89,30 @@ class Cursor:
         return bits, words
 
     def int_vector(self) -> np.ndarray:
+        return self.int_vector_w()[0]
+
+    def int_vector_w(self) -> Tuple[np.ndarray, int]:
+        """IntVector decode returning (values, stored bit width)."""
         n = self.u64()
         width = self.u64()
         bits, words = self.raw_vector()
-        return _unpack_ints(words, n, width)
+        return _unpack_ints(words, n, width), int(width)
 
     def sparse_vector(self) -> np.ndarray:
-        """Returns the sorted positions of the ones."""
+        """Returns the sorted positions of the ones.
+
+        Elias-Fano reconstruction uses the *stored* width of the low
+        IntVector as the shift (a writer may legally pick a different
+        split than floor(log2(universe/ones)); simple-sds readers must
+        honor what is serialized)."""
         universe = self.u64()
         ones = self.u64()
         hbits, hwords = self.bit_vector()
-        lows = self.int_vector()
+        lows, low_width = self.int_vector_w()
         if ones == 0:
             return np.zeros(0, np.int64)
         highs = _bit_positions(hwords, hbits)
         assert len(highs) == ones, (len(highs), ones)
-        low_width = _low_width(universe, ones)
         vals = ((highs - np.arange(ones)) << low_width) + lows[:ones]
         return vals.astype(np.int64)
 

@@ -112,6 +112,43 @@ class ScoredBatch:
         return view(0, n), view(n, R)
 
 
+def _soft_cap_select(ridx: np.ndarray, mscore: np.ndarray,
+                     counts: np.ndarray, hit_cap: int,
+                     score_fraction: float) -> np.ndarray:
+    """Per-read greedy minimizer selection (vectorized over reads).
+
+    ridx must be sorted by read (extract_minimizers_batch order). Returns
+    a boolean take-mask aligned with the inputs."""
+    n = len(ridx)
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((-mscore, ridx))
+    r_s = ridx[order]
+    sc = mscore[order]
+    cheap = counts[order] <= hit_cap
+    first = np.ones(n, bool)
+    first[1:] = r_s[1:] != r_s[:-1]
+    gstart = np.nonzero(first)[0]
+    gend = np.append(gstart[1:], n)
+    gix = np.cumsum(first) - 1
+    total = np.bincount(gix, weights=sc)
+    budget = score_fraction * total
+    taken = np.zeros(len(gstart))
+    take = np.zeros(n, bool)
+    max_rank = int((gend - gstart).max())
+    for rk in range(max_rank):
+        pos = gstart + rk
+        live = pos < gend
+        p_live = pos[live]
+        g_live = np.nonzero(live)[0]
+        t = cheap[p_live] | (taken[g_live] < budget[g_live])
+        take[p_live] = t
+        taken[g_live] += np.where(t, sc[p_live], 0.0)
+    out = np.zeros(n, bool)
+    out[order] = take
+    return out
+
+
 @dataclass
 class _Candidate:
     diag: int          # text position aligning to oriented-read offset 0
@@ -293,6 +330,20 @@ class GiraffeMapper:
             return out
         mscore = 1.0 + np.log(p.hard_hit_cap) - np.log(np.maximum(counts, 1))
         mscore = np.maximum(mscore, 1.0)
+
+        # soft-cap selection, same policy as _seed_read (reference hit
+        # caps, src/minimizer_mapper.cpp:4349-4360): in per-read descending
+        # score order take minimizers with count <= hit_cap always, and
+        # heavier ones only while the taken score is below
+        # score_fraction * total. Vectorized as a short loop over ranks
+        # (one item per read per iteration).
+        keep2 = _soft_cap_select(ridx, mscore, counts, p.hit_cap,
+                                 p.score_fraction)
+        ridx, offs, canon_rev, hs, he, counts, mscore = (
+            ridx[keep2], offs[keep2], canon_rev[keep2], hs[keep2], he[keep2],
+            counts[keep2], mscore[keep2])
+        if len(ridx) == 0:
+            return out
 
         # expand hits: seed s belongs to minimizer m(s)
         midx = np.repeat(np.arange(len(ridx)), counts)
@@ -655,7 +706,12 @@ class GiraffeMapper:
         mm = mism.sum(axis=1)
         gl_score = (L_arr - mm) * p.match - mm * p.mismatch \
             + 2 * p.full_length_bonus
-        fast = any_valid & (gl_score == best_s)
+        # winners must lie fully inside their haplotype range to take the
+        # gapless fast path: an overhanging interval would walk off the
+        # text / cross haplotype boundaries (out-of-range columns scored
+        # as mismatches above can still tie the clipped DP score)
+        fast = (any_valid & (gl_score == best_s)
+                & (diag >= lo) & (diag + L_arr <= hi))
 
         out: List[Alignment] = []
         for i, r in enumerate(sb.reads):
@@ -760,7 +816,10 @@ class GiraffeMapper:
         mm = mism.sum(axis=1)
         gl_score = (L_arr - mm) * p.match - mm * p.mismatch \
             + 2 * p.full_length_bonus
-        fast = any_valid & (gl_score == best_s)
+        # in-range winners only (see emit_chosen): overhanging intervals
+        # go through _traceback_into, which handles sentinel-masked windows
+        fast = (any_valid & (gl_score == best_s)
+                & (diag >= lo) & (diag + L_arr <= hi))
         w = np.nonzero(fast)[0]
         Nw = len(w)
 

@@ -105,7 +105,9 @@ class PairedGiraffeMapper:
         self.mapper = mapper
         self.params = params or PairedParams()
         self.fragdist = FragmentLengthDistribution()
-        self._buffer: List[Tuple[Read, Read]] = []
+        # pairs deferred until the fragment model finalizes (the
+        # reference's ambiguous_pair_buffer, src/minimizer_mapper.cpp:1298)
+        self._ambiguous_buffer: List[Tuple[Read, Read]] = []
 
     # ------------------------------------------------------------ warmup
 
@@ -124,6 +126,14 @@ class PairedGiraffeMapper:
 
     def map_pairs(self, pairs: Sequence[Tuple[Read, Read]]
                   ) -> List[Tuple[Alignment, Alignment]]:
+        """Map pairs. While the fragment model is warming up, unambiguous
+        pairs are mapped immediately (their pairing does not depend on the
+        model) and ambiguous pairs are buffered, mirroring the reference's
+        map_paired ambiguous_pair_buffer (src/minimizer_mapper.cpp:1298);
+        the model finalizes after 1000 samples
+        (FragmentLengthDistribution(1000, 1000, 0.95),
+        src/minimizer_mapper.cpp:72). Call finish() at end of input to
+        flush. Output order can differ from input order during warmup."""
         if not pairs:
             return []
         m = self.mapper
@@ -132,15 +142,23 @@ class PairedGiraffeMapper:
         sb1 = m.score_reads(reads1)
         sb2 = m.score_reads(reads2)
         if not self.fragdist.finalized:
-            self._observe_batch(sb1, sb2)
-            if not self.fragdist.finalized and len(self.fragdist.samples) >= 50:
-                # enough signal for small inputs; vg waits for 1000 but
-                # flushes the buffer at EOF — callers can also force
-                # finalize() at end of input
-                pass
-        if not self.fragdist.finalized:
-            self.fragdist.finalize()
+            part = self._warmup_partition(pairs, sb1, sb2)
+            if part is not None:
+                unamb = part
+                if not unamb:
+                    return []
+                sub1 = _subset(sb1, unamb)
+                sub2 = _subset(sb2, unamb)
+                return self._map_unambiguous(sub1, sub2)
+            # model finalized on this batch: map it normally, then flush
+            # anything buffered during warmup
+            return (self._map_pairs_finalized(pairs, sb1, sb2)
+                    + self._drain_buffer())
+        return self._map_pairs_finalized(pairs, sb1, sb2)
 
+    def _map_pairs_finalized(self, pairs, sb1, sb2
+                             ) -> List[Tuple[Alignment, Alignment]]:
+        m = self.mapper
         # rescue pass: reads with no candidates but a confidently-mapped mate
         self._rescue(sb1, sb2)
         self._rescue(sb2, sb1)
@@ -164,6 +182,75 @@ class PairedGiraffeMapper:
                     a.annotation["proper_pair"] = False
             out.append((a1, a2))
         return out
+
+    # ----------------------------------------------------- warmup plumbing
+
+    def _warmup_partition(self, pairs, sb1: ScoredBatch, sb2: ScoredBatch):
+        """Observe fragment lengths; if the model is still not finalized,
+        buffer ambiguous pairs and return the indices of unambiguous ones.
+        Returns None once finalized (caller maps the batch normally)."""
+        self._observe_batch(sb1, sb2)
+        if self.fragdist.finalized:
+            return None
+        unamb: List[int] = []
+        for i in range(len(pairs)):
+            if (_unique_best(sb1, i) is not None
+                    and _unique_best(sb2, i) is not None):
+                unamb.append(i)
+            else:
+                self._ambiguous_buffer.append(pairs[i])
+        return unamb
+
+    def _map_unambiguous(self, sb1: ScoredBatch, sb2: ScoredBatch
+                         ) -> List[Tuple[Alignment, Alignment]]:
+        """Emit pairs whose two ends each map uniquely: selection is
+        forced, MAPQ is each end's own posterior (no pair bonus — the
+        fragment model is not available yet). Proper-pair annotation is
+        geometric: opposite strands, positive span ≤ max_fragment_length."""
+        alns1 = self.mapper.emit_batch(sb1)
+        alns2 = self.mapper.emit_batch(sb2)
+        j1 = np.argmax(np.where(sb1.cand_valid, sb1.scores, -1), axis=1)
+        j2 = np.argmax(np.where(sb2.cand_valid, sb2.scores, -1), axis=1)
+        out: List[Tuple[Alignment, Alignment]] = []
+        for i, (a1, a2) in enumerate(zip(alns1, alns2)):
+            a1.fragment_next = Alignment(name=a2.name)
+            a2.fragment_prev = Alignment(name=a1.name)
+            frag = _fragment_length(self.mapper, sb1, i, int(j1[i]),
+                                    sb2, i, int(j2[i]))
+            if (frag is not None and a1.path is not None
+                    and a2.path is not None
+                    and frag <= self.params.max_fragment_length):
+                for a in (a1, a2):
+                    a.annotation["proper_pair"] = True
+                    a.annotation["fragment_length"] = int(frag)
+            elif a1.path is not None or a2.path is not None:
+                for a in (a1, a2):
+                    a.annotation["proper_pair"] = False
+            out.append((a1, a2))
+        return out
+
+    def _drain_buffer(self) -> List[Tuple[Alignment, Alignment]]:
+        out: List[Tuple[Alignment, Alignment]] = []
+        buf, self._ambiguous_buffer = self._ambiguous_buffer, []
+        bs = max(self.mapper.params.batch_reads, 64)
+        for i in range(0, len(buf), bs):
+            out.extend(self.map_pairs(buf[i : i + bs]))
+        return out
+
+    def finish(self) -> List[Tuple[Alignment, Alignment]]:
+        """End-of-input flush: finalize the fragment model on whatever
+        samples were seen and map all buffered ambiguous pairs."""
+        if not self.fragdist.finalized:
+            self.fragdist.finalize()
+        return self._drain_buffer()
+
+    def finish_encoded(self) -> List[bytes]:
+        """finish() for the encoded-record output path."""
+        recs: List[bytes] = []
+        for a1, a2 in self.finish():
+            recs.append(a1.encode())
+            recs.append(a2.encode())
+        return recs
 
     def _pair_select(self, sb1: ScoredBatch, sb2: ScoredBatch):
         """Vectorized pairing over the whole batch: all (C1, C2) candidate
@@ -298,10 +385,29 @@ class PairedGiraffeMapper:
         else:
             sb1 = m.score_reads(reads1)
             sb2 = m.score_reads(reads2)
+        extra: List[bytes] = []
         if not self.fragdist.finalized:
-            self._observe_batch(sb1, sb2)
-        if not self.fragdist.finalized:
-            self.fragdist.finalize()
+            part = self._warmup_partition(pairs, sb1, sb2)
+            if part is not None:
+                unamb = part
+                if not unamb:
+                    return []
+                sub1 = _subset(sb1, unamb)
+                sub2 = _subset(sb2, unamb)
+                recs = []
+                for a1, a2 in self._map_unambiguous(sub1, sub2):
+                    recs.append(a1.encode())
+                    recs.append(a2.encode())
+                return recs
+            # finalized on this batch: flush warmup buffer afterwards
+            buf, self._ambiguous_buffer = self._ambiguous_buffer, []
+            bs = max(m.params.batch_reads, 64)
+            for i in range(0, len(buf), bs):
+                chunk = self.map_pairs_encoded(buf[i : i + bs])
+                if chunk is None:
+                    chunk = [a.encode()
+                             for a in self.map_pairs_flat(buf[i : i + bs])]
+                extra.extend(chunk)
         self._rescue(sb1, sb2)
         self._rescue(sb2, sb1)
         sel = self._pair_select(sb1, sb2)
@@ -326,7 +432,7 @@ class PairedGiraffeMapper:
                 suffix = _annotation_suffix(False, 0)
             out.append(bytes(recs1[i]) + nm1 + suffix)
             out.append(bytes(recs2[i]) + nm2 + suffix)
-        return out
+        return out + extra
 
     def map_pairs_flat(self, pairs) -> List[Alignment]:
         out = []
@@ -417,6 +523,20 @@ class PairedGiraffeMapper:
 
 
 # ---------------------------------------------------------------- helpers
+
+def _subset(sb: ScoredBatch, idx: Sequence[int]) -> ScoredBatch:
+    """New ScoredBatch restricted to the given read indices."""
+    ii = np.asarray(idx, np.int64)
+    cut = lambda a: None if a is None else a[ii]
+    return ScoredBatch(
+        reads=[sb.reads[i] for i in idx],
+        codes=[sb.codes[i] for i in idx],
+        codes_rc=[sb.codes_rc[i] for i in idx],
+        cand_start=sb.cand_start[ii], cand_lo=sb.cand_lo[ii],
+        cand_hi=sb.cand_hi[ii], cand_rev=sb.cand_rev[ii],
+        cand_valid=sb.cand_valid[ii], scores_raw=sb.scores[ii],
+        cand_refpath=cut(sb.cand_refpath), cand_refoff=cut(sb.cand_refoff))
+
 
 def _unique_best(sb: ScoredBatch, i: int) -> Optional[int]:
     """Candidate index if read i maps uniquely and confidently."""

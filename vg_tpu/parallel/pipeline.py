@@ -96,6 +96,9 @@ def map_pairs_encoded_mt(paired_mapper, pair_batches: Iterable,
                     recs = [a.encode()
                             for a in paired_mapper.map_pairs_flat(batch)]
                 q_out.put(recs)
+            tail = paired_mapper.finish_encoded()
+            if tail:
+                q_out.put(tail)
         except BaseException as e:
             err.append(e)
         finally:
