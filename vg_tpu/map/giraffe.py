@@ -170,6 +170,18 @@ class GiraffeMapper:
         self.params = params or GiraffeParams()
         self.graph = haps.graph
         self.text_dev = jnp.asarray(haps.text)
+        # Pallas DP path: packed text + hand-written kernel. Used on real
+        # TPU backends ('auto'); the XLA scan remains the CPU/interpret
+        # fallback (Pallas TPU kernels do not run on the CPU backend).
+        import jax as _jax
+
+        on_accel = _jax.devices()[0].platform != "cpu"
+        self.text_packed_dev = None
+        if self.params.use_pallas == "always" or (
+                self.params.use_pallas == "auto" and on_accel):
+            from ..ops.pallas_align import pack_text
+
+            self.text_packed_dev = jnp.asarray(pack_text(haps.text))
         ref_names = ref_path_names
         if ref_names is None:
             from ..graph.arraygraph import SENSE_REFERENCE
@@ -305,6 +317,14 @@ class GiraffeMapper:
         from ..index.minimizer import extract_minimizers_batch
 
         p = self.params
+        # native C++ path: the whole stage in one GIL-releasing call,
+        # OpenMP over reads; numpy below is the element-identical fallback
+        from ..native import native_seed_batch
+
+        res = native_seed_batch(codes2d, self.index, p, self.haps,
+                                self._node_ref_path, self._node_ref_off)
+        if res is not None:
+            return res
         R, L = codes2d.shape
         C = p.max_candidates
         B = p.band_radius
@@ -503,22 +523,9 @@ class GiraffeMapper:
         self.funnel.record("seed", _time.time() - _t0, items_in=R,
                            items_out=int(cand_valid.sum()))
         _t0 = _time.time()
-        # 'auto' currently resolves to the XLA scan: the Pallas kernel
-        # itself is ~1.6x faster but its wrapper (window materialization +
-        # transpose into lane-major layout) eats the gain; the planned fix
-        # is scalar-prefetch + in-kernel DMA of window rows straight from
-        # the text in HBM.
-        use_pallas = p.use_pallas == "always"
-        score_fn = align_ops.banded_scores
-        if use_pallas:
-            from ..ops.pallas_align import banded_scores_via_pallas
-            score_fn = banded_scores_via_pallas
-        scores_dev = score_fn(
-            self.text_dev, reads_arr, reads_rc_arr, rlens,
-            cand_start, cand_lo, cand_hi, cand_rev, cand_valid,
-            band_radius=p.band_radius, match=p.match, mismatch=p.mismatch,
-            gap_open=p.gap_open, gap_extend=p.gap_extend,
-            bonus=p.full_length_bonus)[:R]
+        scores_dev = self._device_scores(
+            reads_arr, reads_rc_arr, rlens, cand_start, cand_lo, cand_hi,
+            cand_rev, cand_valid, p.band_radius)[:R]
 
         self.funnel.record("align_dispatch", _time.time() - _t0, items_in=R)
         return ScoredBatch(
@@ -528,13 +535,38 @@ class GiraffeMapper:
             cand_valid=cand_valid[:R], scores_raw=scores_dev,
             cand_refpath=cand_refpath, cand_refoff=cand_refoff)
 
+    def _device_scores(self, reads_arr, reads_rc_arr, rlens, cand_start,
+                       cand_lo, cand_hi, cand_rev, cand_valid,
+                       band_radius):
+        """Dispatch the batched banded DP: Pallas packed-gather kernel on
+        TPU, XLA scan elsewhere."""
+        p = self.params
+        if self.text_packed_dev is not None:
+            from ..ops.pallas_align import banded_scores_packed
+
+            return banded_scores_packed(
+                self.text_packed_dev, len(self.haps.text),
+                reads_arr, reads_rc_arr, rlens,
+                cand_start, cand_lo, cand_hi, cand_rev, cand_valid,
+                band_radius=band_radius, match=p.match, mismatch=p.mismatch,
+                gap_open=p.gap_open, gap_extend=p.gap_extend,
+                bonus=p.full_length_bonus)
+        return align_ops.banded_scores(
+            self.text_dev, reads_arr, reads_rc_arr, rlens,
+            cand_start, cand_lo, cand_hi, cand_rev, cand_valid,
+            band_radius=band_radius, match=p.match, mismatch=p.mismatch,
+            gap_open=p.gap_open, gap_extend=p.gap_extend,
+            bonus=p.full_length_bonus)
+
     def rescore_candidates(self, sb: "ScoredBatch",
                            cand_start: np.ndarray, cand_lo: np.ndarray,
                            cand_hi: np.ndarray, cand_rev: np.ndarray,
                            cand_valid: np.ndarray,
-                           band_radius: Optional[int] = None) -> np.ndarray:
-        """Score additional candidates for an already-encoded batch (used by
-        paired rescue)."""
+                           band_radius: Optional[int] = None,
+                           force: bool = True):
+        """Score additional candidates for an already-encoded batch (used
+        by paired rescue). force=False returns the lazy device array so a
+        pipeline can overlap the fetch."""
         p = self.params
         R = len(sb.reads)
         RL = max(len(c) for c in sb.codes)
@@ -550,13 +582,12 @@ class GiraffeMapper:
             reads_rc_arr[i, : len(c)] = sb.codes_rc[i]
         pad = lambda a, fill: np.concatenate(
             [a, np.full((Rpad - R, C), fill, a.dtype)], axis=0)
-        return np.asarray(align_ops.banded_scores(
-            self.text_dev, reads_arr, reads_rc_arr, rlens,
+        out = self._device_scores(
+            reads_arr, reads_rc_arr, rlens,
             pad(cand_start, 0), pad(cand_lo, 0), pad(cand_hi, 0),
             pad(cand_rev, False), pad(cand_valid, False),
-            band_radius=band_radius or p.band_radius, match=p.match,
-            mismatch=p.mismatch, gap_open=p.gap_open,
-            gap_extend=p.gap_extend, bonus=p.full_length_bonus))[:R]
+            band_radius or p.band_radius)[:R]
+        return np.asarray(out) if force else out
 
     def emit(self, sb: "ScoredBatch", i: int, best_j: int,
              mapping_quality: int) -> Alignment:

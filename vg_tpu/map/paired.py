@@ -112,13 +112,16 @@ class PairedGiraffeMapper:
     # ------------------------------------------------------------ warmup
 
     def _observe_batch(self, sb1: ScoredBatch, sb2: ScoredBatch) -> None:
-        """Collect fragment lengths from unambiguous proper pairs."""
-        for i in range(len(sb1.reads)):
-            j1 = _unique_best(sb1, i)
-            j2 = _unique_best(sb2, i)
-            if j1 is None or j2 is None:
-                continue
-            frag = _fragment_length(self.mapper, sb1, i, j1, sb2, i, j2)
+        """Collect fragment lengths from unambiguous proper pairs.
+
+        Uniqueness is judged over *distinct placements* (haplotype copies
+        of one region are one mapping, not ambiguity — vg sees this for
+        free because it maps in graph space)."""
+        j1, u1 = _unique_best_batch(sb1, self.mapper)
+        j2, u2 = _unique_best_batch(sb2, self.mapper)
+        for i in np.nonzero(u1 & u2)[0]:
+            frag = _fragment_length(self.mapper, sb1, int(i), int(j1[i]),
+                                    sb2, int(i), int(j2[i]))
             if frag is not None and 0 < frag <= self.params.max_fragment_length:
                 self.fragdist.add(frag)
 
@@ -137,10 +140,7 @@ class PairedGiraffeMapper:
         if not pairs:
             return []
         m = self.mapper
-        reads1 = [a for a, _ in pairs]
-        reads2 = [b for _, b in pairs]
-        sb1 = m.score_reads(reads1)
-        sb2 = m.score_reads(reads2)
+        sb1, sb2 = self.score_pairs(pairs)
         if not self.fragdist.finalized:
             part = self._warmup_partition(pairs, sb1, sb2)
             if part is not None:
@@ -192,14 +192,12 @@ class PairedGiraffeMapper:
         self._observe_batch(sb1, sb2)
         if self.fragdist.finalized:
             return None
-        unamb: List[int] = []
-        for i in range(len(pairs)):
-            if (_unique_best(sb1, i) is not None
-                    and _unique_best(sb2, i) is not None):
-                unamb.append(i)
-            else:
-                self._ambiguous_buffer.append(pairs[i])
-        return unamb
+        _, u1 = _unique_best_batch(sb1, self.mapper)
+        _, u2 = _unique_best_batch(sb2, self.mapper)
+        both = u1 & u2
+        self._ambiguous_buffer.extend(
+            pairs[i] for i in np.nonzero(~both)[0])
+        return np.nonzero(both)[0].tolist()
 
     def _map_unambiguous(self, sb1: ScoredBatch, sb2: ScoredBatch
                          ) -> List[Tuple[Alignment, Alignment]]:
@@ -362,13 +360,13 @@ class PairedGiraffeMapper:
                 any1, any2, use_pair, frags)
 
     def score_pairs(self, pairs: Sequence[Tuple[Read, Read]]):
-        """Stage 1: seed + dispatch both sides (pipelinable). A folded
-        single 2R-read dispatch (ScoredBatch.split) measured no faster on
-        hardware than two async dispatches, so two dispatches it is."""
+        """Stage 1: seed + dispatch both sides as ONE folded 2R-read
+        device dispatch (ScoredBatch.split keeps the score fetch lazy).
+        Each dispatch→sync roundtrip carries fixed tunnel latency, so
+        halving the dispatches matters more than the marginal compute."""
         m = self.mapper
-        sb1 = m.score_reads([a for a, _ in pairs])
-        sb2 = m.score_reads([b for _, b in pairs])
-        return sb1, sb2
+        sb = m.score_reads([a for a, _ in pairs] + [b for _, b in pairs])
+        return sb.split(len(pairs))
 
     def map_pairs_encoded(self, pairs: Sequence[Tuple[Read, Read]],
                           scored=None):
@@ -383,8 +381,7 @@ class PairedGiraffeMapper:
         if scored is not None:
             sb1, sb2 = scored
         else:
-            sb1 = m.score_reads(reads1)
-            sb2 = m.score_reads(reads2)
+            sb1, sb2 = self.score_pairs(pairs)
         extra: List[bytes] = []
         if not self.fragdist.finalized:
             part = self._warmup_partition(pairs, sb1, sb2)
@@ -410,9 +407,15 @@ class PairedGiraffeMapper:
                 extra.extend(chunk)
         self._rescue(sb1, sb2)
         self._rescue(sb2, sb1)
-        sel = self._pair_select(sb1, sb2)
-        if sel is None:
+        out = self._emit_pairs_encoded(pairs, sb1, sb2)
+        if out is None:
             return None
+        return out + extra
+
+    def _emit_pairs_encoded(self, pairs, sb1: ScoredBatch, sb2: ScoredBatch):
+        """Pair-select + encoded emission + fragment linkage."""
+        m = self.mapper
+        sel = self._pair_select(sb1, sb2)
         j1, j2, mq1, mq2, any1, any2, use_pair, frags = sel
         recs1 = m.emit_chosen_encoded(sb1, j1, mq1, any1)
         recs2 = m.emit_chosen_encoded(sb2, j2, mq2, any2)
@@ -423,8 +426,8 @@ class PairedGiraffeMapper:
         out = []
         for i in range(len(pairs)):
             # fragment_next (12) on read1, fragment_prev (11) on read2
-            nm1 = field_bytes(12, field_str(3, reads2[i].name))
-            nm2 = field_bytes(11, field_str(3, reads1[i].name))
+            nm1 = field_bytes(12, field_str(3, pairs[i][1].name))
+            nm2 = field_bytes(11, field_str(3, pairs[i][0].name))
             suffix = b""
             if use_pair[i]:
                 suffix = _annotation_suffix(True, int(frags[i]))
@@ -432,7 +435,40 @@ class PairedGiraffeMapper:
                 suffix = _annotation_suffix(False, 0)
             out.append(bytes(recs1[i]) + nm1 + suffix)
             out.append(bytes(recs2[i]) + nm2 + suffix)
-        return out + extra
+        return out
+
+    # ------------------------------------------------- pipeline stages
+
+    def stage_rescue(self, batch, scored):
+        """Middle pipeline stage: force the main DP fetch and dispatch
+        rescue DP; the rescue fetch stays lazy for stage_emit."""
+        sb1, sb2 = scored
+        if not self.fragdist.finalized:
+            return ("warmup", batch, scored)
+        _ = sb1.scores
+        _ = sb2.scores
+        st2 = self._rescue_begin(sb1, sb2)   # rescues sb2
+        st1 = self._rescue_begin(sb2, sb1)   # rescues sb1
+        return ("main", batch, sb1, sb2, st1, st2)
+
+    def stage_emit(self, item):
+        """Final pipeline stage: finish rescues, pair, emit encoded."""
+        if item[0] == "warmup":
+            _, batch, scored = item
+            recs = self.map_pairs_encoded(batch, scored=scored)
+            if recs is None:
+                recs = [a.encode() for a in self.map_pairs_flat(batch)]
+            return recs
+        _, batch, sb1, sb2, st1, st2 = item
+        self._rescue_finish(sb2, st2)
+        self._rescue_finish(sb1, st1)
+        out = self._emit_pairs_encoded(batch, sb1, sb2)
+        if out is None:
+            out = []
+            for a1, a2 in self._map_pairs_finalized(batch, sb1, sb2):
+                out.append(a1.encode())
+                out.append(a2.encode())
+        return out
 
     def map_pairs_flat(self, pairs) -> List[Alignment]:
         out = []
@@ -446,10 +482,16 @@ class PairedGiraffeMapper:
     # ----------------------------------------------------------- rescue
 
     def _rescue(self, sb_have: ScoredBatch, sb_need: ScoredBatch) -> None:
+        """Synchronous rescue: begin + finish in one call."""
+        self._rescue_finish(sb_need, self._rescue_begin(sb_have, sb_need))
+
+    def _rescue_begin(self, sb_have: ScoredBatch, sb_need: ScoredBatch):
         """For each pair where sb_need has no valid candidate but sb_have
         maps well, seed-scan the fragment window around the mate on the
-        haplotype text and add rescue candidates, then score them with one
-        batched DP call."""
+        haplotype text and dispatch one batched DP call for the rescue
+        candidates. Returns opaque state for _rescue_finish (None when
+        nothing to rescue); the device fetch stays lazy so a pipeline can
+        overlap it with other batches."""
         m = self.mapper
         p = m.params
         pp = self.params
@@ -465,7 +507,7 @@ class PairedGiraffeMapper:
         todo = [(int(i), int(cand_js[i]))
                 for i in np.nonzero(~need_any & have_any)[0]]
         if not todo:
-            return
+            return None
 
         C = pp.max_rescue_candidates
         R = len(sb_need.reads)
@@ -501,9 +543,57 @@ class PairedGiraffeMapper:
                 r_rev[i, jj] = not mate_rev
                 r_valid[i, jj] = True
         if not r_valid.any():
+            return None
+        scores = self._score_rescues_host(sb_need, r_start, r_lo, r_hi,
+                                          r_rev, r_valid)
+        if scores is None:   # no native lib: one extra device roundtrip
+            scores = m.rescore_candidates(sb_need, r_start, r_lo, r_hi,
+                                          r_rev, r_valid, force=False)
+        return todo, r_start, r_lo, r_hi, r_rev, r_valid, scores
+
+    def _score_rescues_host(self, sb_need, r_start, r_lo, r_hi, r_rev,
+                            r_valid):
+        """Score the (few) rescue candidates with the native host DP —
+        a device dispatch would pay full tunnel latency and queue behind
+        the next batches' main DP."""
+        from ..native import native_banded_scores_host
+
+        m = self.mapper
+        p = m.params
+        B = p.band_radius
+        ii, jj = np.nonzero(r_valid)
+        n = len(ii)
+        Lmax = max(len(sb_need.codes[i]) for i in set(ii.tolist()))
+        TW = Lmax + 2 * B
+        reads = np.full((n, Lmax), 5, np.uint8)
+        rlen = np.zeros(n, np.int32)
+        for t, i in enumerate(ii):
+            c = sb_need.codes_rc[i] if r_rev[i, jj[t]] else sb_need.codes[i]
+            reads[t, : len(c)] = c
+            rlen[t] = len(c)
+        text = m.haps.text
+        pos = r_start[ii, jj].astype(np.int64)[:, None] + np.arange(TW)
+        ok = ((pos >= r_lo[ii, jj][:, None]) & (pos < r_hi[ii, jj][:, None])
+              & (pos >= 0) & (pos < len(text)))
+        wins = np.where(ok, text[np.clip(pos, 0, len(text) - 1)],
+                        6).astype(np.uint8)
+        from ..ops.align import Scoring
+
+        sc = native_banded_scores_host(
+            reads, wins, rlen, B,
+            Scoring(p.match, p.mismatch, p.gap_open, p.gap_extend,
+                    p.full_length_bonus))
+        if sc is None:
+            return None
+        out = np.full(r_valid.shape, -1, np.int32)
+        out[ii, jj] = sc
+        return out
+
+    def _rescue_finish(self, sb_need: ScoredBatch, state) -> None:
+        if state is None:
             return
-        r_scores = m.rescore_candidates(sb_need, r_start, r_lo, r_hi,
-                                        r_rev, r_valid)
+        todo, r_start, r_lo, r_hi, r_rev, r_valid, scores_dev = state
+        r_scores = np.asarray(scores_dev)
         # merge rescue candidates into the batch tables (replace empty slots)
         for i, _ in todo:
             got = r_valid[i] & (r_scores[i] > 0)
@@ -538,6 +628,27 @@ def _subset(sb: ScoredBatch, idx: Sequence[int]) -> ScoredBatch:
         cand_refpath=cut(sb.cand_refpath), cand_refoff=cut(sb.cand_refoff))
 
 
+def _unique_best_batch(sb: ScoredBatch, mapper: GiraffeMapper
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """(best candidate index, is-unique) per read, with haplotype copies
+    of one placement collapsed before judging ambiguity."""
+    s = sb.scores
+    R = len(sb.reads)
+    v = sb.cand_valid & (s > 0)
+    vd = v & mapper._distinct_placements(sb, v)
+    sm = np.where(vd, s, -1)
+    j = np.argmax(sm, axis=1)
+    ar = np.arange(R)
+    best = sm[ar, j]
+    L = np.array([len(c) for c in sb.codes])
+    solid = best >= 0.8 * L
+    sm2 = sm.copy()
+    sm2[ar, j] = -1
+    second = sm2.max(axis=1) if sm2.shape[1] else np.full(R, -1)
+    unique = solid & ((vd.sum(axis=1) <= 1) | (second < best - 5))
+    return j, unique
+
+
 def _unique_best(sb: ScoredBatch, i: int) -> Optional[int]:
     """Candidate index if read i maps uniquely and confidently."""
     v = sb.cand_valid[i] & (sb.scores[i] > 0)
@@ -557,17 +668,24 @@ def _unique_best(sb: ScoredBatch, i: int) -> Optional[int]:
 def _fragment_length(m: GiraffeMapper, sb1: ScoredBatch, i1: int, j1: int,
                      sb2: ScoredBatch, i2: int, j2: int) -> Optional[float]:
     """Outer fragment span if the two candidates are properly oriented on
-    the same haplotype; else None."""
+    the same haplotype copy, or on different copies that both project to
+    the same reference path; else None."""
     B = m.params.band_radius
     rev1 = bool(sb1.cand_rev[i1, j1])
     rev2 = bool(sb2.cand_rev[i2, j2])
     if rev1 == rev2:
         return None
-    if (sb1.cand_lo[i1, j1] != sb2.cand_lo[i2, j2]):
-        return None                             # different haplotypes
-    d1 = int(sb1.cand_start[i1, j1]) + B
-    d2 = int(sb2.cand_start[i2, j2]) + B
     L1, L2 = len(sb1.codes[i1]), len(sb2.codes[i2])
+    if sb1.cand_lo[i1, j1] == sb2.cand_lo[i2, j2]:   # same haplotype copy
+        d1 = int(sb1.cand_start[i1, j1]) + B
+        d2 = int(sb2.cand_start[i2, j2]) + B
+    elif (sb1.cand_refpath is not None and sb2.cand_refpath is not None
+          and sb1.cand_refpath[i1, j1] >= 0
+          and sb1.cand_refpath[i1, j1] == sb2.cand_refpath[i2, j2]):
+        d1 = int(sb1.cand_refoff[i1, j1])            # ref projection
+        d2 = int(sb2.cand_refoff[i2, j2])
+    else:
+        return None
     if not rev1:                                # read1 fwd, read2 rev
         frag = (d2 + L2) - d1
     else:                                       # read2 fwd, read1 rev

@@ -33,7 +33,7 @@ def _build() -> Optional[pathlib.Path]:
     if so.exists():
         return so
     tmp = so.with_suffix(".tmp.so")
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
            "-std=c++17", str(_SRC), "-o", str(tmp)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -51,6 +51,11 @@ def lib() -> Optional[ctypes.CDLL]:
     _tried = True
     if os.environ.get("VGTPU_NO_NATIVE"):
         return None
+    # OpenMP workers must yield between batches: active spin-wait starves
+    # the host pipeline threads and the device runtime on small machines
+    os.environ.setdefault("OMP_WAIT_POLICY", "PASSIVE")
+    os.environ.setdefault(
+        "OMP_NUM_THREADS", str(max(1, (os.cpu_count() or 4) - 1)))
     so = _build()
     if so is None:
         return None
@@ -221,6 +226,95 @@ def native_emit_gapless_gam(arrs, out_cap):
     if rc != 0:
         return None
     return out, rec_off
+
+
+def native_seed_batch(codes2d: np.ndarray, index, params, haps,
+                      node_ref_path: np.ndarray, node_ref_off: np.ndarray):
+    """Full batch seeding in C++ (minimizers -> lookup -> soft caps ->
+    diagonal clustering -> top-C candidates), OpenMP over reads. Returns
+    the same 7-tuple as GiraffeMapper._seed_batch, or None when the
+    native lib is absent."""
+    import ctypes
+
+    L_ = lib()
+    if L_ is None:
+        return None
+    if not hasattr(L_, "_seed_registered"):
+        L_.seed_batch.restype = ctypes.c_int64
+        L_.seed_batch.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+             ctypes.c_int32, ctypes.c_int32]
+            + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+               ctypes.c_void_p, ctypes.c_void_p]
+            + [ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
+               ctypes.c_int32, ctypes.c_int32]
+            + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+               ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+               ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            + [ctypes.c_void_p] * 7)
+        L_._seed_registered = True
+    codes2d = np.ascontiguousarray(codes2d, np.uint8)
+    R, L = codes2d.shape
+    C = params.max_candidates
+    cand_start = np.zeros((R, C), np.int32)
+    cand_lo = np.zeros((R, C), np.int32)
+    cand_hi = np.zeros((R, C), np.int32)
+    cand_rev = np.zeros((R, C), np.uint8)
+    cand_valid = np.zeros((R, C), np.uint8)
+    cand_refpath = np.full((R, C), -1, np.int32)
+    cand_refoff = np.zeros((R, C), np.int64)
+    pos_rev = np.ascontiguousarray(index.pos_rev, np.uint8)
+    rc = L_.seed_batch(
+        codes2d.ctypes.data, R, L, index.k, index.w,
+        index.keys.ctypes.data, len(index.keys), index.offsets.ctypes.data,
+        index.pos_text.ctypes.data, pos_rev.ctypes.data,
+        params.hit_cap, params.hard_hit_cap,
+        ctypes.c_double(params.score_fraction),
+        C, params.band_radius,
+        haps.text_start.ctypes.data, len(haps.text_start) - 1,
+        haps.step_text_pos.ctypes.data, haps.steps.ctypes.data,
+        len(haps.steps), haps.graph.seq_start.ctypes.data,
+        node_ref_path.ctypes.data, node_ref_off.ctypes.data,
+        len(haps.text),
+        cand_start.ctypes.data, cand_lo.ctypes.data, cand_hi.ctypes.data,
+        cand_rev.ctypes.data, cand_valid.ctypes.data,
+        cand_refpath.ctypes.data, cand_refoff.ctypes.data)
+    if rc != 0:
+        return None
+    return (cand_start, cand_lo, cand_hi, cand_rev.astype(bool),
+            cand_valid.astype(bool), cand_refpath, cand_refoff)
+
+
+def native_banded_scores_host(reads: np.ndarray, wins: np.ndarray,
+                              rlen: np.ndarray, B: int, scoring):
+    """Score-only banded DP on the host for small batches (rescue).
+    reads (n, L) u8 oriented+padded, wins (n, TW) u8. Returns (n,) int32
+    scores, or None when the native lib is absent."""
+    import ctypes
+
+    L_ = lib()
+    if L_ is None:
+        return None
+    if not hasattr(L_, "_bsh_registered"):
+        L_.banded_scores_host.restype = None
+        L_.banded_scores_host.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]
+        L_._bsh_registered = True
+    reads = np.ascontiguousarray(reads, np.uint8)
+    wins = np.ascontiguousarray(wins, np.uint8)
+    rlen = np.ascontiguousarray(rlen, np.int32)
+    n, L = reads.shape
+    TW = wins.shape[1]
+    out = np.empty(n, np.int32)
+    L_.banded_scores_host(
+        reads.ctypes.data, wins.ctypes.data, n, L, TW, B,
+        scoring.match, scoring.mismatch, scoring.gap_open,
+        scoring.gap_extend, scoring.full_length_bonus,
+        rlen.ctypes.data, out.ctypes.data)
+    return out
 
 
 def native_extract_minimizers_batch(codes2d: np.ndarray, k: int, w: int):

@@ -584,3 +584,267 @@ int64_t extract_minimizers_batch(const uint8_t* reads, int64_t R, int64_t L,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full batch seeding: minimizers -> index lookup (hit caps + soft-cap
+// selection) -> diagonal clustering -> top-C candidate table, one C call
+// per device batch. This is the host side of the giraffe seed stage
+// (reference: MinimizerMapper::find_seeds src/minimizer_mapper.cpp:4100,
+// hit caps :4349-4360, SnarlDistanceIndexClusterer collapsed to a
+// (strand, diagonal) sort on the haplotype text). Mirrors
+// GiraffeMapper._seed_batch element-for-element so the numpy path stays a
+// drop-in fallback; OpenMP-parallel over reads (the reference fans out
+// reads over OpenMP threads the same way, giraffe_main.cpp:2369).
+
+#include <cmath>
+
+namespace {
+
+struct SeedRec {
+    int64_t diag;
+    int32_t roff;
+    float score;
+    uint8_t strand;
+};
+
+struct ClusterRec {
+    int64_t diag;
+    double score;
+    uint8_t strand;
+    int32_t order;   // creation order for stable ties
+};
+
+}  // namespace
+
+extern "C" {
+
+int64_t seed_batch(
+    const uint8_t* codes2d, int64_t R, int64_t L, int32_t k, int32_t w,
+    const uint64_t* idx_keys, int64_t n_keys, const int64_t* idx_offsets,
+    const int64_t* pos_text, const uint8_t* pos_rev,
+    int32_t hit_cap, int32_t hard_hit_cap, double score_fraction,
+    int32_t C, int32_t band_radius,
+    const int64_t* text_start, int64_t n_haps,
+    const int64_t* step_text_pos, const int64_t* steps, int64_t n_steps,
+    const int64_t* seq_start,
+    const int32_t* node_ref_path, const int64_t* node_ref_off,
+    int64_t T,
+    int32_t* cand_start, int32_t* cand_lo, int32_t* cand_hi,
+    uint8_t* cand_rev, uint8_t* cand_valid,
+    int32_t* cand_refpath, int64_t* cand_refoff) {
+#pragma omp parallel
+    {
+        std::vector<int64_t> moffs(L);
+        std::vector<uint64_t> mkeys(L);
+        std::vector<uint8_t> mrev(L);
+        std::vector<SeedRec> seeds;
+        std::vector<ClusterRec> clusters;
+        std::vector<int32_t> sel_order;
+        std::vector<int64_t> seen_roff;
+#pragma omp for schedule(dynamic, 16)
+        for (int64_t r = 0; r < R; r++) {
+            int32_t* cs = cand_start + r * C;
+            int32_t* clo = cand_lo + r * C;
+            int32_t* chi = cand_hi + r * C;
+            uint8_t* crev = cand_rev + r * C;
+            uint8_t* cval = cand_valid + r * C;
+            int32_t* crp = cand_refpath + r * C;
+            int64_t* cro = cand_refoff + r * C;
+            for (int32_t j = 0; j < C; j++) {
+                cs[j] = clo[j] = chi[j] = 0;
+                crev[j] = cval[j] = 0;
+                crp[j] = -1;
+                cro[j] = 0;
+            }
+            const int64_t cnt = extract_minimizers(
+                codes2d + r * L, L, k, w, moffs.data(), mkeys.data(),
+                mrev.data());
+            if (cnt == 0) continue;
+
+            // index lookup + hard cap + minimizer score
+            // (score = 1 + ln(hard_cap) - ln(hits), floor 1.0)
+            std::vector<int64_t> hs(cnt), cnts(cnt);
+            std::vector<double> mscore(cnt);
+            for (int64_t i = 0; i < cnt; i++) {
+                const uint64_t* p = std::lower_bound(
+                    idx_keys, idx_keys + n_keys, mkeys[i]);
+                int64_t ki = p - idx_keys;
+                int64_t c = 0, s = 0;
+                if (ki < n_keys && *p == mkeys[i]) {
+                    s = idx_offsets[ki];
+                    c = idx_offsets[ki + 1] - s;
+                }
+                if (c > hard_hit_cap) c = 0;   // hard-capped out
+                hs[i] = s;
+                cnts[i] = c;
+                mscore[i] = std::max(
+                    1.0, 1.0 + std::log((double)hard_hit_cap)
+                             - std::log(std::max<int64_t>(c, 1)));
+            }
+            // soft-cap selection in descending score order (stable)
+            sel_order.clear();
+            double total = 0.0;
+            for (int64_t i = 0; i < cnt; i++)
+                if (cnts[i] > 0) {
+                    sel_order.push_back((int32_t)i);
+                    total += mscore[i];
+                }
+            if (sel_order.empty()) continue;
+            std::stable_sort(sel_order.begin(), sel_order.end(),
+                             [&](int32_t a, int32_t b) {
+                                 return mscore[a] > mscore[b];
+                             });
+            std::vector<uint8_t> take(cnt, 0);
+            double taken = 0.0, budget = score_fraction * total;
+            for (int32_t i : sel_order) {
+                if (cnts[i] <= hit_cap || taken < budget) {
+                    take[i] = 1;
+                    taken += mscore[i];
+                }
+            }
+            // expand hits -> seeds (original minimizer order)
+            seeds.clear();
+            for (int64_t i = 0; i < cnt; i++) {
+                if (!take[i]) continue;
+                for (int64_t x = 0; x < cnts[i]; x++) {
+                    const int64_t h = hs[i] + x;
+                    const uint8_t strand = pos_rev[h] != mrev[i];
+                    const int64_t o = strand ? (L - k - moffs[i]) : moffs[i];
+                    seeds.push_back(SeedRec{pos_text[h] - o, (int32_t)o,
+                                            (float)mscore[i], strand});
+                }
+            }
+            if (seeds.empty()) continue;
+            std::stable_sort(seeds.begin(), seeds.end(),
+                             [](const SeedRec& a, const SeedRec& b) {
+                                 if (a.strand != b.strand)
+                                     return a.strand < b.strand;
+                                 return a.diag < b.diag;
+                             });
+            // cluster: split on strand change or diag gap > 2B
+            clusters.clear();
+            const int64_t gap = 2 * (int64_t)band_radius;
+            size_t i0 = 0;
+            for (size_t i = 1; i <= seeds.size(); i++) {
+                const bool boundary =
+                    i == seeds.size()
+                    || seeds[i].strand != seeds[i0].strand
+                    || seeds[i].diag - seeds[i - 1].diag > gap;
+                if (!boundary) continue;
+                // distinct read offsets only
+                seen_roff.clear();
+                double score = 0.0;
+                for (size_t t = i0; t < i; t++) {
+                    bool dup = false;
+                    for (int64_t sr : seen_roff)
+                        if (sr == seeds[t].roff) { dup = true; break; }
+                    if (!dup) {
+                        seen_roff.push_back(seeds[t].roff);
+                        score += seeds[t].score;
+                    }
+                }
+                const size_t mid = (i0 + (i - 1)) / 2;
+                clusters.push_back(ClusterRec{seeds[mid].diag, score,
+                                              seeds[i0].strand,
+                                              (int32_t)clusters.size()});
+                i0 = i;
+            }
+            std::stable_sort(clusters.begin(), clusters.end(),
+                             [](const ClusterRec& a, const ClusterRec& b) {
+                                 return a.score > b.score;
+                             });
+            const int32_t nc = std::min<int64_t>(clusters.size(), C);
+            for (int32_t j = 0; j < nc; j++) {
+                const ClusterRec& cl = clusters[j];
+                const int64_t anchor =
+                    std::min(std::max<int64_t>(cl.diag, 0), T - 1);
+                const int64_t hap =
+                    std::upper_bound(text_start + 1, text_start + 1 + n_haps,
+                                     anchor) - (text_start + 1);
+                const int64_t lo = text_start[hap], hi = text_start[hap + 1];
+                cs[j] = (int32_t)(cl.diag - band_radius);
+                clo[j] = (int32_t)lo;
+                chi[j] = (int32_t)hi;
+                crev[j] = cl.strand;
+                cval[j] = 1;
+                const int64_t a2 =
+                    std::min(std::max(anchor, lo), hi - 1);
+                const int64_t si =
+                    std::upper_bound(step_text_pos + 1,
+                                     step_text_pos + 1 + n_steps, a2)
+                    - (step_text_pos + 1);
+                const int64_t h = steps[si];
+                const int64_t nidx = h >> 1;
+                const bool strev = h & 1;
+                const int64_t nlen = seq_start[nidx + 1] - seq_start[nidx];
+                const int64_t goff = a2 - step_text_pos[si];
+                const int64_t fwd = strev ? (nlen - goff) : goff;
+                crp[j] = node_ref_path[nidx];
+                cro[j] = node_ref_off[nidx] + fwd;
+            }
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Score-only banded semiglobal DP for small host batches (paired rescue:
+// tens-to-hundreds of candidates per batch — a device dispatch would pay
+// full roundtrip latency and queue behind the main DP). Recurrence and
+// scores identical to ops.align.banded_scores / banded_traceback above.
+
+extern "C" {
+
+void banded_scores_host(const uint8_t* reads, const uint8_t* wins,
+                        int64_t n, int64_t L, int64_t TW, int32_t B,
+                        int32_t match, int32_t mismatch, int32_t gap_open,
+                        int32_t gap_extend, int32_t bonus,
+                        const int32_t* rlen, int32_t* out) {
+    const int64_t W = 2 * (int64_t)B + 1;
+    const int64_t NEG = -(1LL << 40);
+#pragma omp parallel
+    {
+        std::vector<int64_t> Hp(W), Fp(W), Hn_(W), Fn_(W);
+#pragma omp for schedule(dynamic, 8)
+        for (int64_t c = 0; c < n; c++) {
+            const uint8_t* read = reads + c * L;
+            const uint8_t* window = wins + c * TW;
+            const int64_t rl = rlen[c];
+            if (rl <= 0) { out[c] = -1; continue; }
+            for (int64_t kk = 0; kk < W; kk++) { Hp[kk] = bonus; Fp[kk] = NEG; }
+            int64_t best = 0;
+            for (int64_t i = 1; i <= rl; i++) {
+                const uint8_t rb = read[i - 1];
+                int64_t rowmax = NEG, eprev = NEG, hn_prev = NEG;
+                for (int64_t kk = 0; kk < W; kk++) {
+                    const int64_t j = i - 1 + kk;
+                    const uint8_t wb = (j < TW) ? window[j] : 6;
+                    const int64_t sub = (wb == rb && rb < 4) ? match : -mismatch;
+                    const int64_t diag = Hp[kk] + sub;
+                    const int64_t sh = (kk + 1 < W) ? Hp[kk + 1] : NEG;
+                    const int64_t sf = (kk + 1 < W) ? Fp[kk + 1] : NEG;
+                    const int64_t fval = std::max(sh - gap_open, sf - gap_extend);
+                    int64_t hn = std::max(diag, fval);
+                    if (hn < 0) hn = 0;
+                    int64_t eval = (kk == 0) ? NEG
+                        : std::max(hn_prev - gap_open, eprev - gap_extend);
+                    const int64_t hfin = std::max(hn, eval);
+                    Hn_[kk] = hfin;
+                    Fn_[kk] = fval;
+                    eprev = eval;
+                    hn_prev = hn;
+                    if (hfin > rowmax) rowmax = hfin;
+                }
+                std::swap(Hp, Hn_);
+                std::swap(Fp, Fn_);
+                if (rowmax > best) best = rowmax;
+                if (i == rl && rowmax + bonus > best) best = rowmax + bonus;
+            }
+            out[c] = (int32_t)best;
+        }
+    }
+}
+
+}  // extern "C"

@@ -29,6 +29,21 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def pack_text(text: np.ndarray) -> np.ndarray:
+    """4-bit pack the haplotype text: 8 base codes per int32 word
+    (little-endian within the word). Gathering words instead of bytes is
+    ~4x faster on TPU (the wrapper's window gather is the hot memory op);
+    codes 0-5 plus the sentinel 6 all fit in a nibble."""
+    pad = (-len(text)) % 8 + 16
+    tp = np.concatenate(
+        [np.asarray(text, np.uint8),
+         np.full(pad, 6, np.uint8)]).astype(np.uint32)
+    packed = np.zeros(len(tp) // 8, np.uint32)
+    for b in range(8):
+        packed |= tp[b::8] << np.uint32(4 * b)
+    return packed.view(np.int32)
+
+
 def make_kernel(RL: int, TW: int, W: int, WP: int, match: int, mismatch: int,
                 gap_open: int, gap_extend: int, bonus: int):
     """Kernel body for fixed shapes. WP = W rounded up to 8 sublanes."""
@@ -162,29 +177,146 @@ def banded_scores_via_pallas(
     *, band_radius: int = 16, match: int = 1, mismatch: int = 4,
     gap_open: int = 6, gap_extend: int = 1, bonus: int = 5) -> jnp.ndarray:
     """Drop-in for vg_tpu.ops.align.banded_scores: XLA gathers the text
-    windows and per-candidate oriented reads, the Pallas kernel fills the
-    DP. Returns (R, C) int32 with -1 on invalid slots."""
+    windows and per-candidate oriented reads *directly in the kernel's
+    lane-major layout* (no transposes — the round-1 wrapper materialized
+    (N, TW) then transposed, which erased the kernel's win), the Pallas
+    kernel fills the DP. Returns (R, C) int32 with -1 on invalid slots."""
     R, RL = reads.shape
     C = cand_start.shape[1]
     B = band_radius
+    W = 2 * B + 1
+    WP = _round_up(W, 8)
     TW = RL + 2 * B
+    TWP = _round_up(TW + (WP - W) + 16, 8)
     N = R * C
     NP = _round_up(max(N, LANES), LANES)
 
-    pos = cand_start[:, :, None] + jnp.arange(TW, dtype=jnp.int32)
-    ok = ((pos >= cand_lo[:, :, None]) & (pos < cand_hi[:, :, None])
-          & (pos >= 0) & (pos < text.shape[0]))
-    win = jnp.where(ok, text[jnp.clip(pos, 0, text.shape[0] - 1)],
-                    jnp.uint8(6)).reshape(N, TW)
-    rd = jnp.where(cand_rev[:, :, None], reads_rc[:, None, :],
-                   reads[:, None, :]).reshape(N, RL)
-    rl = jnp.where(cand_valid, rlen[:, None], 0).reshape(N).astype(jnp.int32)
+    start = cand_start.reshape(N).astype(jnp.int32)
+    lo = cand_lo.reshape(N).astype(jnp.int32)
+    hi = cand_hi.reshape(N).astype(jnp.int32)
+    rev = cand_rev.reshape(N)
+    valid = cand_valid.reshape(N)
+    ridx = (jnp.arange(N, dtype=jnp.int32) // C)
+
+    # windows, built lane-major: row j of candidate n = text[start_n + j]
+    pos = start[None, :] + jnp.arange(TWP, dtype=jnp.int32)[:, None]
+    ok = ((pos >= lo[None, :]) & (pos < hi[None, :])
+          & (pos >= 0) & (pos < text.shape[0])
+          & (jnp.arange(TWP, dtype=jnp.int32)[:, None] < TW))
+    win_t = jnp.where(ok, text[jnp.clip(pos, 0, text.shape[0] - 1)],
+                      jnp.uint8(6))                           # (TWP, N)
+    # oriented reads, lane-major
+    rd_t = jnp.where(rev[None, :], reads_rc.T[:, ridx],
+                     reads.T[:, ridx])                        # (RL, N)
+    rl = jnp.where(valid, rlen[ridx], 0).astype(jnp.int32)
     if NP != N:
-        win = jnp.pad(win, ((0, NP - N), (0, 0)), constant_values=6)
-        rd = jnp.pad(rd, ((0, NP - N), (0, 0)), constant_values=5)
+        win_t = jnp.pad(win_t, ((0, 0), (0, NP - N)), constant_values=6)
+        rd_t = jnp.pad(rd_t, ((0, 0), (0, NP - N)), constant_values=5)
         rl = jnp.pad(rl, (0, NP - N))
-    out = banded_scores_pallas(
-        win, rd, rl, band_radius=band_radius, match=match,
-        mismatch=mismatch, gap_open=gap_open, gap_extend=gap_extend,
-        bonus=bonus)[:N].reshape(R, C)
-    return jnp.where(cand_valid, out, jnp.int32(-1))
+
+    kernel = make_kernel(RL, TW, W, WP, match, mismatch, gap_open,
+                         gap_extend, bonus)
+    out = pl.pallas_call(
+        kernel,
+        grid=(NP // LANES,),
+        in_specs=[
+            pl.BlockSpec((TWP, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RL, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, NP), jnp.int32),
+    )(win_t, rd_t, rl[None, :])
+    res = out[0, :N].reshape(R, C)
+    return jnp.where(cand_valid, res, jnp.int32(-1))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "band_radius", "match", "mismatch", "gap_open",
+                     "gap_extend", "bonus"))
+def banded_scores_packed(
+    text_packed: jnp.ndarray,   # (ceil(T/8)+2,) int32, pack_text() output
+    T: int,                     # true text length in bases
+    reads: jnp.ndarray, reads_rc: jnp.ndarray, rlen: jnp.ndarray,
+    cand_start: jnp.ndarray, cand_lo: jnp.ndarray, cand_hi: jnp.ndarray,
+    cand_rev: jnp.ndarray, cand_valid: jnp.ndarray,
+    *, band_radius: int = 16, match: int = 1, mismatch: int = 4,
+    gap_open: int = 6, gap_extend: int = 1, bonus: int = 5) -> jnp.ndarray:
+    """Production DP entry: packed-word window gather + Pallas kernel.
+
+    Same contract as vg_tpu.ops.align.banded_scores but reads the text
+    from its 4-bit packed form: per candidate we gather ~TW/8 words,
+    realign by the 0-7 base misalignment with vector shifts, and unpack —
+    ~4x less gather traffic than byte gathers, which dominated the
+    round-1 wrapper."""
+    R, RL = reads.shape
+    C = cand_start.shape[1]
+    B = band_radius
+    W = 2 * B + 1
+    WP = _round_up(W, 8)
+    TW = RL + 2 * B
+    TWP = _round_up(TW + (WP - W) + 16, 8)
+    N = R * C
+    NP = _round_up(max(N, LANES), LANES)
+    NWORDS = TWP // 8 + 2
+
+    start = cand_start.reshape(N).astype(jnp.int32)
+    lo = cand_lo.reshape(N).astype(jnp.int32)
+    hi = cand_hi.reshape(N).astype(jnp.int32)
+    rev = cand_rev.reshape(N)
+    valid = cand_valid.reshape(N)
+
+    # window gather, word granularity, lane-major
+    w0 = start // 8
+    m = (start % 8).astype(jnp.uint32)
+    widx = w0[None, :] + jnp.arange(NWORDS, dtype=jnp.int32)[:, None]
+    words = text_packed[jnp.clip(widx, 0, text_packed.shape[0] - 1)]
+    wu = words.astype(jnp.uint32)
+    sh = 4 * m
+    lo_w = wu >> sh[None, :]
+    hi_w = jnp.where(m == 0, jnp.uint32(0), wu << (32 - sh)[None, :])
+    aligned = lo_w.at[:-1].set(lo_w[:-1] | hi_w[1:])
+    rep = jnp.repeat(aligned[: TWP // 8 + 1], 8, axis=0)[:TWP]
+    shifts = (4 * (jnp.arange(TWP, dtype=jnp.uint32) % 8))[:, None]
+    win_t = ((rep >> shifts) & jnp.uint32(15)).astype(jnp.uint8)  # (TWP, N)
+    # haplotype-range / text-range masking
+    rowpos = start[None, :] + jnp.arange(TWP, dtype=jnp.int32)[:, None]
+    ok = ((rowpos >= lo[None, :]) & (rowpos < hi[None, :])
+          & (rowpos >= 0) & (rowpos < T)
+          & (jnp.arange(TWP, dtype=jnp.int32)[:, None] < TW))
+    win_t = jnp.where(ok, win_t, jnp.uint8(6))
+
+    # oriented reads via repeat (affine candidate->read map; no gather)
+    rd_f = jnp.repeat(reads.T, C, axis=1)
+    rd_r = jnp.repeat(reads_rc.T, C, axis=1)
+    rd_t = jnp.where(rev[None, :], rd_r, rd_f)                    # (RL, N)
+    rl = jnp.where(valid, jnp.repeat(rlen[:R], C), 0).astype(jnp.int32)
+    if NP != N:
+        win_t = jnp.pad(win_t, ((0, 0), (0, NP - N)), constant_values=6)
+        rd_t = jnp.pad(rd_t, ((0, 0), (0, NP - N)), constant_values=5)
+        rl = jnp.pad(rl, (0, NP - N))
+
+    kernel = make_kernel(RL, TW, W, WP, match, mismatch, gap_open,
+                         gap_extend, bonus)
+    out = pl.pallas_call(
+        kernel,
+        grid=(NP // LANES,),
+        in_specs=[
+            pl.BlockSpec((TWP, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RL, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, NP), jnp.int32),
+    )(win_t, rd_t, rl[None, :])
+    res = out[0, :N].reshape(R, C)
+    return jnp.where(cand_valid, res, jnp.int32(-1))

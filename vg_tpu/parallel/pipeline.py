@@ -67,10 +67,16 @@ def map_stream_encoded_mt(mapper, batches: Iterable, depth: int = 3
 
 
 def map_pairs_encoded_mt(paired_mapper, pair_batches: Iterable,
-                         depth: int = 3) -> Iterator[List[bytes]]:
-    """Paired pipeline: seeding/dispatch of batch i+1 overlaps pairing +
-    emission of batch i."""
+                         depth: int = 4) -> Iterator[List[bytes]]:
+    """Paired pipeline, three stages so the device roundtrip latency of
+    batch i hides behind host work on batches i±1:
+
+        S: seed + one folded DP dispatch           (score_pairs)
+        R: force main scores, dispatch rescue DP   (stage_rescue)
+        E: finish rescue, pair, emit encoded GAM   (stage_emit)
+    """
     q_scored: "queue.Queue" = queue.Queue(maxsize=depth)
+    q_resc: "queue.Queue" = queue.Queue(maxsize=depth)
     q_out: "queue.Queue" = queue.Queue(maxsize=depth)
     DONE = object()
     err: List[BaseException] = []
@@ -84,18 +90,26 @@ def map_pairs_encoded_mt(paired_mapper, pair_batches: Iterable,
         finally:
             q_scored.put(DONE)
 
-    def finisher():
+    def rescuer():
         try:
             while True:
                 item = q_scored.get()
                 if item is DONE:
                     break
                 batch, scored = item
-                recs = paired_mapper.map_pairs_encoded(batch, scored=scored)
-                if recs is None:
-                    recs = [a.encode()
-                            for a in paired_mapper.map_pairs_flat(batch)]
-                q_out.put(recs)
+                q_resc.put(paired_mapper.stage_rescue(batch, scored))
+        except BaseException as e:
+            err.append(e)
+        finally:
+            q_resc.put(DONE)
+
+    def emitter():
+        try:
+            while True:
+                item = q_resc.get()
+                if item is DONE:
+                    break
+                q_out.put(paired_mapper.stage_emit(item))
             tail = paired_mapper.finish_encoded()
             if tail:
                 q_out.put(tail)
@@ -104,16 +118,16 @@ def map_pairs_encoded_mt(paired_mapper, pair_batches: Iterable,
         finally:
             q_out.put(DONE)
 
-    t1 = threading.Thread(target=seeder, daemon=True)
-    t2 = threading.Thread(target=finisher, daemon=True)
-    t1.start()
-    t2.start()
+    threads = [threading.Thread(target=f, daemon=True)
+               for f in (seeder, rescuer, emitter)]
+    for t in threads:
+        t.start()
     while True:
         recs = q_out.get()
         if recs is DONE:
             break
         yield recs
-    t1.join()
-    t2.join()
+    for t in threads:
+        t.join()
     if err:
         raise err[0]
