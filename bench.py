@@ -118,11 +118,11 @@ def main():
         f"text {haps.total_len} bp, {idx.unique_count} minimizers "
         f"({time.time()-t0:.1f}s)\n")
 
-    bs = int(os.environ.get("BENCH_BATCH", "2048"))
+    bs = int(os.environ.get("BENCH_BATCH", "4096"))
     mode = os.environ.get("BENCH_MODE", "paired")
     params = GiraffeParams(batch_reads=bs)
     mapper = GiraffeMapper(haps, idx, params)
-    n_bench = int(os.environ.get("BENCH_READS", "16384"))
+    n_bench = int(os.environ.get("BENCH_READS", "65536"))
 
     if mode == "paired":
         from vg_tpu.map.paired import PairedGiraffeMapper
@@ -174,6 +174,22 @@ def main():
             f"[bench] {mapped} reads in {dt:.2f}s -> "
             f"{nbytes/1e6:.1f} MB GAM\n")
         metric = "giraffe_sr_reads_per_s_per_chip"
+    # accuracy sidecar (stderr): the same mapeval loop the tests gate on —
+    # a throughput number without a correctness fraction is unshippable
+    try:
+        from vg_tpu.eval.mapeval import run_mapeval
+
+        res = run_mapeval(mapper, n_reads=1000, error_rate=0.01, seed=17)
+        res_i = run_mapeval(mapper, n_reads=500, error_rate=0.005,
+                            indel_rate=0.01, seed=19)
+        a30, n30 = res.accuracy_at_mapq(30)
+        sys.stderr.write(
+            f"[bench] accuracy: {res.accuracy:.4f} overall, "
+            f"{a30:.4f}@mapq30 (n={n30}), wrong@60={res.wrong_mapq60}; "
+            f"indel reads: {res_i.accuracy:.4f} overall, "
+            f"{res_i.accuracy_at_mapq(30)[0]:.4f}@mapq30\n")
+    except Exception as e:  # accuracy sidecar must never kill the bench
+        sys.stderr.write(f"[bench] accuracy check failed: {e}\n")
     print(json.dumps({
         "metric": metric,
         "value": round(rps, 1),

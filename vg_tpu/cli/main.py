@@ -497,6 +497,28 @@ def cmd_gamcompare(args) -> int:
     return 0
 
 
+def cmd_mapeval(args) -> int:
+    """Accuracy oracle: simulate truth reads from the index, map, score
+    (the vgci mapeval loop, vgci/vgci.py:1136, as one subcommand)."""
+    from ..eval.mapeval import run_mapeval
+    from ..map.giraffe import GiraffeMapper, GiraffeParams
+
+    g, haps, idx = _load_bundle(args.index_prefix)
+    mapper = GiraffeMapper(haps, idx, GiraffeParams(
+        batch_reads=args.batch_size))
+    res = run_mapeval(mapper, n_reads=args.num_reads,
+                      read_length=args.read_length,
+                      error_rate=args.error_rate,
+                      indel_rate=args.indel_rate, paired=args.paired,
+                      seed=args.seed, range_bp=args.range)
+    out = res.to_dict()
+    a30, n30 = res.accuracy_at_mapq(30)
+    out["accuracy_mapq30"] = round(a30, 6)
+    out["n_mapq30"] = n30
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_validate(args) -> int:
     g = _load_graph_any(args.xg)
     problems = g.validate()
@@ -1188,6 +1210,18 @@ def build_parser() -> argparse.ArgumentParser:
     gc.add_argument("-d", "--distance-graph",
                     help="graph file: use graph min-distance instead of refpos")
     gc.set_defaults(func=cmd_gamcompare)
+
+    me = sub.add_parser("mapeval", help="simulate+map+score accuracy")
+    me.add_argument("-Z", "--index-prefix", required=True)
+    me.add_argument("-n", "--num-reads", type=int, default=1000)
+    me.add_argument("-l", "--read-length", type=int, default=150)
+    me.add_argument("-e", "--error-rate", type=float, default=0.01)
+    me.add_argument("-i", "--indel-rate", type=float, default=0.0)
+    me.add_argument("-p", "--paired", action="store_true")
+    me.add_argument("-s", "--seed", type=int, default=7)
+    me.add_argument("-r", "--range", type=int, default=100)
+    me.add_argument("-B", "--batch-size", type=int, default=512)
+    me.set_defaults(func=cmd_mapeval)
 
     va = sub.add_parser("validate", help="graph invariants")
     va.add_argument("-x", "--xg", required=True)
