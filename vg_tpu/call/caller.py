@@ -30,6 +30,8 @@ from .pack import Packer
 @dataclass
 class CallParams:
     max_traversals: int = 32
+    max_alleles: int = 6                  # genotyped alleles per site
+    max_snarl_nodes: int = 400            # descend into children above this
     min_allele_support: float = 1.0
     baseline_error_small: float = 0.005   # reference snarl_caller.cpp:469-486
     baseline_error_large: float = 0.01
@@ -154,10 +156,19 @@ class SnarlCaller:
         ref_ti = travs.index(ref_walk)
         ref_between = seqs[ref_ti]
 
+        # alleles: ref plus every traversal with real support, best first,
+        # capped at max_alleles (the round-1 three-allele cap is gone)
         order = np.argsort(-np.asarray(supports))
-        best, second = int(order[0]), int(order[1]) if len(order) > 1 else int(order[0])
-        alleles = sorted({ref_ti, best, second} if supports[second] >=
-                         p.min_allele_support else {ref_ti, best})
+        chosen: List[int] = [ref_ti]
+        for a in order:
+            a = int(a)
+            if a == ref_ti:
+                continue
+            if supports[a] >= p.min_allele_support or len(chosen) < 2:
+                chosen.append(a)
+            if len(chosen) >= p.max_alleles:
+                break
+        alleles = sorted(set(chosen))
         total = sum(supports[a] for a in alleles)
         if total < p.min_total_support_for_call:
             return None
@@ -235,11 +246,35 @@ class SnarlCaller:
     # ----------------------------------------------------------------- call
 
     def call(self) -> List[VariantCall]:
-        out = []
-        for sn in snarls_along_path(self.graph, self.ref_path):
-            vc = self.genotype_snarl(sn)
+        """Genotype the nested snarl decomposition along the reference
+        path: top-level snarls are typed as units; when a snarl is too
+        big to enumerate (or can't be typed), its on-path children are
+        typed instead (the FlowCaller / NestedFlowCaller split,
+        reference src/graph_caller.hpp:373,466)."""
+        from ..graph.cactus import snarls_on_path
+
+        try:
+            snarls, children = snarls_on_path(self.graph, self.ref_path)
+        except Exception:
+            # fallback: backbone superbubble finder
+            snarls = snarls_along_path(self.graph, self.ref_path)
+            children = [[] for _ in snarls]
+        out: List[VariantCall] = []
+
+        def process(i: int) -> None:
+            sn = snarls[i]
+            vc = None
+            if len(sn.contents) <= self.params.max_snarl_nodes:
+                vc = self.genotype_snarl(sn)
             if vc is not None:
                 out.append(vc)
+            else:
+                for c in children[i]:
+                    process(c)
+
+        for i, sn in enumerate(snarls):
+            if sn.parent is None:
+                process(i)
         out.sort(key=lambda v: v.pos)
         return out
 

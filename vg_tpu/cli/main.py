@@ -764,25 +764,43 @@ def cmd_depth(args) -> int:
 
 
 def cmd_snarls(args) -> int:
-    from ..graph.snarls import snarl_traversals, snarls_along_path
+    """Nested snarl decomposition via the cactus machinery (reference:
+    IntegratedSnarlFinder, src/integrated_snarl_finder.cpp; handles
+    cyclic graphs, inversions, and off-path bubbles)."""
+    from ..graph.cactus import decompose
+    from ..graph.snarls import Snarl, snarl_traversals
 
     g = _load_graph_any(args.xg)
-    paths = [args.path] if args.path else [m.name for m in g.path_meta]
-    for pname in paths:
-        for sn in snarls_along_path(g, pname):
-            d = {
-                "start": {"node_id": str(int(g.node_id[sn.start >> 1])),
-                          "backward": bool(sn.start & 1)},
-                "end": {"node_id": str(int(g.node_id[sn.end >> 1])),
-                        "backward": bool(sn.end & 1)},
-                "contents": [str(int(g.node_id[i])) for i in sn.contents],
+    dec = decompose(g)
+    for si in dec.real_snarls():
+        s = dec.snarls[si]
+        contents = dec.snarl_contents(si)
+        if not contents and not args.include_trivial:
+            continue
+        ci = s.chain
+        parent = dec.chains[ci].parent_snarl if ci >= 0 else -1
+        if parent >= 0 and dec.snarls[parent].start < 0:
+            parent = -1              # root pseudo-snarl = top level
+        d = {
+            "start": {"node_id": str(int(g.node_id[s.start >> 1])),
+                      "backward": bool(s.start & 1)},
+            "end": {"node_id": str(int(g.node_id[s.end >> 1])),
+                    "backward": bool(s.end & 1)},
+            "contents": [str(int(g.node_id[i])) for i in contents],
+        }
+        if parent >= 0:
+            p = dec.snarls[parent]
+            d["parent"] = {
+                "start": {"node_id": str(int(g.node_id[p.start >> 1]))},
+                "end": {"node_id": str(int(g.node_id[p.end >> 1]))},
             }
-            if args.traversals:
-                d["traversals"] = [
-                    [("<" if h & 1 else ">") + str(int(g.node_id[h >> 1]))
-                     for h in t]
-                    for t in snarl_traversals(g, sn)]
-            sys.stdout.write(json.dumps(d) + "\n")
+        if args.traversals:
+            legacy = Snarl(start=s.start, end=s.end, contents=list(contents))
+            d["traversals"] = [
+                [("<" if h & 1 else ">") + str(int(g.node_id[h >> 1]))
+                 for h in t]
+                for t in snarl_traversals(g, legacy)]
+        sys.stdout.write(json.dumps(d) + "\n")
     return 0
 
 
@@ -1352,8 +1370,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     sn = sub.add_parser("snarls", help="snarl decomposition (JSON lines)")
     sn.add_argument("-x", "--xg", required=True)
-    sn.add_argument("-p", "--path")
+    sn.add_argument("-p", "--path", help="(unused; full decomposition)")
     sn.add_argument("-T", "--traversals", action="store_true")
+    sn.add_argument("--include-trivial", action="store_true",
+                    help="also print content-free snarls between chain links")
     sn.set_defaults(func=cmd_snarls)
 
 
