@@ -282,3 +282,61 @@ def test_overhanging_read_at_haplotype_end(small_x):
     recs = small_x.emit_batch_encoded(sb)
     if recs is not None:
         assert len(recs) == 1 and len(bytes(recs[0])) > 0
+
+
+def test_graph_fallback_recombinant_read():
+    """A read spelling an allele combination present on NO indexed
+    haplotype (recombinant across two big indel variants) cannot align
+    well to any haplotype text window; the graph-space POA fallback must
+    place it correctly (reference: dozeu/GSSW over extracted graph,
+    src/minimizer_mapper.cpp:3319-3424)."""
+    from vg_tpu.graph.arraygraph import SENSE_HAPLOTYPE, GraphBuilder
+    from vg_tpu.index.haplotypes import haplotypes_from_paths
+    from vg_tpu.index.minimizer import MinimizerIndex
+    from vg_tpu.map.giraffe import GiraffeMapper, GiraffeParams
+
+    rng = np.random.default_rng(42)
+    seg = lambda n: dna.decode(rng.integers(0, 4, n).astype(np.uint8))
+    A1 = seg(80)       # anchor
+    INS = seg(30)      # site 1: 30bp insertion allele
+    MID = seg(60)      # middle anchor
+    DEL = seg(30)      # site 2: 30bp segment deleted on alt
+    A2 = seg(80)
+
+    b = GraphBuilder()
+    n_a1 = b.add_node(A1)
+    n_ins = b.add_node(INS)
+    n_mid = b.add_node(MID)
+    n_del = b.add_node(DEL)
+    n_a2 = b.add_node(A2)
+    b.add_edge(n_a1, n_ins)
+    b.add_edge(n_a1, n_mid)     # site 1 ref: skip INS
+    b.add_edge(n_ins, n_mid)
+    b.add_edge(n_mid, n_del)    # site 2 ref: through DEL
+    b.add_edge(n_mid, n_a2)     # site 2 alt: skip DEL
+    b.add_edge(n_del, n_a2)
+    # indexed haplotypes: (INS, DEL-present) and (no-INS, DEL-absent)
+    b.add_path("ref", [(n_a1, False), (n_mid, False), (n_del, False),
+                       (n_a2, False)])
+    b.add_path("hapA", [(n_a1, False), (n_ins, False), (n_mid, False),
+                        (n_del, False), (n_a2, False)],
+               sense=SENSE_HAPLOTYPE)
+    g = b.freeze()
+    haps = haplotypes_from_paths(g)
+    idx = MinimizerIndex.build(haps)
+    m = GiraffeMapper(haps, idx, GiraffeParams(batch_reads=64))
+
+    # the sample's haplotype: INS present AND DEL deleted — on no index
+    # haplotype. Read spans both sites.
+    sample = A1 + INS + MID + A2
+    read_seq = sample[40 : 40 + 150]
+    (aln,) = m.map_batch([Read("recomb", read_seq, None)])
+    assert aln.path is not None and aln.path.mappings, "read unmapped"
+    # a correct placement includes both the INS node and skips DEL
+    ids = [mp.position.node_id for mp in aln.path.mappings]
+    assert g.node_id[g.idx(n_ins)] in ids or n_ins in ids, ids
+    assert n_del not in ids, ids
+    # near-perfect score: both breakpoints crossed without penalty
+    assert aln.score >= 150 - 10, aln.score
+    tos = sum(e.to_length for mp in aln.path.mappings for e in mp.edits)
+    assert tos == 150

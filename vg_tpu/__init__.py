@@ -19,3 +19,12 @@ docstrings); the implementation is new and TPU-first.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# persistent XLA compilation cache: first TPU compile of each pipeline
+# shape costs tens of seconds (more through a tunneled device); cache it
+# across processes unless the user chose their own location
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.cache/vg_tpu/jax"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

@@ -63,6 +63,14 @@ class GiraffeParams:
     full_length_bonus: int = 5
     track_provenance: bool = False    # --track-provenance (funnel stats)
     use_pallas: str = "auto"          # 'auto' | 'always' | 'never'
+    # graph-space POA fallback (the dozeu/GSSW-over-extracted-graph role,
+    # reference src/minimizer_mapper.cpp:3319-3424): reads whose best
+    # haplotype-text score stays below graph_fallback_frac * L realign
+    # against the local graph, so allele combinations on no indexed
+    # haplotype (recombinants, novel indels) still place correctly
+    graph_fallback: bool = True
+    graph_fallback_frac: float = 0.75
+    graph_fallback_radius: int = 64   # extra bp of graph context
 
 
 @dataclass
@@ -1011,6 +1019,25 @@ class GiraffeMapper:
             if ta2 is not None and (ta is None or ta2.score > ta.score):
                 ta = ta2
                 wstart = diag - B2
+        # graph-space fallback: the read's allele combination may sit on
+        # no indexed haplotype (recombinant across a variant pair, novel
+        # indel) — realign against the local graph region via POA.
+        # Triggers on soft-clipped winners (a clipped tail is exactly the
+        # "tail needs graph alignment" case, reference
+        # find_optimal_tail_alignments src/minimizer_mapper.cpp:5361) and
+        # on low absolute score.
+        clipped = ta is not None and (
+            ta.read_start > 4 or ta.read_end < L - 4)
+        if p.graph_fallback and (
+                ta is None or clipped
+                or ta.score < p.graph_fallback_frac * L):
+            ga = self._graph_fallback(codes, wstart + p.band_radius, lo, hi)
+            if ga is not None and (ta is None or ga.score > ta.score):
+                aln.path = ga.path
+                aln.score = ga.score
+                aln.identity = ga.identity
+                self.path_pos.annotate_refpos(aln)
+                return
         if ta is None:
             return
         path = text_alignment_to_path(self.haps, ta, wstart, oriented, is_rev)
@@ -1018,3 +1045,46 @@ class GiraffeMapper:
         aln.score = ta.score
         aln.identity = ta.matches / L if L else 0.0
         self.path_pos.annotate_refpos(aln)
+
+    def _graph_fallback(self, codes: np.ndarray, diag: int, lo: int,
+                        hi: int):
+        """POA of the (forward) read against the dagified local graph
+        around the candidate's projection. The flattened handle DAG holds
+        both orientations, so reverse-strand placements come out
+        naturally."""
+        from ..graph.ops import subgraph
+        from ..ops.graph_align import align_to_graph_dagified
+
+        p = self.params
+        L = len(codes)
+        anchor = int(np.clip(diag, lo, max(lo, hi - 1)))
+        node_id, _off, _rev = self.haps.text_pos_to_graph(anchor)
+        # collect nodes within L + radius bp of the anchor node (both
+        # directions, both strands)
+        budget = L + p.graph_fallback_radius
+        g = self.graph
+        start_h = g.idx(node_id) * 2
+        dist = {start_h: 0, start_h ^ 1: 0}
+        queue = [start_h, start_h ^ 1]
+        qi = 0
+        nodes = {int(node_id)}
+        while qi < len(queue) and len(nodes) < 2000:
+            h = queue[qi]
+            qi += 1
+            d = dist[h] + g.handle_len(h)
+            if d > budget:
+                continue
+            for nxt in g.follow(h):
+                nxt = int(nxt)
+                if nxt not in dist or d < dist[nxt]:
+                    dist[nxt] = d
+                    queue.append(nxt)
+                    nodes.add(int(g.node_id[nxt >> 1]))
+        try:
+            sub = subgraph(g, nodes)
+            return align_to_graph_dagified(
+                sub, codes,
+                align_ops.Scoring(p.match, p.mismatch, p.gap_open,
+                                  p.gap_extend, p.full_length_bonus))
+        except Exception:
+            return None

@@ -53,7 +53,8 @@ def topological_handles(g: ArrayGraph) -> Optional[List[int]]:
 @dataclass
 class _BaseDag:
     codes: np.ndarray          # (V,) uint8 base per vertex
-    handle: np.ndarray         # (V,) handle owning the vertex
+    handle: np.ndarray         # (V,) handle owning the vertex (original
+                               #      handle — copies collapse back)
     offset: np.ndarray         # (V,) offset of the base within the handle
     preds: List[List[int]]     # predecessor vertex ids (empty = source)
     is_sink: np.ndarray        # (V,) bool — no successors
@@ -99,6 +100,159 @@ def _flatten(g: ArrayGraph) -> _BaseDag:
                     preds=preds, is_sink=~has_succ)
 
 
+def _sccs(n: int, succ) -> List[List[int]]:
+    """Tarjan SCCs (iterative) over vertices 0..n-1 with successor fn."""
+    index = [-1] * n
+    low = [0] * n
+    on = [False] * n
+    st: List[int] = []
+    out: List[List[int]] = []
+    counter = [0]
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, iter(succ(root)))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        st.append(root)
+        on[root] = True
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                w = int(w)
+                if index[w] == -1:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    st.append(w)
+                    on[w] = True
+                    work.append((w, iter(succ(w))))
+                    advanced = True
+                    break
+                elif on[w]:
+                    low[v] = min(low[v], index[w])
+            if not advanced:
+                work.pop()
+                if work:
+                    u = work[-1][0]
+                    low[u] = min(low[u], low[v])
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        x = st.pop()
+                        on[x] = False
+                        comp.append(x)
+                        if x == v:
+                            break
+                    out.append(comp)
+    return out
+
+
+def _flatten_dagified(g: ArrayGraph, max_walk: int,
+                      max_copies: int = 8) -> _BaseDag:
+    """Flatten to a base-level DAG, unrolling cyclic strongly-connected
+    components with enough copies that any walk of up to ``max_walk``
+    bases survives (the dagify overlay role, reference
+    src/dagified_graph.*). Copies collapse back to their original handle
+    for traceback."""
+    n = 2 * g.node_count
+    sccs = _sccs(n, lambda h: (int(c) for c in g.follow(h)))
+    scc_of = [0] * n
+    for si, comp in enumerate(sccs):
+        for h in comp:
+            scc_of[h] = si
+    nontrivial = set()
+    for si, comp in enumerate(sccs):
+        if len(comp) > 1:
+            nontrivial.add(si)
+        else:
+            h = comp[0]
+            if any(int(c) == h for c in g.follow(h)):
+                nontrivial.add(si)
+    # Tarjan emits SCCs in reverse topological order
+    order = list(reversed(range(len(sccs))))
+
+    codes: List[int] = []
+    handle: List[int] = []
+    offset: List[int] = []
+    preds: List[List[int]] = []
+    # (handle, copy) -> (first vid, last vid)
+    span: Dict[Tuple[int, int], Tuple[int, int]] = {}
+
+    def emit_handle(h: int, copy: int, pred_ends: List[int]) -> None:
+        seq = g.handle_seq_codes(h)
+        if len(seq) == 0:
+            return
+        first = len(codes)
+        for o, c in enumerate(seq):
+            vid = len(codes)
+            codes.append(int(c))
+            handle.append(h)
+            offset.append(o)
+            preds.append(pred_ends if o == 0 else [vid - 1])
+        span[(h, copy)] = (first, len(codes) - 1)
+
+    for si in order:
+        comp = sccs[si]
+        if si not in nontrivial:
+            h = comp[0]
+            pred_ends = []
+            for p in g.predecessors(h):
+                p = int(p)
+                psi = scc_of[p]
+                if psi == si:
+                    continue
+                for k in range(max_copies):
+                    if (p, k) in span:
+                        pred_ends.append(span[(p, k)][1])
+            emit_handle(h, 0, pred_ends)
+            continue
+        # cyclic SCC: unroll K copies; edges within one copy follow a
+        # fixed internal order, edges that go "backward" in that order
+        # jump to the next copy
+        min_len = max(1, min(len(g.handle_seq_codes(h)) for h in comp))
+        K = min(max_copies, max(2, max_walk // min_len + 2))
+        pos_in = {h: i for i, h in enumerate(comp)}
+        for k in range(K):
+            for h in comp:
+                pred_ends = []
+                for p in g.predecessors(h):
+                    p = int(p)
+                    if scc_of[p] != si:
+                        if k == 0:
+                            for kk in range(max_copies):
+                                if (p, kk) in span:
+                                    pred_ends.append(span[(p, kk)][1])
+                    else:
+                        if pos_in[p] < pos_in[h]:
+                            if (p, k) in span:
+                                pred_ends.append(span[(p, k)][1])
+                        elif k > 0 and (p, k - 1) in span:
+                            pred_ends.append(span[(p, k - 1)][1])
+                emit_handle(h, k, pred_ends)
+    V = len(codes)
+    has_succ = np.zeros(V, dtype=bool)
+    for vid, ps in enumerate(preds):
+        for p in ps:
+            has_succ[p] = True
+    return _BaseDag(codes=np.array(codes, np.uint8),
+                    handle=np.array(handle, np.int64),
+                    offset=np.array(offset, np.int64),
+                    preds=preds, is_sink=~has_succ)
+
+
+def align_to_graph_dagified(g: ArrayGraph, read: np.ndarray,
+                            scoring: Scoring = DEFAULT_SCORING,
+                            mode: str = "local",
+                            max_copies: int = 8) -> Optional[Alignment]:
+    """align_to_graph for arbitrary (possibly cyclic) graphs: unrolls
+    cycles first (dozeu/gssw over a DagifiedGraph in the reference,
+    src/minimizer_mapper.cpp:3319-3424)."""
+    dag = _flatten_dagified(g, max_walk=len(read) + 32,
+                            max_copies=max_copies)
+    return _align_dag(dag, g, read, scoring, mode)
+
+
 def align_to_graph(g: ArrayGraph, read: np.ndarray,
                    scoring: Scoring = DEFAULT_SCORING,
                    mode: str = "local") -> Optional[Alignment]:
@@ -109,6 +263,12 @@ def align_to_graph(g: ArrayGraph, read: np.ndarray,
     source->sink graph walk both consumed (banded_global_aligner role).
     """
     dag = _flatten(g)
+    return _align_dag(dag, g, read, scoring, mode)
+
+
+def _align_dag(dag: _BaseDag, g: ArrayGraph, read: np.ndarray,
+               scoring: Scoring = DEFAULT_SCORING,
+               mode: str = "local") -> Optional[Alignment]:
     V = len(dag.codes)
     L = len(read)
     if V == 0 or L == 0:
@@ -266,21 +426,31 @@ def _traceback(dag, g, read, H, E, hmove, hpred, eopen, epred, fopen,
                       Edit(from_length=0, to_length=i,
                            sequence=dna.decode(read[:i]))))
 
-    # group reversed steps into mappings per handle run
+    # group reversed steps into mappings per handle run; a run breaks on
+    # handle change OR on a graph-offset discontinuity (dagified copies of
+    # one handle collapse back to the same original handle, so a loop
+    # traversal revisits it — that must start a fresh mapping)
     path = Path()
     cur_h = None
     cur_edits: List[Edit] = []
     cur_start = 0
+    last_off: Optional[int] = None
     for vv, e in reversed(steps):
         h = int(dag.handle[vv])
         off = int(dag.offset[vv])
-        if cur_h is None or h != cur_h:
+        brk = (cur_h is None or h != cur_h
+               or (e.from_length > 0 and last_off is not None
+                   and off != last_off + 1))
+        if brk:
             if cur_h is not None:
                 path.mappings.append(_mk_mapping(g, cur_h, cur_start, cur_edits))
             cur_h = h
             cur_edits = []
             cur_start = off
+            last_off = None
         cur_edits.append(e)
+        if e.from_length > 0:
+            last_off = off
     if cur_h is not None:
         path.mappings.append(_mk_mapping(g, cur_h, cur_start, cur_edits))
     for rank, mp in enumerate(path.mappings, 1):
