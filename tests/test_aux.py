@@ -304,3 +304,40 @@ def test_haplotype_recombination(ref_test_dir):
     best_rec = max(got[h] for h in range(rec.count)
                    if rec.metas[h].sample == "recomb")
     assert best_rec >= max(src[1], src[2]) - 1e-9
+
+
+def test_funnel_filter_provenance(ref_test_dir):
+    """--track-provenance records per-filter pass/fail counts (the
+    giraffe-facts filter-loss table role, reference src/funnel.hpp:27-70,
+    scripts/giraffe-facts.py)."""
+    from vg_tpu.construct.constructor import Constructor, ConstructorParams
+    from vg_tpu.index.haplotypes import thread_haplotypes
+    from vg_tpu.index.minimizer import MinimizerIndex
+    from vg_tpu.io.fasta import read_fasta
+    from vg_tpu.io.fastq import iter_fastq_paired
+    from vg_tpu.io.vcf import read_vcf
+    from vg_tpu.map.giraffe import GiraffeMapper, GiraffeParams
+
+    ref = read_fasta(str(ref_test_dir / "small" / "x.fa"))
+    vcf = read_vcf(str(ref_test_dir / "small" / "x.vcf.gz"))
+    g, results = Constructor(
+        ConstructorParams(max_node_size=1000)).construct_graph(ref, vcf)
+    haps = thread_haplotypes(g, results, vcf)
+    idx = MinimizerIndex.build(haps)
+    m = GiraffeMapper(haps, idx, GiraffeParams(batch_reads=64,
+                                               track_provenance=True))
+    pairs = list(iter_fastq_paired(
+        str(ref_test_dir / "small" / "x.fa_1.fastq"),
+        str(ref_test_dir / "small" / "x.fa_2.fastq")))[:32]
+    m.map_batch([a for a, _ in pairs])
+    f = m.funnel.filters
+    assert "hard-hit-cap" in f and f["hard-hit-cap"].n_in > 0
+    assert "soft-hit-cap" in f
+    assert "top-C-candidates" in f
+    assert "gapless-fast-path" in f
+    # the report names each filter with its loss
+    rep = m.funnel.filter_report()
+    assert "hard-hit-cap" in rep and "loss%" in rep
+    # per-read annotations still present
+    alns = m.map_batch([a for a, _ in pairs])
+    assert any("stage_seed_time" in a.annotation for a in alns)

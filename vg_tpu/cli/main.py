@@ -160,6 +160,30 @@ def cmd_giraffe(args) -> int:
         from ..map.longread import LongReadMapper
 
         mapper = LongReadMapper(haps, idx)
+    elif getattr(args, "engine", "giraffe") == "mem":
+        # honest `vg map`: MEM seeding over a suffix array of the
+        # haplotype text (reference src/mapper.cpp:4484, src/mem.cpp),
+        # sharing the downstream giraffe machinery
+        import os
+
+        import numpy as _np
+
+        from ..map.memmapper import MEMIndex, MEMMapper
+
+        sa_path = args.index_prefix + ".sa.npy"
+        sa = None
+        if os.path.exists(sa_path):
+            sa = _np.load(sa_path)
+        mi = MEMIndex(haps, sa=sa)
+        if sa is None:
+            try:
+                _np.save(sa_path, mi.sa)
+            except OSError:
+                pass
+        params = GiraffeParams(max_candidates=args.max_multimaps_internal,
+                               batch_reads=args.batch_size,
+                               track_provenance=args.track_provenance)
+        mapper = MEMMapper(haps, mi, params)
     else:
         params = GiraffeParams(max_candidates=args.max_multimaps_internal,
                                batch_reads=args.batch_size,
@@ -1321,7 +1345,8 @@ def build_parser() -> argparse.ArgumentParser:
     al.add_argument("-G", "--global-aln", action="store_true")
     al.set_defaults(func=cmd_align)
 
-    mp = sub.add_parser("map", help="map reads (giraffe engine)")
+    mp = sub.add_parser(
+        "map", help="MEM-based mapper (suffix-array seeding, vg map role)")
     mp.add_argument("-Z", "--index-prefix", required=True)
     mp.add_argument("-f", "--fastq", required=True)
     mp.add_argument("-2", "--fastq-mate")
@@ -1332,6 +1357,9 @@ def build_parser() -> argparse.ArgumentParser:
     mp.add_argument("-M", "--max-multimaps-internal", type=int, default=8)
     mp.add_argument("--output")
     mp.add_argument("-b", "--parameter-preset", default="default")
+    mp.add_argument("--track-provenance", action="store_true")
+    mp.add_argument("--engine", default="mem", choices=["mem", "giraffe"],
+                    help="seeding engine (MEMs by default; vg map role)")
     mp.set_defaults(func=cmd_giraffe)
 
 

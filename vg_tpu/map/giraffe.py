@@ -327,12 +327,15 @@ class GiraffeMapper:
         p = self.params
         # native C++ path: the whole stage in one GIL-releasing call,
         # OpenMP over reads; numpy below is the element-identical fallback
-        from ..native import native_seed_batch
+        # (also used under --track-provenance, where the intermediate
+        # counts feed the funnel's filter-loss table)
+        if not p.track_provenance:
+            from ..native import native_seed_batch
 
-        res = native_seed_batch(codes2d, self.index, p, self.haps,
-                                self._node_ref_path, self._node_ref_off)
-        if res is not None:
-            return res
+            res = native_seed_batch(codes2d, self.index, p, self.haps,
+                                    self._node_ref_path, self._node_ref_off)
+            if res is not None:
+                return res
         R, L = codes2d.shape
         C = p.max_candidates
         B = p.band_radius
@@ -351,6 +354,10 @@ class GiraffeMapper:
         hs, he = self.index.lookup_ranges(keys)
         counts = he - hs
         keep = (counts > 0) & (counts <= p.hard_hit_cap)
+        if p.track_provenance:
+            found = counts > 0
+            self.funnel.filter("seed", "hard-hit-cap",
+                               int(found.sum()), int(keep.sum()))
         ridx, offs, canon_rev, hs, he, counts = (
             ridx[keep], offs[keep], canon_rev[keep], hs[keep], he[keep],
             counts[keep])
@@ -367,6 +374,9 @@ class GiraffeMapper:
         # (one item per read per iteration).
         keep2 = _soft_cap_select(ridx, mscore, counts, p.hit_cap,
                                  p.score_fraction)
+        if p.track_provenance:
+            self.funnel.filter("seed", "soft-hit-cap",
+                               len(keep2), int(keep2.sum()))
         ridx, offs, canon_rev, hs, he, counts, mscore = (
             ridx[keep2], offs[keep2], canon_rev[keep2], hs[keep2], he[keep2],
             counts[keep2], mscore[keep2])
@@ -385,6 +395,22 @@ class GiraffeMapper:
         diag = pos - o
         sread = ridx[midx]
         sscore = mscore[midx]
+        return self._cluster_seeds_to_candidates(
+            sread, strand, diag, o, sscore, out)
+
+    def _cluster_seeds_to_candidates(self, sread, strand, diag, o, sscore,
+                                     out):
+        """Shared seed->candidate stage: (read, strand, diagonal) sort +
+        gap split, distinct-offset cluster scoring, top-C selection, and
+        haplotype/reference projection. Used by the minimizer path and by
+        the MEM mapper's seeding."""
+        p = self.params
+        (cand_start, cand_lo, cand_hi, cand_rev, cand_valid,
+         cand_refpath, cand_refoff) = out
+        C = p.max_candidates
+        B = p.band_radius
+        if len(sread) == 0:
+            return out
 
         # cluster: sort by (read, strand, diag); split on diag gap > 2B
         order = np.lexsort((diag, strand, sread))
@@ -440,6 +466,9 @@ class GiraffeMapper:
         group_start = np.nonzero(firsts)[0]
         gix = np.cumsum(firsts) - 1
         rank = np.arange(len(sel)) - group_start[gix]
+        if p.track_provenance:
+            self.funnel.filter("cluster", "top-C-candidates",
+                               len(sel), int((rank < C).sum()))
         final = sel[rank < C]
         rank = rank[rank < C]
         rr = cl_read[final]
@@ -751,6 +780,9 @@ class GiraffeMapper:
         # as mismatches above can still tie the clipped DP score)
         fast = (any_valid & (gl_score == best_s)
                 & (diag >= lo) & (diag + L_arr <= hi))
+        if p.track_provenance:
+            self.funnel.filter("align", "gapless-fast-path",
+                               int(any_valid.sum()), int(fast.sum()))
 
         out: List[Alignment] = []
         for i, r in enumerate(sb.reads):
@@ -1032,6 +1064,11 @@ class GiraffeMapper:
                 ta is None or clipped
                 or ta.score < p.graph_fallback_frac * L):
             ga = self._graph_fallback(codes, wstart + p.band_radius, lo, hi)
+            if p.track_provenance:
+                self.funnel.filter(
+                    "align", "graph-fallback-won", 1,
+                    int(ga is not None and (ta is None
+                                            or ga.score > ta.score)))
             if ga is not None and (ta is None or ga.score > ta.score):
                 aln.path = ga.path
                 aln.score = ga.score

@@ -1,0 +1,169 @@
+"""MEM-based mapper: the honest `vg map` (reference: Mapper::align_multi
+src/mapper.cpp:4484, BaseMapper::find_mems_deep src/mapper.hpp:210,
+src/mem.cpp, MEMChainModel src/cluster.hpp:120).
+
+TPU-native redesign: the GCSA2 graph-kmer suffix array is replaced by a
+plain suffix array over the haplotype text (native C++, built once at
+index time), so maximal exact matches come from binary-searched text
+search instead of FM-index rank walks. Seeds feed the SAME clustering,
+batched banded DP, pairing, MAPQ, and emission machinery as the giraffe
+engine — only the seeding stage differs (MEMs instead of minimizers),
+which is exactly the relationship the two mappers have in the reference.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..index.haplotypes import HaplotypeSet
+from ..utils import dna
+from .giraffe import GiraffeMapper, GiraffeParams
+
+
+class MEMIndex:
+    """Suffix array over the haplotype text + MEM queries."""
+
+    def __init__(self, haps: HaplotypeSet, sa: Optional[np.ndarray] = None,
+                 min_mem_length: int = 19, max_mem_hits: int = 64):
+        from ..native import native_build_suffix_array
+
+        self.haps = haps
+        self.min_mem_length = min_mem_length
+        self.max_mem_hits = max_mem_hits
+        if sa is None:
+            sa = native_build_suffix_array(haps.text)
+            if sa is None:
+                sa = self._python_suffix_array(haps.text)
+        self.sa = np.asarray(sa, np.int32)
+
+    @staticmethod
+    def _python_suffix_array(text: np.ndarray) -> np.ndarray:
+        """Fallback SA via numpy prefix-doubling (no native toolchain)."""
+        n = len(text)
+        rank = text.astype(np.int64)
+        sa = np.arange(n)
+        k = 1
+        while True:
+            key2 = np.full(n, -1, np.int64)
+            key2[: n - k] = rank[k:]
+            order = np.lexsort((key2, rank))
+            sa = order
+            nr = np.zeros(n, np.int64)
+            r1, r2 = rank[order], key2[order]
+            new = np.ones(n, bool)
+            new[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+            nr[order] = np.cumsum(new) - 1
+            rank = nr
+            if rank[sa[-1]] == n - 1:
+                break
+            k <<= 1
+        return sa.astype(np.int32)
+
+    def find_mems(self, codes: np.ndarray):
+        from ..native import native_find_mems
+
+        res = native_find_mems(self.haps.text, self.sa, codes,
+                               self.min_mem_length, self.max_mem_hits)
+        if res is not None:
+            return res
+        return self._python_find_mems(codes)
+
+    def _python_find_mems(self, codes: np.ndarray):
+        text, sa = self.haps.text, self.sa
+        n = len(text)
+        L = len(codes)
+        rs: List[int] = []
+        ln: List[int] = []
+        tp: List[int] = []
+        prev_end = -1
+        for i in range(L - self.min_mem_length + 1):
+            lo, hi, l = 0, n, 0
+            while i + l < L and codes[i + l] < 4:
+                pat = codes[i : i + l + 1]
+                nlo = lo + np.searchsorted(
+                    _suffix_keys(text, sa[lo:hi], l + 1), pat.tobytes(),
+                    side="left")
+                nhi = lo + np.searchsorted(
+                    _suffix_keys(text, sa[lo:hi], l + 1), pat.tobytes(),
+                    side="right")
+                if nlo >= nhi:
+                    break
+                lo, hi, l = nlo, nhi, l + 1
+            if l < self.min_mem_length or i + l <= prev_end:
+                continue
+            prev_end = i + l
+            if hi - lo > self.max_mem_hits:
+                continue
+            for x in range(lo, hi):
+                rs.append(i)
+                ln.append(l)
+                tp.append(int(sa[x]))
+        return (np.array(rs, np.int32), np.array(ln, np.int32),
+                np.array(tp, np.int64))
+
+
+def _suffix_keys(text, sas, l):
+    out = []
+    n = len(text)
+    for s in sas:
+        out.append(text[s : min(n, s + l)].tobytes())
+    return out
+
+
+class MEMMapper(GiraffeMapper):
+    """`vg map` engine: MEM seeding, shared giraffe downstream stages."""
+
+    def __init__(self, haps: HaplotypeSet, mem_index: MEMIndex,
+                 params: Optional[GiraffeParams] = None,
+                 ref_path_names: Optional[List[str]] = None):
+        from ..index.minimizer import MinimizerIndex
+
+        # the giraffe base class wants a minimizer index only for its own
+        # seeding, which we replace wholesale; give it an empty one
+        super().__init__(haps, MinimizerIndex(), params, ref_path_names)
+        self.mem_index = mem_index
+
+    def _seed_batch(self, codes2d: np.ndarray):
+        p = self.params
+        R, L = codes2d.shape
+        C = p.max_candidates
+        out = (np.zeros((R, C), np.int32), np.zeros((R, C), np.int32),
+               np.zeros((R, C), np.int32), np.zeros((R, C), bool),
+               np.zeros((R, C), bool), np.full((R, C), -1, np.int32),
+               np.zeros((R, C), np.int64))
+        sread: List[int] = []
+        strand: List[bool] = []
+        diag: List[int] = []
+        roff: List[int] = []
+        score: List[float] = []
+        for r in range(R):
+            codes = codes2d[r]
+            rc = dna.revcomp_codes(codes)
+            for is_rev, cc in ((False, codes), (True, rc)):
+                rs, ln, tp = self.mem_index.find_mems(cc)
+                for i in range(len(rs)):
+                    sread.append(r)
+                    strand.append(is_rev)
+                    diag.append(int(tp[i]) - int(rs[i]))
+                    roff.append(int(rs[i]))
+                    score.append(float(ln[i]))
+        return self._cluster_seeds_to_candidates(
+            np.array(sread, np.int64), np.array(strand, bool),
+            np.array(diag, np.int64), np.array(roff, np.int64),
+            np.array(score, np.float64), out)
+
+    def _seed_read(self, codes: np.ndarray):
+        # route single-read (ragged-length) seeding through the batch path
+        res = self._seed_batch(codes[None, :])
+        from .giraffe import _Candidate
+
+        (cs, clo, chi, crev, cval, _rp, _ro) = res
+        cands = []
+        for j in range(cs.shape[1]):
+            if cval[0, j]:
+                cands.append(_Candidate(
+                    diag=int(cs[0, j]) + self.params.band_radius,
+                    is_rev=bool(crev[0, j]), score=0.0, n_seeds=1,
+                    lo=int(clo[0, j]), hi=int(chi[0, j])))
+        return cands

@@ -594,6 +594,10 @@ class PairedGiraffeMapper:
             return
         todo, r_start, r_lo, r_hi, r_rev, r_valid, scores_dev = state
         r_scores = np.asarray(scores_dev)
+        if self.mapper.params.track_provenance:
+            got = int(((r_scores > 0) & r_valid).any(axis=1).sum())
+            self.mapper.funnel.filter("rescue", "mate-rescue",
+                                      len(todo), got)
         # merge rescue candidates into the batch tables (replace empty slots)
         for i, _ in todo:
             got = r_valid[i] & (r_scores[i] > 0)

@@ -317,6 +317,52 @@ def native_banded_scores_host(reads: np.ndarray, wins: np.ndarray,
     return out
 
 
+def native_build_suffix_array(text: np.ndarray):
+    """Suffix array of the haplotype text (prefix doubling, C++);
+    None when the native lib is absent."""
+    import ctypes
+
+    L_ = lib()
+    if L_ is None:
+        return None
+    if not hasattr(L_, "_sa_registered"):
+        L_.build_suffix_array.restype = ctypes.c_int64
+        L_.build_suffix_array.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                          ctypes.c_void_p]
+        L_.find_mems.restype = ctypes.c_int64
+        L_.find_mems.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        L_._sa_registered = True
+    text = np.ascontiguousarray(text, np.uint8)
+    sa = np.empty(len(text), np.int32)
+    L_.build_suffix_array(text.ctypes.data, len(text), sa.ctypes.data)
+    return sa
+
+
+def native_find_mems(text: np.ndarray, sa: np.ndarray, read: np.ndarray,
+                     min_len: int = 19, max_hits: int = 64,
+                     cap: int = 4096):
+    """(read_start, length, text_pos) arrays of the read's MEMs."""
+    L_ = lib()
+    if L_ is None:
+        return None
+    if not hasattr(L_, "_sa_registered"):
+        native_build_suffix_array(np.zeros(1, np.uint8))
+    read = np.ascontiguousarray(read, np.uint8)
+    rs = np.empty(cap, np.int32)
+    ln = np.empty(cap, np.int32)
+    tp = np.empty(cap, np.int64)
+    n = L_.find_mems(
+        np.ascontiguousarray(text, np.uint8).ctypes.data, len(text),
+        np.ascontiguousarray(sa, np.int32).ctypes.data,
+        read.ctypes.data, len(read), min_len, max_hits, cap,
+        rs.ctypes.data, ln.ctypes.data, tp.ctypes.data)
+    return rs[:n], ln[:n], tp[:n]
+
+
 def native_extract_minimizers_batch(codes2d: np.ndarray, k: int, w: int):
     """Batch rolling-minimizer extraction in C; None if lib absent."""
     import ctypes

@@ -848,3 +848,120 @@ void banded_scores_host(const uint8_t* reads, const uint8_t* wins,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Suffix array + maximal-exact-match finding over the haplotype text:
+// the TPU-era answer to the GCSA2 MEM stack behind `vg map`
+// (reference: BaseMapper::find_mems_deep src/mapper.hpp:210, src/mem.cpp;
+// GCSA2 kmer suffix array). The haplotype text replaces the graph kmer
+// index, so MEMs come from plain suffix-array search; graph coordinates
+// are recovered the same way the giraffe path does.
+
+extern "C" {
+
+// prefix-doubling suffix array (O(n log^2 n), fine at index-build time)
+int64_t build_suffix_array(const uint8_t* text, int64_t n, int32_t* sa) {
+    std::vector<int32_t> rank(n), tmp(n);
+    std::vector<int32_t> idx(n);
+    for (int64_t i = 0; i < n; i++) {
+        sa[i] = (int32_t)i;
+        rank[i] = text[i];
+    }
+    for (int64_t k = 1; k < n; k <<= 1) {
+        auto cmp = [&](int32_t a, int32_t b) {
+            if (rank[a] != rank[b]) return rank[a] < rank[b];
+            const int32_t ra = (a + k < n) ? rank[a + k] : -1;
+            const int32_t rb = (b + k < n) ? rank[b + k] : -1;
+            return ra < rb;
+        };
+        std::sort(sa, sa + n, cmp);
+        tmp[sa[0]] = 0;
+        for (int64_t i = 1; i < n; i++)
+            tmp[sa[i]] = tmp[sa[i - 1]] + (cmp(sa[i - 1], sa[i]) ? 1 : 0);
+        rank.swap(tmp);
+        if (rank[sa[n - 1]] == (int32_t)(n - 1)) break;
+    }
+    return 0;
+}
+
+namespace {
+
+// longest common prefix of pattern p (length m) vs text suffix at s
+inline int64_t lcp_at(const uint8_t* text, int64_t n, int64_t s,
+                      const uint8_t* p, int64_t m) {
+    int64_t l = 0;
+    const int64_t lim = std::min(m, n - s);
+    while (l < lim && text[s + l] == p[l]) l++;
+    return l;
+}
+
+// SA range of pattern p[0..m) via binary search; returns (lo, hi)
+inline void sa_range(const uint8_t* text, int64_t n, const int32_t* sa,
+                     const uint8_t* p, int64_t m, int64_t* out_lo,
+                     int64_t* out_hi) {
+    // lower bound: first suffix >= p
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        const int64_t mid = (lo + hi) / 2;
+        const int64_t s = sa[mid];
+        const int64_t l = lcp_at(text, n, s, p, m);
+        const bool less =
+            (l < m) && (s + l >= n || text[s + l] < p[l]);
+        if (less) lo = mid + 1; else hi = mid;
+    }
+    const int64_t start = lo;
+    // upper bound: first suffix with prefix > p
+    hi = n;
+    while (lo < hi) {
+        const int64_t mid = (lo + hi) / 2;
+        const int64_t s = sa[mid];
+        const int64_t l = lcp_at(text, n, s, p, m);
+        const bool greater = (l < m) && (s + l < n && text[s + l] > p[l]);
+        if (greater) hi = mid; else lo = mid + 1;
+    }
+    *out_lo = start;
+    *out_hi = hi;
+}
+
+}  // namespace
+
+// MEMs of one read vs the text. For each read start i, the longest
+// exact match read[i:i+l] with l >= min_len and SA occurrence count in
+// (0, max_hits]; emits (read_start, length, text positions...) capped.
+// Maximality: runs are emitted only when not contained in the previous
+// one (l_{i+1} >= l_i - 1 containment property prunes duplicates).
+// Returns number of (mem, position) rows written.
+int64_t find_mems(const uint8_t* text, int64_t n, const int32_t* sa,
+                  const uint8_t* read, int64_t L,
+                  int32_t min_len, int32_t max_hits, int64_t out_cap,
+                  int32_t* out_read_start, int32_t* out_len,
+                  int64_t* out_text_pos) {
+    int64_t rows = 0;
+    int64_t prev_end = -1;
+    for (int64_t i = 0; i + min_len <= L; i++) {
+        // grow the match greedily: binary-search progressively longer
+        // prefixes; stop when the range empties
+        int64_t l = 0, lo = 0, hi = n;
+        while (i + l < L && read[i + l] < 4) {
+            int64_t nlo, nhi;
+            sa_range(text, n, sa, read + i, l + 1, &nlo, &nhi);
+            if (nlo >= nhi) break;
+            lo = nlo; hi = nhi; l++;
+        }
+        if (l < min_len) continue;
+        if (i + l <= prev_end) continue;      // contained in previous MEM
+        prev_end = i + l;
+        const int64_t cnt = hi - lo;
+        if (cnt > max_hits) continue;          // repetitive
+        for (int64_t x = lo; x < hi && rows < out_cap; x++) {
+            out_read_start[rows] = (int32_t)i;
+            out_len[rows] = (int32_t)l;
+            out_text_pos[rows] = sa[x];
+            rows++;
+        }
+        if (rows >= out_cap) break;
+    }
+    return rows;
+}
+
+}  // extern "C"

@@ -77,3 +77,197 @@ def sharded_map_step(mesh: Mesh, text, reads, reads_rc, rlen,
     with mesh:
         return step_sharded(text, reads, reads_rc, rlen, cand_start,
                             cand_lo, cand_hi, cand_rev, cand_valid)
+
+
+# ------------------------------------------------------- full paired step
+
+def _distinct_mask(scores, rev, rp, ro, valid, tol):
+    """Keep only the best-scoring candidate per distinct placement
+    (jnp port of GiraffeMapper._distinct_placements)."""
+    C = scores.shape[1]
+    same = ((rev[:, :, None] == rev[:, None, :])
+            & (rp[:, :, None] >= 0)
+            & (rp[:, :, None] == rp[:, None, :])
+            & (jnp.abs(ro[:, :, None] - ro[:, None, :]) <= tol))
+    idx = jnp.arange(C)
+    better = (scores[:, None, :] > scores[:, :, None]) | (
+        (scores[:, None, :] == scores[:, :, None])
+        & (idx[None, None, :] < idx[None, :, None]))
+    dup = (same & better & valid[:, None, :]).any(axis=2)
+    return ~dup
+
+
+def make_paired_step(band_radius: int = 16, match: int = 1,
+                     mismatch: int = 4, gap_open: int = 6,
+                     gap_extend: int = 1, bonus: int = 5,
+                     max_fragment_length: int = 2000,
+                     unpaired_penalty: float = 30.0,
+                     max_mapq: int = 60, n_buckets: int = 1024):
+    """Build the FULL data-parallel paired mapping step: seed-result
+    candidate tables in -> per-mate DP scores, pair selection with the
+    fragment model, pair/solo MAPQs, pack-style coverage psum, and the
+    fragment-length statistics reduction (the warmup allgather,
+    SURVEY.md §2.3 item 2) out. Everything except host seeding and GAM
+    emission runs on-device; shardings make XLA insert the cross-chip
+    collectives."""
+    from ..map.mapq import log_base
+
+    lam = log_base(match, mismatch)
+
+    def step(text, r1, r1rc, rl1, c1, r2, r2rc, rl2, c2, mu, sd):
+        (s1_start, s1_lo, s1_hi, s1_rev, s1_valid, s1_rp, s1_ro) = c1
+        (s2_start, s2_lo, s2_hi, s2_rev, s2_valid, s2_rp, s2_ro) = c2
+        s1 = align_ops.banded_scores(
+            text, r1, r1rc, rl1, s1_start, s1_lo, s1_hi, s1_rev, s1_valid,
+            band_radius=band_radius, match=match, mismatch=mismatch,
+            gap_open=gap_open, gap_extend=gap_extend, bonus=bonus)
+        s2 = align_ops.banded_scores(
+            text, r2, r2rc, rl2, s2_start, s2_lo, s2_hi, s2_rev, s2_valid,
+            band_radius=band_radius, match=match, mismatch=mismatch,
+            gap_open=gap_open, gap_extend=gap_extend, bonus=bonus)
+        R, C = s1.shape
+        B = band_radius
+        L1 = rl1[:, None].astype(jnp.float32)
+        L2 = rl2[:, None].astype(jnp.float32)
+        tol1 = jnp.maximum(rl1 // 2, 32)[:, None, None]
+        f1 = s1.astype(jnp.float32)
+        f2 = s2.astype(jnp.float32)
+        v1 = s1_valid & (s1 > 0)
+        v2 = s2_valid & (s2 > 0)
+        vd1 = v1 & _distinct_mask(s1, s1_rev, s1_rp, s1_ro, v1, tol1)
+        vd2 = v2 & _distinct_mask(s2, s2_rev, s2_rp, s2_ro, v2, tol1)
+
+        d1 = (s1_start + B).astype(jnp.float32)
+        d2 = (s2_start + B).astype(jnp.float32)
+        ff = (d2[:, None, :] + L2[:, :, None]) - d1[:, :, None]
+        fr = (d1[:, :, None] + L1[:, :, None]) - d2[:, None, :]
+        frag_txt = jnp.where(s1_rev[:, :, None], fr, ff)
+        same_copy = s1_lo[:, :, None] == s2_lo[:, None, :]
+        on_ref = ((s1_rp[:, :, None] >= 0)
+                  & (s1_rp[:, :, None] == s2_rp[:, None, :]))
+        ro1 = s1_ro.astype(jnp.float32)
+        ro2 = s2_ro.astype(jnp.float32)
+        rff = (ro2[:, None, :] + L2[:, :, None]) - ro1[:, :, None]
+        rfr = (ro1[:, :, None] + L1[:, :, None]) - ro2[:, None, :]
+        frag_ref = jnp.where(s1_rev[:, :, None], rfr, rff)
+        frag = jnp.where(same_copy, frag_txt,
+                         jnp.where(on_ref, frag_ref, -1.0))
+        proper = ((s1_rev[:, :, None] != s2_rev[:, None, :])
+                  & (same_copy | on_ref)
+                  & (frag > 0) & (frag <= max_fragment_length)
+                  & vd1[:, :, None] & vd2[:, None, :])
+        ll = (-((frag - mu) ** 2) / (2 * sd * sd)
+              - jnp.log(sd * jnp.sqrt(2 * jnp.pi)))
+        NEGF = jnp.float32(-1e30)
+        pair_scaled = jnp.where(
+            proper, lam * (f1[:, :, None] + f2[:, None, :]) + ll, NEGF)
+        flat = pair_scaled.reshape(R, C * C)
+        best_combo = jnp.argmax(flat, axis=1)
+        best_pair = jnp.take_along_axis(flat, best_combo[:, None], 1)[:, 0]
+        j1p = best_combo // C
+        j2p = best_combo % C
+
+        b1 = jnp.argmax(jnp.where(vd1, f1, NEGF), axis=1)
+        b2 = jnp.argmax(jnp.where(vd2, f2, NEGF), axis=1)
+        s1b = jnp.where(vd1.any(1),
+                        jnp.take_along_axis(f1, b1[:, None], 1)[:, 0], 0.0)
+        s2b = jnp.where(vd2.any(1),
+                        jnp.take_along_axis(f2, b2[:, None], 1)[:, 0], 0.0)
+        indep = lam * (s1b + s2b) - lam * unpaired_penalty
+        use_pair = (best_pair > NEGF / 2) & (best_pair >= indep)
+
+        # pair MAPQ: logsumexp over proper combos
+        lsep = best_pair + jnp.log(jnp.sum(
+            jnp.exp(jnp.where(flat > NEGF / 2,
+                              flat - best_pair[:, None], NEGF)), axis=1))
+        deltap = best_pair - lsep
+        one_minus = jnp.where(deltap < -1e-12,
+                              jnp.log1p(-jnp.exp(jnp.minimum(deltap,
+                                                             -1e-12))),
+                              -50.0)
+        mq_pair = jnp.clip(-10.0 / jnp.log(10.0) * one_minus, 0, max_mapq)
+
+        def end_mapq(f, vd, chosen):
+            sc = jnp.where(vd, f * lam, NEGF)
+            mx = sc.max(axis=1)
+            lse = mx + jnp.log(jnp.exp(sc - mx[:, None]).sum(axis=1))
+            ch = jnp.take_along_axis(f, chosen[:, None], 1)[:, 0] * lam
+            delta = ch - lse
+            om = jnp.where(delta < -1e-12,
+                           jnp.log1p(-jnp.exp(jnp.minimum(delta, -1e-12))),
+                           -50.0)
+            return jnp.clip(-10.0 / jnp.log(10.0) * om, 0, max_mapq)
+
+        j1 = jnp.where(use_pair, j1p, b1)
+        j2 = jnp.where(use_pair, j2p, b2)
+        mq1s = end_mapq(f1, vd1, j1)
+        mq2s = end_mapq(f2, vd2, j2)
+        mq1 = jnp.where(use_pair, jnp.minimum(mq_pair, mq1s + 25), mq1s)
+        mq2 = jnp.where(use_pair, jnp.minimum(mq_pair, mq2s + 25), mq2s)
+        frags = jnp.take_along_axis(frag.reshape(R, C * C),
+                                    best_combo[:, None], 1)[:, 0]
+        frags = jnp.where(use_pair, frags, 0.0)
+
+        # fragment statistics over confident proper pairs (the warmup
+        # allgather): per-shard sums reduce across the mesh because the
+        # outputs are replicated while inputs are sharded
+        sm2_1 = jnp.where(vd1, f1, NEGF)
+        top1 = jnp.sort(sm2_1, axis=1)[:, ::-1]
+        uniq1 = (s1b >= 0.8 * rl1) & (
+            (vd1.sum(1) <= 1) | (top1[:, 1] < top1[:, 0] - 5))
+        sm2_2 = jnp.where(vd2, f2, NEGF)
+        top2 = jnp.sort(sm2_2, axis=1)[:, ::-1]
+        uniq2 = (s2b >= 0.8 * rl2) & (
+            (vd2.sum(1) <= 1) | (top2[:, 1] < top2[:, 0] - 5))
+        obs = (use_pair & uniq1 & uniq2 & (frags > 0)
+               & (frags <= max_fragment_length))
+        stat_n = obs.sum().astype(jnp.float32)
+        stat_sum = jnp.where(obs, frags, 0.0).sum()
+        stat_sumsq = jnp.where(obs, frags * frags, 0.0).sum()
+
+        # pack-style coverage histogram over winner placements
+        start1 = jnp.take_along_axis(s1_start, j1[:, None], 1)[:, 0]
+        start2 = jnp.take_along_axis(s2_start, j2[:, None], 1)[:, 0]
+        bsz = jnp.maximum(text.shape[0] // n_buckets, 1)
+        cov = jnp.zeros((n_buckets,), jnp.int32)
+        cov = cov.at[jnp.clip(start1 // bsz, 0, n_buckets - 1)].add(
+            vd1.any(1).astype(jnp.int32))
+        cov = cov.at[jnp.clip(start2 // bsz, 0, n_buckets - 1)].add(
+            vd2.any(1).astype(jnp.int32))
+        return (s1, s2, j1, j2,
+                jnp.clip(mq1, 0, max_mapq).astype(jnp.int32),
+                jnp.clip(mq2, 0, max_mapq).astype(jnp.int32),
+                use_pair, frags,
+                jnp.stack([stat_n, stat_sum, stat_sumsq]), cov)
+
+    return step
+
+
+def sharded_paired_step(mesh: Mesh, text, mate1, mate2, mu, sd,
+                        band_radius: int = 16, **kw):
+    """Run the full paired step data-parallel over the mesh.
+
+    mate1/mate2 = (reads, reads_rc, rlen, cand_tuple) with cand_tuple =
+    (start, lo, hi, rev, valid, refpath, refoff), all batch-major. Reads
+    and candidates shard over the data axis; text and the fragment model
+    replicate; fragment stats and coverage come back replicated (the
+    psum/allgather collectives are inserted by XLA from the shardings)."""
+    axis = mesh.axis_names[0]
+    repl = NamedSharding(mesh, P())
+    shard0 = NamedSharding(mesh, P(axis))
+
+    def put(reads, reads_rc, rlen, cand):
+        return (jax.device_put(reads, shard0),
+                jax.device_put(reads_rc, shard0),
+                jax.device_put(rlen, shard0),
+                tuple(jax.device_put(np.asarray(a), shard0) for a in cand))
+
+    r1, r1rc, rl1, c1 = put(*mate1)
+    r2, r2rc, rl2, c2 = put(*mate2)
+    text = jax.device_put(text, repl)
+    step = make_paired_step(band_radius=band_radius, **kw)
+    out_shardings = (shard0,) * 8 + (repl, repl)
+    fn = jax.jit(step, out_shardings=out_shardings)
+    with mesh:
+        return fn(text, r1, r1rc, rl1, c1, r2, r2rc, rl2, c2,
+                  jnp.float32(mu), jnp.float32(sd))

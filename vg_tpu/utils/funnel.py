@@ -24,11 +24,49 @@ class StageStats:
     calls: int = 0
 
 
+@dataclass
+class FilterStats:
+    """Pass/fail counts for one named filter (reference funnel.pass/fail,
+    src/funnel.hpp:27-70; analyzed like giraffe-facts filter-loss
+    tables)."""
+    stage: str = ""
+    n_in: int = 0
+    n_passed: int = 0
+
+    @property
+    def n_failed(self) -> int:
+        return self.n_in - self.n_passed
+
+
 class Funnel:
     def __init__(self):
         self.stages: Dict[str, StageStats] = {}
         self.order: List[str] = []
+        self.filters: Dict[str, FilterStats] = {}
+        self.filter_order: List[str] = []
         self._t0 = time.time()
+
+    def filter(self, stage: str, name: str, n_in: int, n_passed: int
+               ) -> None:
+        """Record a filter application: n_in items considered, n_passed
+        survived (the funnel's pass/fail provenance — which filter kills
+        each lost item)."""
+        fs = self.filters.get(name)
+        if fs is None:
+            fs = self.filters[name] = FilterStats(stage=stage)
+            self.filter_order.append(name)
+        fs.n_in += int(n_in)
+        fs.n_passed += int(n_passed)
+
+    def filter_report(self) -> str:
+        """giraffe-facts-style filter-loss table."""
+        lines = ["filter\tstage\titems_in\tpassed\tfailed\tloss%"]
+        for name in self.filter_order:
+            fs = self.filters[name]
+            loss = 100.0 * fs.n_failed / fs.n_in if fs.n_in else 0.0
+            lines.append(f"{name}\t{fs.stage}\t{fs.n_in}\t{fs.n_passed}"
+                         f"\t{fs.n_failed}\t{loss:.2f}")
+        return "\n".join(lines)
 
     @contextmanager
     def stage(self, name: str, items_in: int = 0, items_out: int = 0):
@@ -65,6 +103,9 @@ class Funnel:
             st = self.stages[name]
             lines.append(f"{name}\t{st.seconds:.4f}\t{st.items_in}"
                          f"\t{st.items_out}\t{st.calls}")
+        if self.filters:
+            lines.append("")
+            lines.append(self.filter_report())
         return "\n".join(lines)
 
     def annotate(self, aln, per_read_seconds: float) -> None:
