@@ -56,6 +56,13 @@ def chain_anchors(roff: np.ndarray, tpos: np.ndarray,
     parent = np.full(n, -1, dtype=np.int64)
     if n <= 1:
         return f, parent
+    from ..native import native_chain_anchors
+
+    res = native_chain_anchors(roff, tpos, ascore, J, params.kmer,
+                               params.max_lookback, params.max_indel,
+                               params.gap_scale, params.gap_open)
+    if res is not None:
+        return res
     k = params.kmer
     for i in range(1, n):
         j0 = max(0, i - J)

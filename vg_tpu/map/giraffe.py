@@ -69,8 +69,11 @@ class GiraffeParams:
     # against the local graph, so allele combinations on no indexed
     # haplotype (recombinants, novel indels) still place correctly
     graph_fallback: bool = True
-    graph_fallback_frac: float = 0.75
+    graph_fallback_frac: float = 0.6
+    graph_fallback_min_clip: int = 10  # clips below this realign cheaper
+                                       # as mismatches than a POA could gain
     graph_fallback_radius: int = 64   # extra bp of graph context
+    graph_fallback_max_bases: int = 1200  # POA region size cap
 
 
 @dataclass
@@ -1058,8 +1061,9 @@ class GiraffeMapper:
         # "tail needs graph alignment" case, reference
         # find_optimal_tail_alignments src/minimizer_mapper.cpp:5361) and
         # on low absolute score.
+        mc = p.graph_fallback_min_clip
         clipped = ta is not None and (
-            ta.read_start > 4 or ta.read_end < L - 4)
+            ta.read_start >= mc or ta.read_end <= L - mc)
         if p.graph_fallback and (
                 ta is None or clipped
                 or ta.score < p.graph_fallback_frac * L):
@@ -1105,7 +1109,8 @@ class GiraffeMapper:
         queue = [start_h, start_h ^ 1]
         qi = 0
         nodes = {int(node_id)}
-        while qi < len(queue) and len(nodes) < 2000:
+        total_bases = g.handle_len(start_h)
+        while qi < len(queue) and total_bases < p.graph_fallback_max_bases:
             h = queue[qi]
             qi += 1
             d = dist[h] + g.handle_len(h)
@@ -1116,7 +1121,10 @@ class GiraffeMapper:
                 if nxt not in dist or d < dist[nxt]:
                     dist[nxt] = d
                     queue.append(nxt)
-                    nodes.add(int(g.node_id[nxt >> 1]))
+                    nid2 = int(g.node_id[nxt >> 1])
+                    if nid2 not in nodes:
+                        nodes.add(nid2)
+                        total_bases += g.handle_len(nxt)
         try:
             sub = subgraph(g, nodes)
             return align_to_graph_dagified(

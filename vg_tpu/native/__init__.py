@@ -317,6 +317,83 @@ def native_banded_scores_host(reads: np.ndarray, wins: np.ndarray,
     return out
 
 
+def native_global_align_batch(a_parts, b_parts, scoring,
+                              max_cells: int = 4_000_000):
+    """Align many (a, b) sequence pairs globally in one native call.
+    Returns (scores, ok, runs, runs_off) where runs is an (n, 3) int32
+    array of merged (op, len, read_start) rows in forward order, or None
+    when the lib is absent."""
+    import ctypes
+
+    L_ = lib()
+    if L_ is None:
+        return None
+    if not hasattr(L_, "_gab_registered"):
+        L_.global_align_batch.restype = ctypes.c_int64
+        L_.global_align_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        L_._gab_registered = True
+    n = len(a_parts)
+    aoff = np.zeros(n + 1, np.int64)
+    np.cumsum([len(x) for x in a_parts], out=aoff[1:])
+    boff = np.zeros(n + 1, np.int64)
+    np.cumsum([len(x) for x in b_parts], out=boff[1:])
+    abuf = (np.concatenate(a_parts) if n and aoff[-1] else
+            np.zeros(1, np.uint8)).astype(np.uint8)
+    bbuf = (np.concatenate(b_parts) if n and boff[-1] else
+            np.zeros(1, np.uint8)).astype(np.uint8)
+    cap = int(aoff[-1] + boff[-1]) * 2 + 16 * n + 64
+    while True:
+        scores = np.zeros(n, np.int32)
+        ok = np.zeros(n, np.int8)
+        runs = np.zeros((cap, 3), np.int32)
+        runs_off = np.zeros(n + 1, np.int64)
+        rc = L_.global_align_batch(
+            abuf.ctypes.data, aoff.ctypes.data, bbuf.ctypes.data,
+            boff.ctypes.data, n, scoring.match, scoring.mismatch,
+            scoring.gap_open, scoring.gap_extend, max_cells,
+            scores.ctypes.data, ok.ctypes.data, runs.ctypes.data, cap,
+            runs_off.ctypes.data)
+        if rc >= 0:
+            return scores, ok.astype(bool), runs, runs_off
+        cap *= 2
+
+
+def native_chain_anchors(roff: np.ndarray, tpos: np.ndarray,
+                         ascore: np.ndarray, J: int, k: int,
+                         max_lookback: int, max_indel: int,
+                         gap_scale: float, gap_open: float):
+    """Colinear chaining DP in C++; None when the lib is absent."""
+    import ctypes
+
+    L_ = lib()
+    if L_ is None:
+        return None
+    if not hasattr(L_, "_chain_registered"):
+        L_.chain_anchors_dp.restype = None
+        L_.chain_anchors_dp.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+            ctypes.c_double, ctypes.c_void_p, ctypes.c_void_p]
+        L_._chain_registered = True
+    roff = np.ascontiguousarray(roff, np.int64)
+    tpos = np.ascontiguousarray(tpos, np.int64)
+    ascore = np.ascontiguousarray(ascore, np.float64)
+    n = len(roff)
+    f = np.empty(n, np.float64)
+    parent = np.empty(n, np.int64)
+    L_.chain_anchors_dp(
+        roff.ctypes.data, tpos.ctypes.data, ascore.ctypes.data, n, J, k,
+        max_lookback, max_indel, ctypes.c_double(gap_scale),
+        ctypes.c_double(gap_open), f.ctypes.data, parent.ctypes.data)
+    return f, parent
+
+
 def native_build_suffix_array(text: np.ndarray):
     """Suffix array of the haplotype text (prefix doubling, C++);
     None when the native lib is absent."""

@@ -965,3 +965,102 @@ int64_t find_mems(const uint8_t* text, int64_t n, const int32_t* sa,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Long-read anchor chaining DP (reference algorithms/chain_items.cpp
+// chain_items_dp): colinear chaining over text-sorted anchors with a
+// bounded lookback window. The Python loop over anchors was the
+// long-read throughput bottleneck; this is the same DP in one call.
+
+extern "C" {
+
+void chain_anchors_dp(const int64_t* roff, const int64_t* tpos,
+                      const double* ascore, int64_t n, int32_t J,
+                      int32_t k, int64_t max_lookback, int64_t max_indel,
+                      double gap_scale, double gap_open,
+                      double* f, int64_t* parent) {
+    for (int64_t i = 0; i < n; i++) {
+        f[i] = ascore[i];
+        parent[i] = -1;
+    }
+    for (int64_t i = 1; i < n; i++) {
+        const int64_t j0 = std::max<int64_t>(0, i - J);
+        double best = f[i];
+        int64_t barg = -1;
+        for (int64_t j = j0; j < i; j++) {
+            const int64_t dt = tpos[i] - tpos[j];
+            const int64_t dr = roff[i] - roff[j];
+            if (dr <= 0 || dt <= 0 || dt > max_lookback) continue;
+            const int64_t gap = std::llabs(dt - dr);
+            if (gap > max_indel) continue;
+            const double gain =
+                (double)std::min<int64_t>(std::min(dr, dt), k);
+            const double cost = gap > 0 ? gap_open + gap_scale * gap : 0.0;
+            const double val = f[j] + gain - cost;
+            if (val > best) { best = val; barg = j; }
+        }
+        if (barg >= 0) { f[i] = best; parent[i] = barg; }
+    }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched link alignment for the long-read stitcher: one call aligns all
+// inter-anchor links of a read (or batch), with edits merged into runs
+// in C++ — the per-link ctypes + Python merge overhead dominated
+// long-read throughput. Output runs are (op, len, read_start) triples in
+// FORWARD order; op 0=M 1=X 2=I 3=D; read_start = -1 for D.
+
+extern "C" {
+
+int64_t global_align_batch(
+    const uint8_t* abuf, const int64_t* aoff,
+    const uint8_t* bbuf, const int64_t* boff, int64_t n_links,
+    int32_t match, int32_t mismatch, int32_t gap_open, int32_t gap_extend,
+    int64_t max_cells,
+    int32_t* out_scores,          // (n_links,)
+    int8_t* out_ok,               // (n_links,) 1 = aligned
+    int32_t* runs_buf,            // (runs_cap * 3,)
+    int64_t runs_cap,
+    int64_t* runs_off) {          // (n_links + 1,)
+    // scratch per thread for unit triples
+    int64_t pos = 0;
+    runs_off[0] = 0;
+    for (int64_t li = 0; li < n_links; li++) {
+        const uint8_t* a = abuf + aoff[li];
+        const int64_t la = aoff[li + 1] - aoff[li];
+        const uint8_t* b = bbuf + boff[li];
+        const int64_t lb = boff[li + 1] - boff[li];
+        out_ok[li] = 0;
+        out_scores[li] = 0;
+        std::vector<int32_t> units(3 * (2 * (la + lb) + 16));
+        int64_t n_units = 0;
+        const int64_t sc = global_align(a, la, b, lb, match, mismatch,
+                                        gap_open, gap_extend, max_cells,
+                                        units.data(),
+                                        2 * (la + lb) + 16, &n_units);
+        if (n_units < 0) { runs_off[li + 1] = pos; continue; }
+        // units are reversed unit ops; merge into forward runs
+        int64_t start = pos;
+        for (int64_t u = n_units - 1; u >= 0; u--) {
+            const int32_t op = units[u * 3];
+            const int32_t rp = units[u * 3 + 2];
+            if (pos > start && runs_buf[(pos - 1) * 3] == op) {
+                runs_buf[(pos - 1) * 3 + 1] += 1;
+                continue;
+            }
+            if (pos >= runs_cap) return -1;   // caller grows the buffer
+            runs_buf[pos * 3] = op;
+            runs_buf[pos * 3 + 1] = 1;
+            runs_buf[pos * 3 + 2] = (op == 3) ? -1 : rp;
+            pos++;
+        }
+        out_scores[li] = (int32_t)sc;
+        out_ok[li] = 1;
+        runs_off[li + 1] = pos;
+    }
+    return pos;
+}
+
+}  // extern "C"
