@@ -513,8 +513,25 @@ def cmd_gamcompare(args) -> int:
     test = list(read_gam(args.gam))
     truth = list(read_gam(args.truth_gam))
     if args.distance_graph:
+        import os
+
         g = _load_graph_any(args.distance_graph)
-        stats = compare_graph_distance(g, test, truth, range_bp=args.range)
+        di = None
+        dp = args.distance_graph + ".distidx.npz"
+        from ..graph.distindex import DistanceIndex
+
+        if os.path.exists(dp):
+            di = DistanceIndex.load(dp, g)
+        else:
+            # build + cache the snarl-tree distance oracle alongside the
+            # graph (reference: .dist built once by vg index -j)
+            di = DistanceIndex.build(g)
+            try:
+                di.save(dp)
+            except OSError:
+                di = di
+        stats = compare_graph_distance(g, test, truth, range_bp=args.range,
+                                       dist_index=di)
     else:
         stats = compare(test, truth, range_bp=args.range)
     print(json.dumps(stats))
