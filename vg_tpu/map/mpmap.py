@@ -1,24 +1,112 @@
-"""Multipath mapping (vg mpmap role, simplified).
+"""Multipath mapping (vg mpmap role).
 
-Reference: MultipathMapper (src/multipath_mapper.cpp) emits alignment
-DAGs (GAMP) that preserve ambiguity — alternative local alignments as
-alternative subpaths. This implementation builds the multipath record
-from the giraffe engine's scored candidate set: the winner plus each
-distinct runner-up placement becomes an alternative entry subpath, so
-downstream tools (rpvg-style quantifiers) see the ambiguity structure.
-Within-alignment branch points (the reference's spliced/RNA machinery)
-are future work — mpmap -n DNA mode semantics are what this covers.
+Reference: MultipathMapper / MultipathAlignmentGraph
+(src/multipath_mapper.cpp, src/multipath_alignment_graph.cpp) emit
+alignment DAGs (GAMP) that preserve ambiguity: alternative local
+alignments share their agreeing flanks and branch only where they
+disagree. This implementation builds that structure from the giraffe
+engine's scored candidate set:
+
+- candidates that share a placement neighborhood are FACTORED into a
+  within-alignment DAG — common mapping prefix subpath -> one branch
+  subpath per distinct middle -> common suffix subpath (the alignment-
+  DAG shape the reference builds for SNP/indel ambiguity);
+- candidates at unrelated placements stay separate start subpaths
+  (mapping ambiguity, like the reference's multimappings).
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..io.fastq import Read
+from ..io.gam import Mapping, Path
 from ..io.gamp import MultipathAlignment, Subpath
 from .giraffe import GiraffeMapper
 from .mapq import mapq_exact
+
+
+def _mapping_key(mp: Mapping) -> Tuple:
+    return (mp.position.node_id, mp.position.offset,
+            mp.position.is_reverse,
+            tuple((e.from_length, e.to_length, e.sequence)
+                  for e in mp.edits))
+
+
+def _score_mappings(mps: Sequence[Mapping], scoring) -> int:
+    s = 0
+    for mp in mps:
+        for e in mp.edits:
+            if e.from_length == e.to_length and not e.sequence:
+                s += e.from_length * scoring.match
+            elif e.from_length == e.to_length:
+                s -= e.from_length * scoring.mismatch
+            else:
+                g = max(e.from_length, e.to_length)
+                s -= scoring.gap_open + (g - 1) * scoring.gap_extend
+    return s
+
+
+def factor_alignments(paths: List[Path], scores: List[int],
+                      scoring) -> Tuple[List[Subpath], List[int]]:
+    """Factor alternative full alignments into a subpath DAG: shared
+    mapping prefix and suffix become common subpaths, distinct middles
+    become branches (the MultipathAlignmentGraph shape for the
+    SNP/indel-ambiguity case)."""
+    seqs = [[(m, _mapping_key(m)) for m in p.mappings] for p in paths]
+    keys = [[k for _, k in s] for s in seqs]
+    npfx = 0
+    while all(len(k) > npfx for k in keys) and \
+            all(k[npfx] == keys[0][npfx] for k in keys):
+        npfx += 1
+    nsfx = 0
+    while all(len(k) - npfx > nsfx for k in keys) and \
+            all(k[len(k) - 1 - nsfx] == keys[0][len(keys[0]) - 1 - nsfx]
+                for k in keys):
+        nsfx += 1
+    if npfx == 0 and nsfx == 0:
+        # nothing shared: plain alternatives
+        return ([Subpath(path=p, score=s)
+                 for p, s in zip(paths, scores)],
+                list(range(len(paths))))
+    subs: List[Subpath] = []
+    start: List[int] = []
+    mk_path = lambda mps: Path(mappings=[m for m in mps])
+    pre_id = -1
+    if npfx:
+        pre = [m for m, _ in seqs[0][:npfx]]
+        subs.append(Subpath(path=mk_path(pre),
+                            score=_score_mappings(pre, scoring)))
+        pre_id = 0
+        start = [0]
+    mids: List[int] = []
+    seen_mid = {}
+    for si, s in enumerate(seqs):
+        mid = [m for m, _ in s[npfx : len(s) - nsfx]]
+        key = tuple(k for k in keys[si][npfx : len(s) - nsfx])
+        if key in seen_mid:
+            continue
+        sp = Subpath(path=mk_path(mid) if mid else None,
+                     score=_score_mappings(mid, scoring))
+        seen_mid[key] = len(subs)
+        mids.append(len(subs))
+        subs.append(sp)
+        if pre_id >= 0:
+            subs[pre_id].next.append(seen_mid[key])
+        else:
+            start.append(seen_mid[key])
+    if nsfx:
+        suf = [m for m, _ in seqs[0][len(seqs[0]) - nsfx:]]
+        sid = len(subs)
+        subs.append(Subpath(path=mk_path(suf),
+                            score=_score_mappings(suf, scoring)))
+        for mi in mids:
+            subs[mi].next.append(sid)
+    # empty middles (pure prefix+suffix alternative — a deletion allele):
+    # connect prefix straight to suffix via the empty subpath, which is
+    # kept (carrying its negative gap score) so scores stay additive
+    return subs, start
 
 
 class MultipathMapper:
@@ -27,7 +115,12 @@ class MultipathMapper:
         self.max_alternates = max_alternates
 
     def map_batch(self, reads: Sequence[Read]) -> List[MultipathAlignment]:
+        from ..ops.align import Scoring
+
         m = self.mapper
+        p = m.params
+        scoring = Scoring(p.match, p.mismatch, p.gap_open, p.gap_extend,
+                          p.full_length_bonus)
         sb = m.score_reads(reads)
         out: List[MultipathAlignment] = []
         for i, r in enumerate(reads):
@@ -42,11 +135,16 @@ class MultipathMapper:
             vs = scores[valid].astype(np.float64)
             which = int(np.nonzero(np.nonzero(valid)[0] == js[0])[0][0])
             mp.mapping_quality = mapq_exact(vs, which=which)
+            paths: List[Path] = []
+            pscores: List[int] = []
             for j in js:
                 aln = m.emit(sb, i, j, 0)
                 if aln.path is None:
                     continue
-                mp.subpaths.append(Subpath(path=aln.path, score=aln.score))
-            mp.start = list(range(len(mp.subpaths)))
+                paths.append(aln.path)
+                pscores.append(aln.score)
+            if paths:
+                mp.subpaths, mp.start = factor_alignments(
+                    paths, pscores, scoring)
             out.append(mp)
         return out
