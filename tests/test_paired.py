@@ -139,3 +139,56 @@ def test_folded_dispatch_matches_separate(paired_mapper, ref_test_dir):
     np.testing.assert_array_equal(sb1.cand_start, ref1.cand_start[:R])
     np.testing.assert_array_equal(sb2.cand_rev, ref2.cand_rev[:R])
     assert [r.name for r in sb2.reads] == [b.name for _, b in pairs]
+
+
+def test_device_pair_selection_matches_host(paired_mapper, ref_test_dir):
+    """score_pairs_device's on-device pair selection must agree with the
+    host _pair_select on the same candidates (same winners, proper
+    flags, fragment lengths; MAPQs within rounding)."""
+    pairs = list(iter_fastq_paired(
+        str(ref_test_dir / "small" / "x.fa_1.fastq"),
+        str(ref_test_dir / "small" / "x.fa_2.fastq")))[:64]
+    pm = PairedGiraffeMapper(paired_mapper.mapper)
+    # finalize the fragment model first (device path requires it)
+    pm.map_pairs(pairs)
+    pm.finish()
+    assert pm.fragdist.finalized
+
+    sb1d, sb2d, sel = pm.score_pairs_device(pairs)
+    j1d, j2d, mq1d, mq2d, upd, frd = pm._force_device_sel(sel, len(pairs))
+
+    sb1h, sb2h = pm.score_pairs(pairs)
+    np.testing.assert_array_equal(sb1d.scores, sb1h.scores)
+    np.testing.assert_array_equal(sb2d.scores, sb2h.scores)
+    rs = pm._pair_select(sb1h, sb2h)
+    j1h, j2h, mq1h, mq2h, any1, any2, uph, frh = rs
+    np.testing.assert_array_equal(upd, uph)
+    np.testing.assert_array_equal(j1d[uph], j1h[uph])
+    np.testing.assert_array_equal(j2d[uph], j2h[uph])
+    np.testing.assert_allclose(frd[uph], frh[uph], atol=0.5)
+    assert (np.abs(mq1d.astype(int) - mq1h.astype(int)) <= 1).mean() > 0.95
+    assert (np.abs(mq2d.astype(int) - mq2h.astype(int)) <= 1).mean() > 0.95
+
+
+def test_pipeline_device_selection_end_to_end(paired_mapper, ref_test_dir):
+    """The 3-stage pipeline with device pair selection produces the same
+    records as the synchronous host path."""
+    from vg_tpu.parallel.pipeline import map_pairs_encoded_mt
+
+    pairs = list(iter_fastq_paired(
+        str(ref_test_dir / "small" / "x.fa_1.fastq"),
+        str(ref_test_dir / "small" / "x.fa_2.fastq")))[:120]
+    pm1 = PairedGiraffeMapper(paired_mapper.mapper)
+    pm1.map_pairs(pairs)        # warmup/finalize
+    pm1.finish()
+    recs_sync = pm1.map_pairs_encoded(pairs)
+
+    pm2 = PairedGiraffeMapper(paired_mapper.mapper)
+    pm2.map_pairs(pairs)
+    pm2.finish()
+    out = []
+    for recs in map_pairs_encoded_mt(pm2, iter([pairs])):
+        out.extend(recs)
+    assert len(out) == len(recs_sync)
+    same = sum(1 for a, b in zip(out, recs_sync) if bytes(a) == bytes(b))
+    assert same >= 0.98 * len(out), f"{same}/{len(out)} records differ"

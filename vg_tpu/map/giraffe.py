@@ -495,6 +495,29 @@ class GiraffeMapper:
     def score_reads(self, reads: Sequence[Read]) -> "ScoredBatch":
         """Seed + device-score a batch; returns everything needed to pick
         winners (single-end) or pair/rescue (paired-end)."""
+        prep = self.prepare_batch(reads)
+        p = self.params
+        R = len(reads)
+        import time as _time
+
+        _t0 = _time.time()
+        scores_dev = self._device_scores(
+            prep["reads_arr"], prep["reads_rc_arr"], prep["rlens"],
+            prep["cand_start"], prep["cand_lo"], prep["cand_hi"],
+            prep["cand_rev"], prep["cand_valid"], p.band_radius)[:R]
+        self.funnel.record("align_dispatch", _time.time() - _t0, items_in=R)
+        return ScoredBatch(
+            reads=list(reads), codes=prep["codes"],
+            codes_rc=prep["codes_rc"],
+            cand_start=prep["cand_start"][:R], cand_lo=prep["cand_lo"][:R],
+            cand_hi=prep["cand_hi"][:R], cand_rev=prep["cand_rev"][:R],
+            cand_valid=prep["cand_valid"][:R], scores_raw=scores_dev,
+            cand_refpath=prep["cand_refpath"],
+            cand_refoff=prep["cand_refoff"])
+
+    def prepare_batch(self, reads: Sequence[Read]) -> dict:
+        """Host half of score_reads: encode + pad + seed. Returns padded
+        arrays ready for any device scorer (single or folded paired)."""
         p = self.params
         R = len(reads)
         lens = np.array([len(r.sequence) for r in reads], dtype=np.int32)
@@ -562,18 +585,14 @@ class GiraffeMapper:
 
         self.funnel.record("seed", _time.time() - _t0, items_in=R,
                            items_out=int(cand_valid.sum()))
-        _t0 = _time.time()
-        scores_dev = self._device_scores(
-            reads_arr, reads_rc_arr, rlens, cand_start, cand_lo, cand_hi,
-            cand_rev, cand_valid, p.band_radius)[:R]
-
-        self.funnel.record("align_dispatch", _time.time() - _t0, items_in=R)
-        return ScoredBatch(
-            reads=list(reads), codes=codes, codes_rc=codes_rc,
-            cand_start=cand_start[:R], cand_lo=cand_lo[:R],
-            cand_hi=cand_hi[:R], cand_rev=cand_rev[:R],
-            cand_valid=cand_valid[:R], scores_raw=scores_dev,
-            cand_refpath=cand_refpath, cand_refoff=cand_refoff)
+        return {
+            "codes": codes, "codes_rc": codes_rc,
+            "reads_arr": reads_arr, "reads_rc_arr": reads_rc_arr,
+            "rlens": rlens, "cand_start": cand_start, "cand_lo": cand_lo,
+            "cand_hi": cand_hi, "cand_rev": cand_rev,
+            "cand_valid": cand_valid, "cand_refpath": cand_refpath,
+            "cand_refoff": cand_refoff,
+        }
 
     def _device_scores(self, reads_arr, reads_rc_arr, rlens, cand_start,
                        cand_lo, cand_hi, cand_rev, cand_valid,

@@ -368,6 +368,100 @@ class PairedGiraffeMapper:
         sb = m.score_reads([a for a, _ in pairs] + [b for _, b in pairs])
         return sb.split(len(pairs))
 
+    # ------------------------------------------- device pair selection
+
+    def _get_pair_step(self):
+        """Jitted single-chip paired step: per-mate DP + pair selection +
+        MAPQ on device in ONE dispatch (parallel/mesh.make_paired_step
+        math with the production Pallas scorer). Built lazily."""
+        if getattr(self, "_pair_step", None) is None:
+            import jax
+
+            from ..parallel.mesh import make_paired_step
+
+            m = self.mapper
+            p = m.params
+            pp = self.params
+            if m.text_packed_dev is not None:
+                from ..ops.pallas_align import banded_scores_packed
+
+                T = len(m.haps.text)
+
+                def score_fn(text, reads, rc, rlen, cand):
+                    return banded_scores_packed(
+                        text, T, reads, rc, rlen, *cand[:5],
+                        band_radius=p.band_radius, match=p.match,
+                        mismatch=p.mismatch, gap_open=p.gap_open,
+                        gap_extend=p.gap_extend, bonus=p.full_length_bonus)
+
+                text_arg = m.text_packed_dev
+            else:
+                score_fn = None
+                text_arg = m.text_dev
+            step = make_paired_step(
+                band_radius=p.band_radius, match=p.match,
+                mismatch=p.mismatch, gap_open=p.gap_open,
+                gap_extend=p.gap_extend, bonus=p.full_length_bonus,
+                max_fragment_length=pp.max_fragment_length,
+                unpaired_penalty=pp.unpaired_penalty,
+                max_mapq=p.max_mapq, score_fn=score_fn)
+            self._pair_step = (jax.jit(step), text_arg)
+        return self._pair_step
+
+    def score_pairs_device(self, pairs: Sequence[Tuple[Read, Read]]):
+        """Seed both mates on the host, then one device dispatch computes
+        scores AND pair selection/MAPQ. Returns (sb1, sb2, sel_lazy)
+        where sel_lazy holds the un-fetched device outputs. Falls back to
+        score_pairs when the fragment model isn't finalized yet (warmup
+        observes pairs on the host)."""
+        import jax.numpy as jnp
+
+        m = self.mapper
+        reads1 = [a for a, _ in pairs]
+        reads2 = [b for _, b in pairs]
+        p1 = m.prepare_batch(reads1)
+        p2 = m.prepare_batch(reads2)
+        R = len(pairs)
+        step, text_arg = self._get_pair_step()
+
+        def cand_tuple(pr):
+            Rpad = pr["cand_start"].shape[0]
+            rp = np.full((Rpad, pr["cand_refpath"].shape[1]), -1, np.int32)
+            rp[:R] = pr["cand_refpath"]
+            ro = np.zeros((Rpad, pr["cand_refoff"].shape[1]), np.int32)
+            ro[:R] = pr["cand_refoff"]
+            return (pr["cand_start"], pr["cand_lo"], pr["cand_hi"],
+                    pr["cand_rev"], pr["cand_valid"], rp, ro)
+
+        out = step(text_arg,
+                   p1["reads_arr"], p1["reads_rc_arr"], p1["rlens"],
+                   cand_tuple(p1),
+                   p2["reads_arr"], p2["reads_rc_arr"], p2["rlens"],
+                   cand_tuple(p2),
+                   jnp.float32(self.fragdist.mean),
+                   jnp.float32(max(self.fragdist.stdev, 1e-3)))
+        (s1, s2, j1, j2, mq1, mq2, use_pair, frags, stats, cov) = out
+        sb1 = ScoredBatch(
+            reads=reads1, codes=p1["codes"], codes_rc=p1["codes_rc"],
+            cand_start=p1["cand_start"][:R], cand_lo=p1["cand_lo"][:R],
+            cand_hi=p1["cand_hi"][:R], cand_rev=p1["cand_rev"][:R],
+            cand_valid=p1["cand_valid"][:R], scores_raw=s1[:R],
+            cand_refpath=p1["cand_refpath"], cand_refoff=p1["cand_refoff"])
+        sb2 = ScoredBatch(
+            reads=reads2, codes=p2["codes"], codes_rc=p2["codes_rc"],
+            cand_start=p2["cand_start"][:R], cand_lo=p2["cand_lo"][:R],
+            cand_hi=p2["cand_hi"][:R], cand_rev=p2["cand_rev"][:R],
+            cand_valid=p2["cand_valid"][:R], scores_raw=s2[:R],
+            cand_refpath=p2["cand_refpath"], cand_refoff=p2["cand_refoff"])
+        sel = (j1, j2, mq1, mq2, use_pair, frags)
+        return sb1, sb2, sel
+
+    def _force_device_sel(self, sel, R: int):
+        j1, j2, mq1, mq2, use_pair, frags = sel
+        return (np.asarray(j1)[:R], np.asarray(j2)[:R],
+                np.asarray(mq1)[:R], np.asarray(mq2)[:R],
+                np.asarray(use_pair)[:R], np.asarray(frags)[:R])
+
     def map_pairs_encoded(self, pairs: Sequence[Tuple[Read, Read]],
                           scored=None):
         """Paired mapping with native encoded GAM output: interleaved
@@ -412,10 +506,13 @@ class PairedGiraffeMapper:
             return None
         return out + extra
 
-    def _emit_pairs_encoded(self, pairs, sb1: ScoredBatch, sb2: ScoredBatch):
-        """Pair-select + encoded emission + fragment linkage."""
+    def _emit_pairs_encoded(self, pairs, sb1: ScoredBatch, sb2: ScoredBatch,
+                            sel=None):
+        """Pair-select (unless precomputed on device) + encoded emission
+        + fragment linkage."""
         m = self.mapper
-        sel = self._pair_select(sb1, sb2)
+        if sel is None:
+            sel = self._pair_select(sb1, sb2)
         j1, j2, mq1, mq2, any1, any2, use_pair, frags = sel
         recs1 = m.emit_chosen_encoded(sb1, j1, mq1, any1)
         recs2 = m.emit_chosen_encoded(sb2, j2, mq2, any2)
@@ -439,12 +536,34 @@ class PairedGiraffeMapper:
 
     # ------------------------------------------------- pipeline stages
 
-    def stage_rescue(self, batch, scored):
+    def stage_score(self, batch):
+        """First pipeline stage: seed + one device dispatch. Once the
+        fragment model is finalized the dispatch also computes pair
+        selection + MAPQ on device (score_pairs_device); during warmup
+        the host observes pairs itself."""
+        if self.fragdist.finalized:
+            return ("dev", batch, self.score_pairs_device(batch))
+        return ("host", batch, self.score_pairs(batch))
+
+    def stage_rescue(self, item_or_batch, scored=None):
         """Middle pipeline stage: force the main DP fetch and dispatch
         rescue DP; the rescue fetch stays lazy for stage_emit."""
-        sb1, sb2 = scored
+        if scored is not None:                       # legacy signature
+            item = ("host", item_or_batch, scored)
+        else:
+            item = item_or_batch
+        kind, batch = item[0], item[1]
+        if kind == "dev":
+            sb1, sb2, sel = item[2]
+            _ = sb1.scores
+            _ = sb2.scores
+            selh = self._force_device_sel(sel, len(batch))
+            st2 = self._rescue_begin(sb1, sb2)
+            st1 = self._rescue_begin(sb2, sb1)
+            return ("main_dev", batch, sb1, sb2, st1, st2, selh)
+        sb1, sb2 = item[2]
         if not self.fragdist.finalized:
-            return ("warmup", batch, scored)
+            return ("warmup", batch, (sb1, sb2))
         _ = sb1.scores
         _ = sb2.scores
         st2 = self._rescue_begin(sb1, sb2)   # rescues sb2
@@ -459,6 +578,34 @@ class PairedGiraffeMapper:
             if recs is None:
                 recs = [a.encode() for a in self.map_pairs_flat(batch)]
             return recs
+        if item[0] == "main_dev":
+            _, batch, sb1, sb2, st1, st2, selh = item
+            self._rescue_finish(sb2, st2)
+            self._rescue_finish(sb1, st1)
+            # pairs whose candidates changed via rescue re-select on host
+            rows = sorted({i for (i, _) in (st2[0] if st2 else ())}
+                          | {i for (i, _) in (st1[0] if st1 else ())})
+            sel = tuple(a.copy() for a in selh)
+            if rows:
+                sub1 = _subset(sb1, rows)
+                sub2 = _subset(sb2, rows)
+                rs = self._pair_select(sub1, sub2)
+                # rs = (j1, j2, mq1, mq2, any1, any2, use_pair, frags)
+                for arr, sub_arr in zip(sel, (rs[0], rs[1], rs[2], rs[3],
+                                              rs[6], rs[7])):
+                    arr[rows] = np.asarray(sub_arr)[: len(rows)]
+            j1, j2, mq1, mq2, use_pair, frags = sel
+            any1 = (sb1.cand_valid & (sb1.scores > 0)).any(axis=1)
+            any2 = (sb2.cand_valid & (sb2.scores > 0)).any(axis=1)
+            out = self._emit_pairs_encoded(
+                batch, sb1, sb2,
+                sel=(j1, j2, mq1, mq2, any1, any2, use_pair, frags))
+            if out is None:
+                out = []
+                for a1, a2 in self._map_pairs_finalized(batch, sb1, sb2):
+                    out.append(a1.encode())
+                    out.append(a2.encode())
+            return out
         _, batch, sb1, sb2, st1, st2 = item
         self._rescue_finish(sb2, st2)
         self._rescue_finish(sb1, st1)

@@ -102,7 +102,8 @@ def make_paired_step(band_radius: int = 16, match: int = 1,
                      gap_extend: int = 1, bonus: int = 5,
                      max_fragment_length: int = 2000,
                      unpaired_penalty: float = 30.0,
-                     max_mapq: int = 60, n_buckets: int = 1024):
+                     max_mapq: int = 60, n_buckets: int = 1024,
+                     score_fn=None):
     """Build the FULL data-parallel paired mapping step: seed-result
     candidate tables in -> per-mate DP scores, pair selection with the
     fragment model, pair/solo MAPQs, pack-style coverage psum, and the
@@ -114,17 +115,18 @@ def make_paired_step(band_radius: int = 16, match: int = 1,
 
     lam = log_base(match, mismatch)
 
+    if score_fn is None:
+        def score_fn(text, reads, reads_rc, rlen, cand):
+            return align_ops.banded_scores(
+                text, reads, reads_rc, rlen, *cand[:5],
+                band_radius=band_radius, match=match, mismatch=mismatch,
+                gap_open=gap_open, gap_extend=gap_extend, bonus=bonus)
+
     def step(text, r1, r1rc, rl1, c1, r2, r2rc, rl2, c2, mu, sd):
         (s1_start, s1_lo, s1_hi, s1_rev, s1_valid, s1_rp, s1_ro) = c1
         (s2_start, s2_lo, s2_hi, s2_rev, s2_valid, s2_rp, s2_ro) = c2
-        s1 = align_ops.banded_scores(
-            text, r1, r1rc, rl1, s1_start, s1_lo, s1_hi, s1_rev, s1_valid,
-            band_radius=band_radius, match=match, mismatch=mismatch,
-            gap_open=gap_open, gap_extend=gap_extend, bonus=bonus)
-        s2 = align_ops.banded_scores(
-            text, r2, r2rc, rl2, s2_start, s2_lo, s2_hi, s2_rev, s2_valid,
-            band_radius=band_radius, match=match, mismatch=mismatch,
-            gap_open=gap_open, gap_extend=gap_extend, bonus=bonus)
+        s1 = score_fn(text, r1, r1rc, rl1, c1)
+        s2 = score_fn(text, r2, r2rc, rl2, c2)
         R, C = s1.shape
         B = band_radius
         L1 = rl1[:, None].astype(jnp.float32)

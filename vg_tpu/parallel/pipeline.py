@@ -84,7 +84,7 @@ def map_pairs_encoded_mt(paired_mapper, pair_batches: Iterable,
     def seeder():
         try:
             for batch in pair_batches:
-                q_scored.put((batch, paired_mapper.score_pairs(batch)))
+                q_scored.put(paired_mapper.stage_score(batch))
         except BaseException as e:
             err.append(e)
         finally:
@@ -96,8 +96,7 @@ def map_pairs_encoded_mt(paired_mapper, pair_batches: Iterable,
                 item = q_scored.get()
                 if item is DONE:
                     break
-                batch, scored = item
-                q_resc.put(paired_mapper.stage_rescue(batch, scored))
+                q_resc.put(paired_mapper.stage_rescue(item))
         except BaseException as e:
             err.append(e)
         finally:
