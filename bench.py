@@ -135,6 +135,9 @@ def main():
         n_pairs = n_bench // 2
         pairs = simulate_pairs(rng, haps, n_pairs + bs)
         pm.map_pairs(pairs[:bs])            # warmup: compile + fragdist
+        # warm the finalized-path device step too (device pair selection
+        # compiles lazily on its first use)
+        pm.stage_emit(pm.stage_rescue(pm.stage_score(pairs[:bs])))
         from vg_tpu.parallel.pipeline import map_pairs_encoded_mt
 
         out = _io.BytesIO()

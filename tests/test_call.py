@@ -268,3 +268,49 @@ def test_call_cyclic_graph_with_inversion():
     vc = calls[0]
     assert "GGGG" in (vc.ref + "".join(vc.alts))
     assert vc.genotype != (0, 0)
+
+
+def test_genotype_given_vcf(ref_test_dir):
+    """VCFGenotyper mode (call -v): genotype exactly the input VCF's
+    sites via embedded alt paths (construct -a), emitting original
+    positions/alleles (reference src/graph_caller.hpp:49)."""
+    from vg_tpu.call.caller import SnarlCaller
+    from vg_tpu.call.pack import Packer
+    from vg_tpu.construct.constructor import Constructor, ConstructorParams
+    from vg_tpu.index.haplotypes import thread_haplotypes
+    from vg_tpu.io.fasta import read_fasta
+    from vg_tpu.io.vcf import read_vcf
+    from vg_tpu.sim.simulator import ReadSimulator
+    from vg_tpu.map.giraffe import GiraffeMapper
+    from vg_tpu.index.minimizer import MinimizerIndex
+    from vg_tpu.io.fastq import Read
+
+    ref = read_fasta(str(ref_test_dir / "small" / "x.fa"))
+    vcf = read_vcf(str(ref_test_dir / "small" / "x.vcf.gz"))
+    g, results = Constructor(ConstructorParams(
+        max_node_size=32, alt_paths=True)).construct_graph(ref, vcf)
+    assert any(m.name.startswith("_alt_") for m in g.path_meta)
+    haps = thread_haplotypes(g, results, vcf)
+    idx = MinimizerIndex.build(haps)
+    m = GiraffeMapper(haps, idx)
+    # simulate reads from the sample's haplotypes and pack them
+    sim = ReadSimulator(haps, seed=4, read_length=100)
+    truth = sim.simulate(400, annotate_truth=True)
+    alns = m.map_batch([Read(a.name, a.sequence, None) for a in truth])
+    pk = Packer(g)
+    for a in alns:
+        if a.path is not None:
+            pk.add(a)
+    sc = SnarlCaller(g, pk, "x")
+    calls = sc.genotype_given_vcf(vcf)
+    assert len(calls) >= 0.6 * len(vcf.records), (
+        f"{len(calls)}/{len(vcf.records)} sites genotyped")
+    # emitted records carry the original VCF alleles and positions
+    by_pos = {r.pos: r for r in vcf.records}
+    nonref = 0
+    for vc in calls:
+        rec = by_pos[vc.pos]
+        assert vc.ref == rec.ref and vc.alts == list(rec.alts)
+        if vc.genotype != (0, 0):
+            nonref += 1
+    assert nonref > 0

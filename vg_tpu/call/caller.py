@@ -278,6 +278,89 @@ class SnarlCaller:
         out.sort(key=lambda v: v.pos)
         return out
 
+    def genotype_given_vcf(self, vcf) -> List[VariantCall]:
+        """VCFGenotyper mode (reference src/graph_caller.hpp:49 /
+        `vg call -v`): genotype exactly the given VCF's sites using the
+        embedded alt paths ("_alt_<hash>_<i>", construct -a), emitting
+        records with the ORIGINAL positions and alleles."""
+        from ..construct.constructor import make_variant_id
+
+        p = self.params
+        g = self.graph
+        navg = self.pack.node_avg_all()
+        out: List[VariantCall] = []
+        for rec in vcf.records:
+            if rec.chrom != self.ref_path:
+                continue
+            name = make_variant_id(rec)
+            walks: List[List[int]] = []
+            ok = True
+            for ai in range(1 + len(rec.alts)):
+                pname = f"_alt_{name}_{ai}"
+                if not g.has_path(pname):
+                    # pure-deletion alt allele has an empty walk
+                    walks.append([])
+                    continue
+                walks.append([int(h) for h in g.path_handles(pname)])
+            if not any(walks):
+                continue
+            supports = []
+            for w in walks:
+                if not w:
+                    # deletion allele: support = edge skipping the site is
+                    # not directly recorded; use min of flanking edges via
+                    # the non-empty ref walk bounds
+                    supports.append(self._deletion_support(rec, walks))
+                else:
+                    vals = [float(navg[h >> 1]) for h in w]
+                    for a, b2 in zip(w, w[1:]):
+                        vals.append(float(self.pack.edge_support(a, b2)))
+                    supports.append(float(np.min(vals)) if vals else 0.0)
+            alleles = list(range(len(walks)))
+            total = sum(supports)
+            if total < p.min_total_support_for_call:
+                continue
+            d = max(self.exp_depth, 1e-3)
+            err = p.baseline_error_small
+            combos = []
+            for i in range(len(alleles)):
+                for j in range(i, len(alleles)):
+                    combos.append((i, j))
+            logliks = []
+            for (a1, a2) in combos:
+                ll = 0.0
+                for a in alleles:
+                    copies = (a1 == a) + (a2 == a)
+                    lam = d / 2.0 * copies + err * d
+                    ll += _log_poisson(supports[a], lam)
+                logliks.append(ll)
+            bi = int(np.argmax(logliks))
+            sorted_ll = sorted(logliks, reverse=True)
+            gq = p.max_gq if len(sorted_ll) < 2 else int(
+                min(p.max_gq, round(10.0 / math.log(10.0)
+                                    * (sorted_ll[0] - sorted_ll[1]))))
+            a1, a2 = combos[bi]
+            out.append(VariantCall(
+                chrom=rec.chrom, pos=rec.pos, ref=rec.ref,
+                alts=list(rec.alts), genotype=(a1, a2), gq=max(gq, 0),
+                depth=self.exp_depth, allele_supports=supports))
+        out.sort(key=lambda v: v.pos)
+        return out
+
+    def _deletion_support(self, rec, walks) -> float:
+        """Support of an empty (pure deletion) allele walk: coverage of
+        the edge joining the site's flanks."""
+        ref_walk = next((w for w in walks if w), None)
+        if not ref_walk:
+            return 0.0
+        first, last = ref_walk[0], ref_walk[-1]
+        best = 0.0
+        for pre in self.graph.predecessors(first):
+            for nxt in self.graph.follow(last):
+                s = self.pack.edge_support(int(pre), int(nxt))
+                best = max(best, float(s))
+        return best
+
     def vcf_header(self, contig_len: Optional[int] = None) -> List[str]:
         if contig_len is None:
             contig_len = self.graph.path_len(self.ref_path)

@@ -410,6 +410,14 @@ def cmd_call(args) -> int:
         ref_path = names[0]
     sc = SnarlCaller(g, pk, ref_path, sample_name=args.sample,
                      haplotypes=haps)
+    if args.vcf:
+        # genotype-given-VCF mode (VCFGenotyper, graph_caller.hpp:49):
+        # needs a graph built with construct -a (embedded alt paths)
+        from ..io.vcf import read_vcf
+
+        calls = sc.genotype_given_vcf(read_vcf(args.vcf))
+        sc.write_vcf(sys.stdout, calls)
+        return 0
     sc.write_vcf(sys.stdout)
     return 0
 
@@ -1229,6 +1237,9 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("-s", "--sample", default="SAMPLE")
     cl.add_argument("-g", "--gbwt-restrict", action="store_true",
                     help="restrict alleles to indexed haplotype walks")
+    cl.add_argument("-v", "--vcf",
+                    help="genotype exactly these VCF sites (VCFGenotyper "
+                         "mode; graph must be built with construct -a)")
     cl.set_defaults(func=cmd_call)
 
     v = sub.add_parser("view", help="format conversion")

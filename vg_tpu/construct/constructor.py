@@ -224,6 +224,16 @@ class Constructor:
 
         b.add_path(contig, [(nid, False) for nid in ref_path],
                    sense=SENSE_REFERENCE, locus=contig)
+        if self.params.alt_paths:
+            # embed per-allele alt paths "_alt_<hash>_<i>" (reference
+            # construct -a, src/constructor.cpp alt path naming) — the
+            # substrate for genotype-given-VCF calling (VCFGenotyper)
+            for site in sites:
+                for ai, walk in enumerate(site.allele_walks):
+                    if not walk:
+                        continue
+                    b.add_path(f"_alt_{site.name}_{ai}",
+                               [(nid, False) for nid in walk])
         return ContigResult(contig, sites, ref_path), next_id
 
     # -- clump handling --------------------------------------------------------

@@ -132,6 +132,8 @@ def haplotypes_from_paths(graph: ArrayGraph) -> HaplotypeSet:
     """Index the graph's embedded paths as haplotypes (vg gbwt --index-paths)."""
     metas, walks = [], []
     for pi, meta in enumerate(graph.path_meta):
+        if meta.name.startswith("_alt_"):
+            continue           # embedded allele paths are not haplotypes
         hs = graph.path_handles(pi)
         if len(hs) == 0:
             continue
