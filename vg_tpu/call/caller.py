@@ -56,6 +56,8 @@ class VariantCall:
     allele_supports: List[float]
     filter: str = "PASS"
     snarl: Optional[Tuple[int, int]] = None
+    # handle walks of the emitted alleles (ref first), for -T GAF output
+    traversals: Optional[List[List[int]]] = None
 
     def vcf_line(self, sample_done: bool = True) -> str:
         alt_s = ",".join(self.alts) if self.alts else "."
@@ -228,7 +230,9 @@ class SnarlCaller:
             depth=self.exp_depth,
             allele_supports=[supports[ref_ti]] + [supports[a] for a in alt_ids],
             filter=filt,
-            snarl=(sn.start, sn.end))
+            snarl=(sn.start, sn.end),
+            traversals=[list(travs[ref_ti])]
+            + [list(travs[a]) for a in alt_ids])
 
     def _ref_walk(self, sn: Snarl) -> Optional[List[int]]:
         """Handle walk along the reference path from snarl start to end."""

@@ -418,7 +418,19 @@ def cmd_call(args) -> int:
         calls = sc.genotype_given_vcf(read_vcf(args.vcf))
         sc.write_vcf(sys.stdout, calls)
         return 0
-    sc.write_vcf(sys.stdout)
+    calls = sc.call()
+    if args.traversals_out:
+        # called-allele traversals as GAF walks (vg call -T role)
+        with open(args.traversals_out, "w") as tf:
+            for vc in calls:
+                for ai, walk in enumerate(vc.traversals or []):
+                    pathcol = "".join(
+                        ("<" if h & 1 else ">") + str(int(g.node_id[h >> 1]))
+                        for h in walk)
+                    ln = sum(g.handle_len(int(h)) for h in walk)
+                    tf.write(f"{vc.chrom}_{vc.pos}_{ai}\t{ln}\t0\t{ln}\t+"
+                             f"\t{pathcol}\t{ln}\t0\t{ln}\t{ln}\t{ln}\t60\n")
+    sc.write_vcf(sys.stdout, calls)
     return 0
 
 
@@ -1255,6 +1267,8 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("-v", "--vcf",
                     help="genotype exactly these VCF sites (VCFGenotyper "
                          "mode; graph must be built with construct -a)")
+    cl.add_argument("-T", "--traversals-out",
+                    help="write called allele traversals as GAF walks")
     cl.set_defaults(func=cmd_call)
 
     v = sub.add_parser("view", help="format conversion")
