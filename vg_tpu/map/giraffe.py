@@ -94,6 +94,8 @@ class ScoredBatch:
     scores_raw: object       # (R, C) int32 DP scores
     cand_refpath: Optional[np.ndarray] = None   # (R, C) ref path id or -1
     cand_refoff: Optional[np.ndarray] = None    # (R, C) approx ref offset (device or host array)
+    codes2d: Optional[np.ndarray] = None        # (>=R, RL) padded codes
+    codes_rc2d: Optional[np.ndarray] = None
 
     @property
     def scores(self) -> np.ndarray:
@@ -118,7 +120,9 @@ class ScoredBatch:
                 self.cand_hi[lo:hi], self.cand_rev[lo:hi],
                 self.cand_valid[lo:hi], self.scores_raw[lo:hi],
                 cand_refpath=cut(self.cand_refpath),
-                cand_refoff=cut(self.cand_refoff))
+                cand_refoff=cut(self.cand_refoff),
+                codes2d=cut(self.codes2d),
+                codes_rc2d=cut(self.codes_rc2d))
 
         return view(0, n), view(n, R)
 
@@ -513,7 +517,8 @@ class GiraffeMapper:
             cand_hi=prep["cand_hi"][:R], cand_rev=prep["cand_rev"][:R],
             cand_valid=prep["cand_valid"][:R], scores_raw=scores_dev,
             cand_refpath=prep["cand_refpath"],
-            cand_refoff=prep["cand_refoff"])
+            cand_refoff=prep["cand_refoff"],
+            codes2d=prep["reads_arr"], codes_rc2d=prep["reads_rc_arr"])
 
     def prepare_batch(self, reads: Sequence[Read]) -> dict:
         """Host half of score_reads: encode + pad + seed. Returns padded
@@ -786,10 +791,14 @@ class GiraffeMapper:
              (pos < len(text))
         tw = np.where(ok, text[np.clip(pos, 0, len(text) - 1)],
                       align_ops.SENTINEL).astype(np.uint8)
-        oriented = np.full((R, RL), 5, np.uint8)
-        for i in range(R):
-            c = sb.codes_rc[i] if rev[i] else sb.codes[i]
-            oriented[i, : len(c)] = c
+        if sb.codes2d is not None and sb.codes2d.shape[1] >= RL:
+            oriented = np.where(rev[:, None], sb.codes_rc2d[:R, :RL],
+                                sb.codes2d[:R, :RL])
+        else:
+            oriented = np.full((R, RL), 5, np.uint8)
+            for i in range(R):
+                c = sb.codes_rc[i] if rev[i] else sb.codes[i]
+                oriented[i, : len(c)] = c
         col = np.arange(RL)[None, :]
         inread = col < L_arr[:, None]
         mism = ((tw != oriented) | (oriented >= 4)) & inread
@@ -899,10 +908,14 @@ class GiraffeMapper:
              (pos < len(text))
         tw = np.where(ok, text[np.clip(pos, 0, len(text) - 1)],
                       align_ops.SENTINEL).astype(np.uint8)
-        oriented = np.full((R, RL), 5, np.uint8)
-        for i in range(R):
-            c = sb.codes_rc[i] if rev[i] else sb.codes[i]
-            oriented[i, : len(c)] = c
+        if sb.codes2d is not None and sb.codes2d.shape[1] >= RL:
+            oriented = np.where(rev[:, None], sb.codes_rc2d[:R, :RL],
+                                sb.codes2d[:R, :RL])
+        else:
+            oriented = np.full((R, RL), 5, np.uint8)
+            for i in range(R):
+                c = sb.codes_rc[i] if rev[i] else sb.codes[i]
+                oriented[i, : len(c)] = c
         col = np.arange(RL)[None, :]
         inread = col < L_arr[:, None]
         mism = ((tw != oriented) | (oriented >= 4)) & inread
