@@ -409,3 +409,22 @@ def test_add_variants_embeds_new_alleles():
     # (presence checked via graph connectivity around the split points)
     probs = g2.validate()
     assert not probs, probs
+
+
+def test_clip_regions():
+    """vg clip role: off-reference alleles inside a BED interval (or
+    below a depth floor) are removed; the reference path survives."""
+    from vg_tpu.construct.constructor import Constructor, ConstructorParams
+    from vg_tpu.graph.ops import clip_regions
+    from vg_tpu.io.fasta import read_fasta
+    from vg_tpu.io.vcf import read_vcf
+
+    ref = read_fasta("/root/reference/test/small/x.fa")
+    vcf = read_vcf("/root/reference/test/small/x.vcf.gz")
+    g, _ = Constructor(
+        ConstructorParams(max_node_size=32)).construct_graph(ref, vcf)
+    g2 = clip_regions(g, "x", bed_intervals=[(0, 400)])
+    assert g2.node_count < g.node_count
+    assert g2.path_seq("x") == g.path_seq("x")
+    # remaining variation beyond the interval still there
+    assert g2.node_count > len(g2.path_handles("x"))

@@ -449,6 +449,33 @@ def cmd_add(args) -> int:
     return 0
 
 
+def cmd_clip(args) -> int:
+    """vg clip: remove non-reference variation in BED regions or below a
+    coverage floor (reference src/clip.cpp role)."""
+    from ..graph.ops import clip_regions
+
+    g = _load_graph_any(args.input)
+    intervals = None
+    if args.bed:
+        intervals = []
+        with open(args.bed) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 3 and parts[0] == args.path:
+                    intervals.append((int(parts[1]), int(parts[2])))
+    pack = None
+    if args.pack:
+        from ..call.pack import Packer
+
+        pack = Packer.load(g, args.pack)
+    g2 = clip_regions(g, args.path, bed_intervals=intervals, pack=pack,
+                      min_depth=args.min_depth)
+    _save_graph_any(g2, args.output)
+    print(f"clipped: {g.node_count - g2.node_count} nodes removed",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_view(args) -> int:
     from ..io import gfa, json_graph, vg_format
     from ..io.gam import read_gam
@@ -1399,6 +1426,15 @@ def build_parser() -> argparse.ArgumentParser:
     ad.add_argument("-v", "--vcf", required=True)
     ad.add_argument("-o", "--output", required=True)
     ad.set_defaults(func=cmd_add)
+
+    cp = sub.add_parser("clip", help="remove non-reference variation")
+    cp.add_argument("input")
+    cp.add_argument("-p", "--path", required=True)
+    cp.add_argument("-b", "--bed", help="BED of regions to clip")
+    cp.add_argument("-k", "--pack", help="pack file for depth clipping")
+    cp.add_argument("-d", "--min-depth", type=float, default=0.0)
+    cp.add_argument("-o", "--output", required=True)
+    cp.set_defaults(func=cmd_clip)
 
 
     al = sub.add_parser("align", help="POA local alignment to a small graph")

@@ -252,3 +252,57 @@ def split_nodes(g: ArrayGraph, cuts: Dict[int, Sequence[int]]
         b.add_path(meta.name, steps, meta.sense, meta.sample, meta.locus,
                    meta.haplotype, meta.is_circular)
     return b.freeze(), pieces
+
+
+def clip_regions(g: ArrayGraph, ref_path: str,
+                 bed_intervals=None, pack=None, min_depth: float = 0.0,
+                 ) -> ArrayGraph:
+    """vg clip role (reference src/clip.cpp): remove non-reference
+    variation. With ``bed_intervals`` ([(start, end) on ref_path)),
+    off-path nodes whose snarl projection falls inside an interval are
+    deleted; with ``pack`` + ``min_depth``, off-path nodes with average
+    coverage below min_depth are deleted. The reference path itself is
+    never clipped."""
+    pi = g.path_index(ref_path)
+    on_ref = set(int(h) >> 1 for h in g.path_handles(pi))
+    offs = g.path_step_offsets(pi)
+    handles = g.path_handles(pi)
+
+    # approximate ref projection per node via BFS from ref-path nodes
+    proj = {}
+    frontier = []
+    for i, h in enumerate(handles):
+        nid = int(h) >> 1
+        if nid not in proj:
+            proj[nid] = int(offs[i])
+            frontier.append(nid)
+    qi = 0
+    while qi < len(frontier):
+        nid = frontier[qi]
+        qi += 1
+        for orient in (0, 1):
+            h = nid * 2 + orient
+            for nxt in g.follow(h):
+                nn = int(nxt) >> 1
+                if nn not in proj:
+                    proj[nn] = proj[nid]
+                    frontier.append(nn)
+
+    doomed = set()
+    node_ids = [int(v) for v in g.node_id]
+    if bed_intervals:
+        for idx, nid in enumerate(node_ids):
+            if idx in on_ref or idx not in proj:
+                continue
+            p = proj[idx]
+            if any(a <= p < b for (a, b) in bed_intervals):
+                doomed.add(nid)
+    if pack is not None and min_depth > 0:
+        navg = pack.node_avg_all()
+        for idx, nid in enumerate(node_ids):
+            if idx in on_ref:
+                continue
+            if float(navg[idx]) < min_depth:
+                doomed.add(nid)
+    keep = [nid for idx, nid in enumerate(node_ids) if nid not in doomed]
+    return subgraph(g, keep)
