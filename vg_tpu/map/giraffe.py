@@ -203,7 +203,8 @@ class GiraffeMapper:
 
             ref_sense = [m.name for m in self.graph.path_meta
                          if m.sense == SENSE_REFERENCE]
-            ref_names = ref_sense or [m.name for m in self.graph.path_meta]
+            ref_names = ref_sense or [m.name for m in self.graph.path_meta
+                                      if not m.name.startswith("_alt_")]
         self.path_pos = PathPositionIndex(self.graph, ref_names)
         # dense node -> (ref path id, ref offset) for pair-distance checks
         # (first occurrence wins; -1 = off every reference path)
