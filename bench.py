@@ -118,7 +118,7 @@ def main():
         f"text {haps.total_len} bp, {idx.unique_count} minimizers "
         f"({time.time()-t0:.1f}s)\n")
 
-    bs = int(os.environ.get("BENCH_BATCH", "4096"))
+    bs = int(os.environ.get("BENCH_BATCH", "8192"))
     mode = os.environ.get("BENCH_MODE", "paired")
     params = GiraffeParams(batch_reads=bs)
     mapper = GiraffeMapper(haps, idx, params)
