@@ -449,6 +449,61 @@ def cmd_add(args) -> int:
     return 0
 
 
+def cmd_primers(args) -> int:
+    """vg primers role (reference src/primer_filter.cpp): filter primer
+    pairs whose binding sites overlap non-reference variation. Input is
+    primer3-style TSV/BED rows (name, start, end on the reference path);
+    rows overlapping any snarl's variable region are dropped (or kept
+    with --all, annotated with a variable flag)."""
+    from ..graph.cactus import snarls_on_path
+
+    g = _load_graph_any(args.xg)
+    snarls, _children = snarls_on_path(g, args.path)
+    offs = g.path_step_offsets(g.path_index(args.path))
+    handles = g.path_handles(g.path_index(args.path))
+    pos_of = {int(h): int(offs[i]) for i, h in enumerate(handles)}
+    var_iv = []
+    for sn in snarls:
+        a = pos_of.get(sn.start)
+        b = pos_of.get(sn.end)
+        if a is None or b is None:
+            continue
+        a += g.handle_len(sn.start)          # variable region between
+        var_iv.append((min(a, b), max(a, b)))
+    # merge into disjoint sorted intervals for exact bisect checks
+    var_iv.sort()
+    merged = []
+    for a, b in var_iv:
+        if merged and a <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], b))
+        else:
+            merged.append((a, b))
+    import bisect
+
+    starts = [a for a, _ in merged]
+
+    kept = dropped = 0
+    with open(args.primers) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3 or parts[0].startswith("#"):
+                continue
+            name, s, e = parts[0], int(parts[1]), int(parts[2])
+            i = bisect.bisect_right(starts, e) - 1
+            variable = i >= 0 and merged[i][1] > s and merged[i][0] < e
+            if not variable and i + 1 < len(merged):
+                variable = merged[i + 1][0] < e and merged[i + 1][1] > s
+            if variable and not args.all:
+                dropped += 1
+                continue
+            kept += 1
+            flag = "\tVARIABLE" if variable else ""
+            sys.stdout.write(f"{name}\t{s}\t{e}{flag}\n")
+    print(f"primers: kept {kept}, dropped {dropped} overlapping variation",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_clip(args) -> int:
     """vg clip: remove non-reference variation in BED regions or below a
     coverage floor (reference src/clip.cpp role)."""
@@ -1426,6 +1481,15 @@ def build_parser() -> argparse.ArgumentParser:
     ad.add_argument("-v", "--vcf", required=True)
     ad.add_argument("-o", "--output", required=True)
     ad.set_defaults(func=cmd_add)
+
+    pr2 = sub.add_parser("primers",
+                         help="filter primers overlapping variation")
+    pr2.add_argument("primers", help="TSV/BED: name, start, end")
+    pr2.add_argument("-x", "--xg", required=True)
+    pr2.add_argument("-p", "--path", required=True)
+    pr2.add_argument("--all", action="store_true",
+                     help="keep all rows, annotate variable ones")
+    pr2.set_defaults(func=cmd_primers)
 
     cp = sub.add_parser("clip", help="remove non-reference variation")
     cp.add_argument("input")
