@@ -222,27 +222,23 @@ def cmd_giraffe(args) -> int:
         else:
             it = iter_fastq_interleaved(args.fastq)
         sink = open(args.output, "wb") if args.output else sys.stdout.buffer
-        batch = []
         n = 0
 
-        def flush_pairs(batch):
-            recs = pm.map_pairs_encoded(batch)
-            if recs is None:
-                recs = [a.encode() for a in pm.map_pairs_flat(batch)]
-            write_messages(sink, recs)
-            return len(recs)
+        def pair_batches():
+            batch = []
+            for pair in it:
+                batch.append(pair)
+                if len(batch) >= args.batch_size:
+                    yield batch
+                    batch = []
+            if batch:
+                yield batch
 
-        for pair in it:
-            batch.append(pair)
-            if len(batch) >= args.batch_size:
-                n += flush_pairs(batch)
-                batch = []
-        if batch:
-            n += flush_pairs(batch)
-        tail = pm.finish_encoded()       # flush warmup-buffered pairs
-        if tail:
-            write_messages(sink, tail)
-            n += len(tail)
+        from ..parallel.pipeline import map_pairs_encoded_mt
+
+        for recs in map_pairs_encoded_mt(pm, pair_batches()):
+            write_messages(sink, recs)
+            n += len(recs)
         if args.output:
             sink.close()
         print(f"mapped {n} reads", file=sys.stderr)
