@@ -95,6 +95,29 @@ def combine(graphs: Sequence[ArrayGraph]) -> ArrayGraph:
     return b.freeze()
 
 
+def local_subgraph(g: ArrayGraph, node_ids: Iterable[int]) -> ArrayGraph:
+    """Node-induced subgraph WITHOUT paths, touching only the selected
+    nodes' adjacency rows — O(|sub|) where subgraph() is O(|graph|).
+    The mapper's per-read graph-fallback extraction needs exactly this
+    (the reference extracts via extract_containing_graph,
+    src/algorithms/extract_containing_graph.cpp, which is likewise
+    local)."""
+    seed = {int(n) for n in node_ids}
+    b = GraphBuilder()
+    for nid in sorted(seed):
+        i = g.idx(nid)
+        b.add_node(g.seq[g.seq_start[i] : g.seq_start[i + 1]], node_id=nid)
+    for nid in seed:
+        h = g.idx(nid) * 2
+        for hh in (h, h + 1):
+            for nxt in g.follow(hh):
+                nxt = int(nxt)
+                t_id = int(g.node_id[nxt >> 1])
+                if t_id in seed:
+                    b.add_edge(nid, t_id, bool(hh & 1), bool(nxt & 1))
+    return b.freeze()
+
+
 def subgraph(g: ArrayGraph, node_ids: Iterable[int],
              context_steps: int = 0) -> ArrayGraph:
     """Node-induced subgraph with optional context expansion

@@ -1126,7 +1126,7 @@ class GiraffeMapper:
         around the candidate's projection. The flattened handle DAG holds
         both orientations, so reverse-strand placements come out
         naturally."""
-        from ..graph.ops import subgraph
+        from ..graph.ops import local_subgraph
         from ..ops.graph_align import align_to_graph_dagified
 
         p = self.params
@@ -1159,7 +1159,7 @@ class GiraffeMapper:
                         nodes.add(nid2)
                         total_bases += g.handle_len(nxt)
         try:
-            sub = subgraph(g, nodes)
+            sub = local_subgraph(g, nodes)
             return align_to_graph_dagified(
                 sub, codes,
                 align_ops.Scoring(p.match, p.mismatch, p.gap_open,

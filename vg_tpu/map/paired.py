@@ -405,7 +405,25 @@ class PairedGiraffeMapper:
                 max_fragment_length=pp.max_fragment_length,
                 unpaired_penalty=pp.unpaired_penalty,
                 max_mapq=p.max_mapq, score_fn=score_fn)
-            self._pair_step = (jax.jit(step), text_arg)
+
+            import jax.numpy as jnp
+
+            def packed_step(*args):
+                """Pack all outputs into ONE int32 buffer: each fetched
+                device array pays a fixed tunnel roundtrip (~45ms measured
+                on this axon setup), so 8 small fetches cost more than one
+                8x transfer."""
+                (s1, s2, j1, j2, mq1, mq2, use_pair, frags,
+                 _stats, _cov) = step(*args)
+                return jnp.concatenate([
+                    s1.astype(jnp.int32).ravel(),
+                    s2.astype(jnp.int32).ravel(),
+                    j1.astype(jnp.int32), j2.astype(jnp.int32),
+                    mq1.astype(jnp.int32), mq2.astype(jnp.int32),
+                    use_pair.astype(jnp.int32),
+                    jnp.round(frags).astype(jnp.int32)])
+
+            self._pair_step = (jax.jit(packed_step), text_arg)
         return self._pair_step
 
     def score_pairs_device(self, pairs: Sequence[Tuple[Read, Read]]):
@@ -433,34 +451,40 @@ class PairedGiraffeMapper:
             return (pr["cand_start"], pr["cand_lo"], pr["cand_hi"],
                     pr["cand_rev"], pr["cand_valid"], rp, ro)
 
-        out = step(text_arg,
-                   p1["reads_arr"], p1["reads_rc_arr"], p1["rlens"],
-                   cand_tuple(p1),
-                   p2["reads_arr"], p2["reads_rc_arr"], p2["rlens"],
-                   cand_tuple(p2),
-                   jnp.float32(self.fragdist.mean),
-                   jnp.float32(max(self.fragdist.stdev, 1e-3)))
-        (s1, s2, j1, j2, mq1, mq2, use_pair, frags, stats, cov) = out
+        packed = step(text_arg,
+                      p1["reads_arr"], p1["reads_rc_arr"], p1["rlens"],
+                      cand_tuple(p1),
+                      p2["reads_arr"], p2["reads_rc_arr"], p2["rlens"],
+                      cand_tuple(p2),
+                      jnp.float32(self.fragdist.mean),
+                      jnp.float32(max(self.fragdist.stdev, 1e-3)))
+        Rpad, C = p1["cand_start"].shape
         sb1 = ScoredBatch(
             reads=reads1, codes=p1["codes"], codes_rc=p1["codes_rc"],
             cand_start=p1["cand_start"][:R], cand_lo=p1["cand_lo"][:R],
             cand_hi=p1["cand_hi"][:R], cand_rev=p1["cand_rev"][:R],
-            cand_valid=p1["cand_valid"][:R], scores_raw=s1[:R],
+            cand_valid=p1["cand_valid"][:R], scores_raw=None,
             cand_refpath=p1["cand_refpath"], cand_refoff=p1["cand_refoff"])
         sb2 = ScoredBatch(
             reads=reads2, codes=p2["codes"], codes_rc=p2["codes_rc"],
             cand_start=p2["cand_start"][:R], cand_lo=p2["cand_lo"][:R],
             cand_hi=p2["cand_hi"][:R], cand_rev=p2["cand_rev"][:R],
-            cand_valid=p2["cand_valid"][:R], scores_raw=s2[:R],
+            cand_valid=p2["cand_valid"][:R], scores_raw=None,
             cand_refpath=p2["cand_refpath"], cand_refoff=p2["cand_refoff"])
-        sel = (j1, j2, mq1, mq2, use_pair, frags)
+        sel = (packed, Rpad, C, sb1, sb2)
         return sb1, sb2, sel
 
     def _force_device_sel(self, sel, R: int):
-        j1, j2, mq1, mq2, use_pair, frags = sel
-        return (np.asarray(j1)[:R], np.asarray(j2)[:R],
-                np.asarray(mq1)[:R], np.asarray(mq2)[:R],
-                np.asarray(use_pair)[:R], np.asarray(frags)[:R])
+        """ONE device fetch of the packed buffer; unpack scores into the
+        two ScoredBatches and return the host selection arrays."""
+        packed, Rpad, C, sb1, sb2 = sel
+        buf = np.asarray(packed)
+        n = Rpad * C
+        sb1.scores_raw = buf[:n].reshape(Rpad, C)[:R].copy()
+        sb2.scores_raw = buf[n : 2 * n].reshape(Rpad, C)[:R].copy()
+        rest = buf[2 * n :].reshape(6, Rpad)
+        return (rest[0, :R], rest[1, :R], rest[2, :R], rest[3, :R],
+                rest[4, :R].astype(bool), rest[5, :R])
 
     def map_pairs_encoded(self, pairs: Sequence[Tuple[Read, Read]],
                           scored=None):
@@ -555,8 +579,7 @@ class PairedGiraffeMapper:
         kind, batch = item[0], item[1]
         if kind == "dev":
             sb1, sb2, sel = item[2]
-            _ = sb1.scores
-            _ = sb2.scores
+            # the packed fetch fills sb1/sb2 scores as a side effect
             selh = self._force_device_sel(sel, len(batch))
             st2 = self._rescue_begin(sb1, sb2)
             st1 = self._rescue_begin(sb2, sb1)
@@ -880,14 +903,25 @@ def _seed_scan(window: np.ndarray, read: np.ndarray, k: int) -> np.ndarray:
     return np.array(out, np.int64)
 
 
+_SUFFIX_CACHE: dict = {}
+
+
 def _annotation_suffix(proper: bool, fragment_length: int) -> bytes:
     """Encoded `annotation` Struct (field 100) with proper_pair and
     fragment_length — appended to native records (protobuf field order is
-    free, so suffix concatenation is valid)."""
-    from ..io.gam import _encode_struct
-    from ..io.wire import field_bytes
+    free, so suffix concatenation is valid). Memoized: fragment lengths
+    cluster in a few hundred values, and re-encoding a Struct per pair was
+    a measurable slice of emit time."""
+    key = (proper, fragment_length)
+    out = _SUFFIX_CACHE.get(key)
+    if out is None:
+        from ..io.gam import _encode_struct
+        from ..io.wire import field_bytes
 
-    d = {"proper_pair": proper}
-    if fragment_length:
-        d["fragment_length"] = fragment_length
-    return field_bytes(100, _encode_struct(d))
+        d = {"proper_pair": proper}
+        if fragment_length:
+            d["fragment_length"] = fragment_length
+        out = field_bytes(100, _encode_struct(d))
+        if len(_SUFFIX_CACHE) < 65536:
+            _SUFFIX_CACHE[key] = out
+    return out
