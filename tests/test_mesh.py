@@ -68,7 +68,7 @@ def test_full_step_8dev_equals_1dev(fixture_batch):
     out1 = _run(haps, mate1, mate2, 1)
     out8 = _run(haps, mate1, mate2, 8)
     names = ["s1", "s2", "j1", "j2", "mq1", "mq2", "use_pair", "frags",
-             "stats", "cov"]
+             "mm1", "mm2", "bits1", "bits2", "stats", "cov"]
     for a, b, nm in zip(out1, out8, names):
         if a.dtype.kind == "f":
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4,
@@ -82,7 +82,8 @@ def test_full_step_matches_host_pairing(fixture_batch):
     pairing decisions on the same candidates."""
     haps, mate1, mate2 = fixture_batch
     out = _run(haps, mate1, mate2, 8)
-    s1, s2, j1, j2, mq1, mq2, use_pair, frags, stats, cov = out
+    (s1, s2, j1, j2, mq1, mq2, use_pair, frags,
+     mm1, mm2, bits1, bits2, stats, cov) = out
     # fragment stats must describe the x fixture's ~900bp fragments
     n, s, ss = stats
     assert n >= 32, n

@@ -192,3 +192,63 @@ def test_pipeline_device_selection_end_to_end(paired_mapper, ref_test_dir):
     assert len(out) == len(recs_sync)
     same = sum(1 for a, b in zip(out, recs_sync) if bytes(a) == bytes(b))
     assert same >= 0.98 * len(out), f"{same}/{len(out)} records differ"
+
+def test_device_winner_bitmap_matches_host(paired_mapper, ref_test_dir):
+    """The packed step's winner mismatch bitmaps must equal the host
+    text-window computation AND actually enable the gapless fast path —
+    a silent fast-path collapse (e.g. gathering packed text as raw
+    bytes) is a 4x emit regression that byte-parity tests cannot see."""
+    from vg_tpu.ops import align as align_ops
+
+    pairs = list(iter_fastq_paired(
+        str(ref_test_dir / "small" / "x.fa_1.fastq"),
+        str(ref_test_dir / "small" / "x.fa_2.fastq")))[:64]
+    pm = PairedGiraffeMapper(paired_mapper.mapper)
+    pm.map_pairs(pairs)
+    pm.finish()
+    assert pm.fragdist.finalized
+    m = pm.mapper
+
+    sb1, sb2, sel = pm.score_pairs_device(pairs)
+    j1, j2, *_ = pm._force_device_sel(sel, len(pairs))
+    assert sb1.winner_mism is not None
+
+    for sb, j in ((sb1, j1), (sb2, j2)):
+        dev_j, mm_dev, bits = sb.winner_mism
+        np.testing.assert_array_equal(np.asarray(dev_j), np.asarray(j))
+        R = len(sb.reads)
+        ar = np.arange(R)
+        bj = np.asarray(j).astype(np.int64)
+        text = m.haps.text
+        L_arr = np.array([len(c) for c in sb.codes])
+        RL = int(L_arr.max())
+        B = m.params.band_radius
+        diag = sb.cand_start[ar, bj].astype(np.int64) + B
+        lo = sb.cand_lo[ar, bj]
+        hi = sb.cand_hi[ar, bj]
+        rev = sb.cand_rev[ar, bj]
+        pos = diag[:, None] + np.arange(RL)
+        ok = ((pos >= lo[:, None]) & (pos < hi[:, None]) & (pos >= 0)
+              & (pos < len(text)))
+        tw = np.where(ok, text[np.clip(pos, 0, len(text) - 1)],
+                      align_ops.SENTINEL).astype(np.uint8)
+        orr = np.full((R, RL), 5, np.uint8)
+        for i in range(R):
+            c = sb.codes_rc[i] if rev[i] else sb.codes[i]
+            orr[i, : len(c)] = c
+        inr = np.arange(RL)[None, :] < L_arr[:, None]
+        mism = ((tw != orr) | (orr >= 4)) & inr
+        np.testing.assert_array_equal(np.asarray(mm_dev)[:R], mism.sum(1))
+        bw = np.ascontiguousarray(np.asarray(bits)[:R]).view(np.uint32)
+        unp = np.unpackbits(bw.view(np.uint8).reshape(R, -1), axis=1,
+                            bitorder="little")[:, :RL]
+        np.testing.assert_array_equal(unp.astype(bool), mism)
+        # the bitmaps must actually light up the gapless fast path
+        scores = sb.scores
+        best_s = scores[ar, bj]
+        p = m.params
+        mm = mism.sum(1)
+        gl = (L_arr - mm) * p.match - mm * p.mismatch \
+            + 2 * p.full_length_bonus
+        fast = (gl == best_s) & (diag >= lo) & (diag + L_arr <= hi)
+        assert fast.mean() > 0.5, f"fast path collapsed: {fast.mean():.2f}"

@@ -96,6 +96,9 @@ class ScoredBatch:
     cand_refoff: Optional[np.ndarray] = None    # (R, C) approx ref offset (device or host array)
     codes2d: Optional[np.ndarray] = None        # (>=R, RL) padded codes
     codes_rc2d: Optional[np.ndarray] = None
+    # (dev_j, mm, bits): device-computed winner mismatch bitmaps for the
+    # selection dev_j — rows whose chosen j differs recompute on host
+    winner_mism: Optional[tuple] = None
 
     @property
     def scores(self) -> np.ndarray:
@@ -904,23 +907,42 @@ class GiraffeMapper:
         lo = sb.cand_lo[ar, best_j]
         hi = sb.cand_hi[ar, best_j]
         rev = sb.cand_rev[ar, best_j]
-        pos = diag[:, None] + np.arange(RL)
-        ok = (pos >= lo[:, None]) & (pos < hi[:, None]) & (pos >= 0) & \
-             (pos < len(text))
-        tw = np.where(ok, text[np.clip(pos, 0, len(text) - 1)],
-                      align_ops.SENTINEL).astype(np.uint8)
-        if sb.codes2d is not None and sb.codes2d.shape[1] >= RL:
-            oriented = np.where(rev[:, None], sb.codes_rc2d[:R, :RL],
-                                sb.codes2d[:R, :RL])
+
+        def host_mism(rows):
+            """(len(rows), RL) winner mismatch mask via text-window
+            gather — only for rows without a device-computed bitmap."""
+            pos = diag[rows, None] + np.arange(RL)
+            okr = ((pos >= lo[rows, None]) & (pos < hi[rows, None])
+                   & (pos >= 0) & (pos < len(text)))
+            twr = np.where(okr, text[np.clip(pos, 0, len(text) - 1)],
+                           align_ops.SENTINEL).astype(np.uint8)
+            if sb.codes2d is not None and sb.codes2d.shape[1] >= RL:
+                orr = np.where(rev[rows, None], sb.codes_rc2d[rows, :RL],
+                               sb.codes2d[rows, :RL])
+            else:
+                orr = np.full((len(rows), RL), 5, np.uint8)
+                for k, i in enumerate(rows):
+                    c = sb.codes_rc[i] if rev[i] else sb.codes[i]
+                    orr[k, : len(c)] = c
+            inr = np.arange(RL)[None, :] < L_arr[rows, None]
+            return ((twr != orr) | (orr >= 4)) & inr
+
+        wm = sb.winner_mism
+        if wm is not None and (wm[2].shape[1] * 32 < RL or not R):
+            wm = None
+        if wm is not None:
+            dev_j, mm_dev, bits = wm
+            use_dev = best_j == dev_j[:R]
+            mm = np.where(use_dev, mm_dev[:R], 0).astype(np.int64)
+            hrows = np.nonzero(~use_dev)[0]
+            mism_h = host_mism(hrows) if len(hrows) else None
+            if mism_h is not None:
+                mm[hrows] = mism_h.sum(axis=1)
         else:
-            oriented = np.full((R, RL), 5, np.uint8)
-            for i in range(R):
-                c = sb.codes_rc[i] if rev[i] else sb.codes[i]
-                oriented[i, : len(c)] = c
-        col = np.arange(RL)[None, :]
-        inread = col < L_arr[:, None]
-        mism = ((tw != oriented) | (oriented >= 4)) & inread
-        mm = mism.sum(axis=1)
+            use_dev = np.zeros(R, bool)
+            hrows = ar
+            mism_h = host_mism(hrows) if R else None
+            mm = mism_h.sum(axis=1) if R else np.zeros(0, np.int64)
         gl_score = (L_arr - mm) * p.match - mm * p.mismatch \
             + 2 * p.full_length_bonus
         # in-range winners only (see emit_chosen): overhanging intervals
@@ -929,6 +951,18 @@ class GiraffeMapper:
                 & (diag >= lo) & (diag + L_arr <= hi))
         w = np.nonzero(fast)[0]
         Nw = len(w)
+        mism_w = np.zeros((Nw, RL), np.uint8)
+        if Nw:
+            wd = use_dev[w]
+            if wd.any():
+                bw = np.ascontiguousarray(wm[2][w[wd]]).view(np.uint32)
+                unp = np.unpackbits(
+                    bw.view(np.uint8).reshape(int(wd.sum()), -1),
+                    axis=1, bitorder="little")
+                mism_w[wd] = unp[:, :RL]
+            if (~wd).any():
+                posh = np.searchsorted(hrows, w[~wd])
+                mism_w[~wd] = mism_h[posh, :RL]
 
         records: List[object] = [None] * R
         if Nw:
@@ -980,7 +1014,7 @@ class GiraffeMapper:
                 "name_off": name_off, "names": names,
                 "read_off": read_off, "reads": reads_blob,
                 "qual_off": qual_off, "quals": quals,
-                "mism": np.ascontiguousarray(mism[w]).astype(np.uint8),
+                "mism": mism_w,
                 "RL": RL, "rlen": L_arr[w].astype(np.int64),
                 "step_text_pos": self.haps.step_text_pos,
                 "steps": self.haps.steps,

@@ -404,26 +404,49 @@ class PairedGiraffeMapper:
                 gap_extend=p.gap_extend, bonus=p.full_length_bonus,
                 max_fragment_length=pp.max_fragment_length,
                 unpaired_penalty=pp.unpaired_penalty,
-                max_mapq=p.max_mapq, score_fn=score_fn)
+                max_mapq=p.max_mapq, score_fn=score_fn,
+                text_packed=m.text_packed_dev is not None,
+                text_len=len(m.haps.text))
 
             import jax.numpy as jnp
+            from jax import lax
 
-            def packed_step(*args):
-                """Pack all outputs into ONE int32 buffer: each fetched
-                device array pays a fixed tunnel roundtrip (~45ms measured
-                on this axon setup), so 8 small fetches cost more than one
-                8x transfer."""
+            from ..ops.xfer import revcomp_dev, unpack_cand_meta_dev, \
+                unpack_reads4_dev
+
+            def packed_step(text, hb, rp1, rl1, ca1, co1, cm1,
+                            rp2, rl2, ca2, co2, cm2, mu, sd):
+                """Transfer-compressed paired step (see ops/xfer.py): the
+                tunnel runs at ~10 MB/s, so inputs arrive 4-bit packed
+                (reverse complements derived here) with 3-word candidate
+                meta, and ALL outputs leave as ONE int16 buffer — each
+                separate fetch pays ~50 ms latency."""
+                def mate(rp, rl, cm):
+                    r = unpack_reads4_dev(rp)
+                    rc = revcomp_dev(r, rl)
+                    lo, hi, rev, valid, refpath = unpack_cand_meta_dev(
+                        cm, hb)
+                    return r, rc, lo, hi, rev, valid, refpath
+
+                r1, r1rc, lo1, hi1, rev1, v1, rpth1 = mate(rp1, rl1, cm1)
+                r2, r2rc, lo2, hi2, rev2, v2, rpth2 = mate(rp2, rl2, cm2)
                 (s1, s2, j1, j2, mq1, mq2, use_pair, frags,
-                 _stats, _cov) = step(*args)
+                 mm1, mm2, bits1, bits2, _stats, _cov) = step(
+                    text, r1, r1rc, rl1, (ca1, lo1, hi1, rev1, v1, rpth1, co1),
+                    r2, r2rc, rl2, (ca2, lo2, hi2, rev2, v2, rpth2, co2),
+                    mu, sd)
+                i16 = lambda a: jnp.clip(a, -32768, 32767).astype(jnp.int16)
                 return jnp.concatenate([
-                    s1.astype(jnp.int32).ravel(),
-                    s2.astype(jnp.int32).ravel(),
-                    j1.astype(jnp.int32), j2.astype(jnp.int32),
-                    mq1.astype(jnp.int32), mq2.astype(jnp.int32),
-                    use_pair.astype(jnp.int32),
-                    jnp.round(frags).astype(jnp.int32)])
+                    i16(s1).ravel(), i16(s2).ravel(),
+                    i16(j1), i16(j2), i16(mq1), i16(mq2),
+                    use_pair.astype(jnp.int16), i16(jnp.round(frags)),
+                    i16(mm1), i16(mm2),
+                    lax.bitcast_convert_type(bits1, jnp.int16).ravel(),
+                    lax.bitcast_convert_type(bits2, jnp.int16).ravel()])
 
-            self._pair_step = (jax.jit(packed_step), text_arg)
+            hb_dev = jax.device_put(
+                np.asarray(m.haps.text_start, np.int32))
+            self._pair_step = (jax.jit(packed_step), text_arg, hb_dev)
         return self._pair_step
 
     def score_pairs_device(self, pairs: Sequence[Tuple[Read, Read]]):
@@ -434,28 +457,30 @@ class PairedGiraffeMapper:
         observes pairs on the host)."""
         import jax.numpy as jnp
 
+        from ..ops.xfer import pack_cand_meta, pack_reads4
+
         m = self.mapper
         reads1 = [a for a, _ in pairs]
         reads2 = [b for _, b in pairs]
         p1 = m.prepare_batch(reads1)
         p2 = m.prepare_batch(reads2)
         R = len(pairs)
-        step, text_arg = self._get_pair_step()
+        step, text_arg, hb_dev = self._get_pair_step()
+        hap_starts = np.asarray(m.haps.text_start, np.int64)
 
-        def cand_tuple(pr):
+        def wire(pr):
+            """(packed reads, rlen, cand start, cand refoff, cand meta)."""
             Rpad = pr["cand_start"].shape[0]
             rp = np.full((Rpad, pr["cand_refpath"].shape[1]), -1, np.int32)
             rp[:R] = pr["cand_refpath"]
             ro = np.zeros((Rpad, pr["cand_refoff"].shape[1]), np.int32)
             ro[:R] = pr["cand_refoff"]
-            return (pr["cand_start"], pr["cand_lo"], pr["cand_hi"],
-                    pr["cand_rev"], pr["cand_valid"], rp, ro)
+            meta = pack_cand_meta(pr["cand_lo"], pr["cand_rev"],
+                                  pr["cand_valid"], rp, hap_starts)
+            return (pack_reads4(pr["reads_arr"]), pr["rlens"],
+                    pr["cand_start"], ro, meta)
 
-        packed = step(text_arg,
-                      p1["reads_arr"], p1["reads_rc_arr"], p1["rlens"],
-                      cand_tuple(p1),
-                      p2["reads_arr"], p2["reads_rc_arr"], p2["rlens"],
-                      cand_tuple(p2),
+        packed = step(text_arg, hb_dev, *wire(p1), *wire(p2),
                       jnp.float32(self.fragdist.mean),
                       jnp.float32(max(self.fragdist.stdev, 1e-3)))
         Rpad, C = p1["cand_start"].shape
@@ -475,14 +500,28 @@ class PairedGiraffeMapper:
         return sb1, sb2, sel
 
     def _force_device_sel(self, sel, R: int):
-        """ONE device fetch of the packed buffer; unpack scores into the
-        two ScoredBatches and return the host selection arrays."""
+        """ONE device fetch of the packed buffer; unpack scores + winner
+        mismatch bitmaps into the two ScoredBatches and return the host
+        selection arrays."""
         packed, Rpad, C, sb1, sb2 = sel
-        buf = np.asarray(packed)
+        buf = np.asarray(packed)          # int16 wire buffer
         n = Rpad * C
-        sb1.scores_raw = buf[:n].reshape(Rpad, C)[:R].copy()
-        sb2.scores_raw = buf[n : 2 * n].reshape(Rpad, C)[:R].copy()
-        rest = buf[2 * n :].reshape(6, Rpad)
+        sb1.scores_raw = buf[:n].reshape(Rpad, C)[:R].astype(np.int32)
+        sb2.scores_raw = buf[n : 2 * n].reshape(Rpad, C)[:R].astype(np.int32)
+        off = 2 * n
+        rest = buf[off : off + 6 * Rpad].reshape(6, Rpad)
+        off += 6 * Rpad
+        mm1 = buf[off : off + Rpad].astype(np.int32)
+        mm2 = buf[off + Rpad : off + 2 * Rpad].astype(np.int32)
+        off += 2 * Rpad
+        # bitmaps travel as int16 halves (lax.bitcast little-endian)
+        W2 = (len(buf) - off) // (2 * Rpad)
+        bits1 = np.ascontiguousarray(
+            buf[off : off + Rpad * W2].reshape(Rpad, W2)).view(np.int32)
+        bits2 = np.ascontiguousarray(
+            buf[off + Rpad * W2 :].reshape(Rpad, W2)).view(np.int32)
+        sb1.winner_mism = (rest[0, :R].astype(np.int64), mm1[:R], bits1[:R])
+        sb2.winner_mism = (rest[1, :R].astype(np.int64), mm2[:R], bits2[:R])
         return (rest[0, :R], rest[1, :R], rest[2, :R], rest[3, :R],
                 rest[4, :R].astype(bool), rest[5, :R])
 
@@ -610,6 +649,11 @@ class PairedGiraffeMapper:
                           | {i for (i, _) in (st1[0] if st1 else ())})
             sel = tuple(a.copy() for a in selh)
             if rows:
+                # rescue replaced candidates in these rows: their device
+                # winner bitmaps describe stale candidates — invalidate
+                for sbx in (sb1, sb2):
+                    if sbx.winner_mism is not None:
+                        sbx.winner_mism[0][rows] = -1
                 sub1 = _subset(sb1, rows)
                 sub2 = _subset(sb2, rows)
                 rs = self._pair_select(sub1, sub2)

@@ -103,7 +103,8 @@ def make_paired_step(band_radius: int = 16, match: int = 1,
                      max_fragment_length: int = 2000,
                      unpaired_penalty: float = 30.0,
                      max_mapq: int = 60, n_buckets: int = 1024,
-                     score_fn=None):
+                     score_fn=None, text_packed: bool = False,
+                     text_len: Optional[int] = None):
     """Build the FULL data-parallel paired mapping step: seed-result
     candidate tables in -> per-mate DP scores, pair selection with the
     fragment model, pair/solo MAPQs, pack-style coverage psum, and the
@@ -202,6 +203,47 @@ def make_paired_step(band_radius: int = 16, match: int = 1,
 
         j1 = jnp.where(use_pair, j1p, b1)
         j2 = jnp.where(use_pair, j2p, b2)
+
+        def winner_bits(reads, reads_rc, rlen, start, lo_a, hi_a, rev_a, j):
+            """Mismatch bitmap of the chosen winner's gapless alignment at
+            its seed diagonal, computed where the text already lives (HBM)
+            so the host emit path never re-gathers R x RL text windows.
+            Bit k of word w = mismatch at read column w*32+k."""
+            RL = reads.shape[1]
+            W = (RL + 31) // 32
+            T = text_len if text_len is not None else text.shape[0]
+            take = lambda a: jnp.take_along_axis(a, j[:, None], 1)[:, 0]
+            diag = take(start).astype(jnp.int32) + B
+            lo_w = take(lo_a)
+            hi_w = take(hi_a)
+            rev_w = take(rev_a).astype(bool)
+            pos = diag[:, None] + jnp.arange(RL, dtype=jnp.int32)
+            okm = ((pos >= lo_w[:, None]) & (pos < hi_w[:, None])
+                   & (pos >= 0) & (pos < T))
+            if text_packed:
+                # 4-bit packed text (pallas_align.pack_text): base at p is
+                # nibble p%8 of int32 word p//8
+                word = text[jnp.clip(pos >> 3, 0, text.shape[0] - 1)]
+                base = ((word >> ((pos & 7) * 4)) & 15).astype(jnp.uint8)
+                tw = jnp.where(okm, base, jnp.uint8(align_ops.SENTINEL))
+            else:
+                tw = jnp.where(okm,
+                               text[jnp.clip(pos, 0, text.shape[0] - 1)],
+                               jnp.uint8(align_ops.SENTINEL))
+            oriented = jnp.where(rev_w[:, None], reads_rc, reads)
+            inread = jnp.arange(RL)[None, :] < rlen[:, None]
+            msk = ((tw != oriented) | (oriented >= 4)) & inread
+            mm = msk.sum(axis=1).astype(jnp.int32)
+            padded = jnp.pad(msk, ((0, 0), (0, W * 32 - RL)))
+            words = (padded.reshape(-1, W, 32).astype(jnp.uint32)
+                     << jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+                     ).sum(axis=2, dtype=jnp.uint32)
+            return mm, words.astype(jnp.int32)
+
+        mm1, bits1 = winner_bits(r1, r1rc, rl1, s1_start, s1_lo, s1_hi,
+                                 s1_rev, j1)
+        mm2, bits2 = winner_bits(r2, r2rc, rl2, s2_start, s2_lo, s2_hi,
+                                 s2_rev, j2)
         mq1s = end_mapq(f1, vd1, j1)
         mq2s = end_mapq(f2, vd2, j2)
         mq1 = jnp.where(use_pair, jnp.minimum(mq_pair, mq1s + 25), mq1s)
@@ -230,7 +272,8 @@ def make_paired_step(band_radius: int = 16, match: int = 1,
         # pack-style coverage histogram over winner placements
         start1 = jnp.take_along_axis(s1_start, j1[:, None], 1)[:, 0]
         start2 = jnp.take_along_axis(s2_start, j2[:, None], 1)[:, 0]
-        bsz = jnp.maximum(text.shape[0] // n_buckets, 1)
+        bsz = jnp.maximum((text_len if text_len is not None
+                           else text.shape[0]) // n_buckets, 1)
         cov = jnp.zeros((n_buckets,), jnp.int32)
         cov = cov.at[jnp.clip(start1 // bsz, 0, n_buckets - 1)].add(
             vd1.any(1).astype(jnp.int32))
@@ -239,7 +282,7 @@ def make_paired_step(band_radius: int = 16, match: int = 1,
         return (s1, s2, j1, j2,
                 jnp.clip(mq1, 0, max_mapq).astype(jnp.int32),
                 jnp.clip(mq2, 0, max_mapq).astype(jnp.int32),
-                use_pair, frags,
+                use_pair, frags, mm1, mm2, bits1, bits2,
                 jnp.stack([stat_n, stat_sum, stat_sumsq]), cov)
 
     return step
@@ -268,7 +311,7 @@ def sharded_paired_step(mesh: Mesh, text, mate1, mate2, mu, sd,
     r2, r2rc, rl2, c2 = put(*mate2)
     text = jax.device_put(text, repl)
     step = make_paired_step(band_radius=band_radius, **kw)
-    out_shardings = (shard0,) * 8 + (repl, repl)
+    out_shardings = (shard0,) * 12 + (repl, repl)
     fn = jax.jit(step, out_shardings=out_shardings)
     with mesh:
         return fn(text, r1, r1rc, rl1, c1, r2, r2rc, rl2, c2,
