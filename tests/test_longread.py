@@ -138,3 +138,49 @@ def test_longread_degrades_instead_of_discarding(long_setup):
     assert matched >= 3500, matched
     tl = sum(e.to_length for mp in aln.path.mappings for e in mp.edits)
     assert tl == len(codes)
+
+
+def test_native_stitch_and_encode_parity(long_setup):
+    """Native batch stitch + runs->GAM encode must agree with the Python
+    per-read stitcher + object path (decoded-field comparison, covering
+    reverse strand, indels, and soft clips)."""
+    import numpy as np
+
+    from vg_tpu.io.fastq import Read
+    from vg_tpu.io.gam import Alignment
+    from vg_tpu.native import lib as native_lib
+    from vg_tpu.utils import dna
+
+    if native_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    haps, mapper, _ = long_setup
+    rng = np.random.default_rng(11)
+    T = len(haps.text)
+    reads = []
+    for i in range(24):
+        L = 4000
+        s = int(rng.integers(0, T - L - 100))
+        c = haps.text[s : s + L].copy()
+        err = rng.random(len(c)) < 0.01
+        c[err] = (c[err] + rng.integers(1, 4, err.sum())) % 4
+        if i % 3 == 1:   # insertion
+            pos = int(rng.integers(500, L - 500))
+            c = np.concatenate([c[:pos],
+                                rng.integers(0, 4, 5).astype(np.uint8),
+                                c[pos:]])
+        elif i % 3 == 2:  # deletion
+            pos = int(rng.integers(500, L - 500))
+            c = np.concatenate([c[:pos], c[pos + 6 :]])
+        if i % 2:
+            c = dna.revcomp_codes(c)
+        reads.append(Read(name=f"p{i}", sequence=dna.decode(c),
+                          quality="I" * len(c)))
+    objs = [mapper.map_read(r) for r in reads]
+    batch = mapper.map_batch(reads)
+    recs = mapper.map_batch_encoded(reads)
+    assert recs is not None
+    for a, b, rb in zip(objs, batch, recs):
+        assert (a.score, a.mapping_quality) == (b.score, b.mapping_quality)
+        d = Alignment.decode(bytes(rb))
+        assert a.to_json() == d.to_json(), a.name

@@ -243,6 +243,33 @@ def cmd_giraffe(args) -> int:
             sink.close()
         print(f"mapped {n} reads", file=sys.stderr)
         return 0
+    # long-read GAM: native stitch + runs->GAM encode, no path objects
+    if (args.output_format == "gam" and not args.fastq_mate
+            and not args.interleaved
+            and hasattr(mapper, "map_batch_encoded")):
+        from ..io.gam import write_messages
+
+        sink = open(args.output, "wb") if args.output else sys.stdout.buffer
+        batch = []
+
+        def flush_lr(batch):
+            recs = mapper.map_batch_encoded(batch)
+            if recs is None:
+                recs = [a.encode() for a in mapper.map_batch(batch)]
+            write_messages(sink, recs)
+            return len(recs)
+
+        for r in iter_fastq(args.fastq):
+            batch.append(r)
+            if len(batch) >= args.batch_size:
+                n += flush_lr(batch)
+                batch = []
+        if batch:
+            n += flush_lr(batch)
+        if args.output:
+            sink.close()
+        print(f"mapped {n} reads", file=sys.stderr)
+        return 0
     # single-end GAM: stream encoded records through the native emitter
     if (args.output_format == "gam" and not args.fastq_mate
             and not args.interleaved and hasattr(mapper, "map_stream_encoded")):

@@ -231,6 +231,7 @@ class LongReadMapper:
         hap = int(self.haps.hap_of_text_pos(int(blocks[0][1])))
         lo = int(self.haps.text_start[hap])
         hi = int(self.haps.text_start[hap + 1])
+        sc = self.scoring
         spec = []          # (link index, a slice, b slice)
         for bi in range(n):
             pr, pt, pl = blocks[bi]
@@ -238,7 +239,43 @@ class LongReadMapper:
             ra, ta_ = pr + pl, pt + pl
             if (br - ra <= p.max_link_len and bt - ta_ <= p.max_link_len
                     and ta_ >= lo and bt <= hi):
-                spec.append((bi, oriented[ra:br], text[ta_:bt]))
+                a = oriented[ra:br]
+                b = text[ta_:bt]
+                # Hamming fast path: for equal-length links with <=2
+                # mismatches the diagonal is provably optimal (any
+                # ins+del pair costs 2*(gap_open+gap_extend)=14 > the
+                # worst diagonal penalty 2*mismatch + 2 lost matches =
+                # 10), so the global DP is skipped — the common case on
+                # low-error long reads, and the batch DP dominated
+                # throughput
+                if len(a) == len(b):
+                    if len(a) == 0:
+                        out[bi] = (0, [])
+                        continue
+                    mis = np.nonzero(a != b)[0]
+                    if len(mis) <= 2:
+                        score = (len(a) - len(mis)) * sc.match \
+                            - len(mis) * sc.mismatch
+                        edits: List[Tuple] = []
+                        cur = 0
+                        for x in mis:
+                            x = int(x)
+                            if x > cur:
+                                edits.append(("M", x - cur))
+                            if (edits and edits[-1][0] == "X"
+                                    and cur == x):
+                                edits[-1] = ("X", edits[-1][1] + 1,
+                                             np.concatenate(
+                                                 [edits[-1][2],
+                                                  a[x : x + 1]]))
+                            else:
+                                edits.append(("X", 1, a[x : x + 1].copy()))
+                            cur = x + 1
+                        if cur < len(a):
+                            edits.append(("M", len(a) - cur))
+                        out[bi] = (score, edits)
+                        continue
+                spec.append((bi, a, b))
             else:
                 # broken link: next segment may sit on another haplotype
                 hap = int(self.haps.hap_of_text_pos(int(bt)))
@@ -382,32 +419,39 @@ class LongReadMapper:
 
     # --------------------------------------------------------------- map
 
-    def map_read(self, read: Read) -> Alignment:
+    def _read_chains(self, codes: np.ndarray) -> List[Chain]:
+        """Anchor + chain a read; chains sorted best-first, capped, and
+        filtered by the chain-score fraction (reference keeps chains
+        within a fraction of the best,
+        minimizer_mapper_from_chains.cpp chain-score-threshold)."""
         p = self.params
-        codes = dna.encode(read.sequence)
-        codes_rc = dna.revcomp_codes(codes)
-        aln = Alignment(name=read.name, sequence=read.sequence)
         roff, tpos, ascore, strand = self._anchors(codes)
         if len(roff) == 0:
-            return aln
+            return []
         chains: List[Chain] = []
         for rev in (False, True):
             m = strand == rev
             if m.any():
                 chains.extend(find_chains(
                     roff[m], tpos[m], ascore[m], rev, p.chain))
-        if not chains:
-            return aln
         chains.sort(key=lambda c: -c.score)
-        results = []
-        for ch in chains[: p.chain.max_chains]:
-            oriented = codes_rc if ch.is_rev else codes
-            st = self._stitch(oriented, ch)
-            if st is not None:
-                results.append((st[0], st[1], ch))
+        chains = chains[: p.chain.max_chains]
+        return [c for ci, c in enumerate(chains)
+                if ci == 0 or c.score >= 0.7 * chains[0].score]
+
+    def _finish(self, read: Read, codes: np.ndarray, codes_rc: np.ndarray,
+                results: List[Tuple]) -> Alignment:
+        """Winner selection, placement dedup, mapq, path projection.
+        results items: (ta_factory, wstart, chain, score, matches); the
+        TextAlignment (with its edit list) is only materialized for the
+        winner — non-winning chains never build edits."""
+        p = self.params
+        aln = Alignment(name=read.name, sequence=read.sequence,
+                        quality=bytes((ord(q) - 33) for q in read.quality)
+                        if read.quality else b"")
         if not results:
             return aln
-        results.sort(key=lambda r: -r[0].score)
+        results.sort(key=lambda r: -r[3])
         # dedup results that project to the same graph placement across
         # haplotypes before computing mapq (same role as the short-read
         # candidate dedup)
@@ -421,9 +465,10 @@ class LongReadMapper:
                 seen[key] = True
                 deduped.append(r)
         results = deduped
-        ta, wstart, ch = results[0]
+        ta_factory, wstart, ch = results[0][:3]
+        ta = ta_factory()
         aln.mapping_quality = mapq_exact(
-            [r[0].score for r in results], which=0, max_mapq=p.max_mapq)
+            [r[3] for r in results], which=0, max_mapq=p.max_mapq)
         oriented = codes_rc if ch.is_rev else codes
         path = text_alignment_to_path(self.haps, ta, wstart, oriented,
                                       ch.is_rev)
@@ -433,16 +478,258 @@ class LongReadMapper:
         self.path_pos.annotate_refpos(aln)
         return aln
 
+    def map_read(self, read: Read) -> Alignment:
+        """Single-read mapping via the Python stitcher (parity reference
+        for the native batch path)."""
+        codes = dna.encode(read.sequence)
+        codes_rc = dna.revcomp_codes(codes)
+        chains = self._read_chains(codes)
+        results = []
+        for ch in chains:
+            oriented = codes_rc if ch.is_rev else codes
+            st = self._stitch(oriented, ch)
+            if st is not None:
+                ta = st[0]
+                results.append((lambda ta=ta: ta, st[1], ch,
+                                ta.score, ta.matches))
+        return self._finish(read, codes, codes_rc, results)
+
+    def _native_batch(self, reads: Sequence[Read]):
+        """Anchors+chains per read (numpy), ONE native stitch call over
+        all chains (OpenMP across reads). Returns (codes_list, rc_list,
+        per_read) where per_read[ri] is a list of dicts per stitched
+        chain, or None when the native lib is absent."""
+        from ..native import lib as native_lib, native_longread_stitch
+
+        if native_lib() is None:
+            return None
+        p = self.params
+        codes_list = [dna.encode(r.sequence) for r in reads]
+        rc_list = [dna.revcomp_codes(c) for c in codes_list]
+        per_read_chains: List[List[Chain]] = [
+            self._read_chains(c) for c in codes_list]
+        chain_read: List[int] = []
+        chain_rev: List[bool] = []
+        anc_off = [0]
+        roffs: List[np.ndarray] = []
+        tposs: List[np.ndarray] = []
+        for ri, chains in enumerate(per_read_chains):
+            for ch in chains:
+                chain_read.append(ri)
+                chain_rev.append(ch.is_rev)
+                roffs.append(np.asarray(ch.roff, np.int64))
+                tposs.append(np.asarray(ch.tpos, np.int64))
+                anc_off.append(anc_off[-1] + len(ch.roff))
+        per_read: List[List[dict]] = [[] for _ in reads]
+        if not chain_read:
+            return codes_list, rc_list, per_read
+        st = native_longread_stitch(
+            codes_list, chain_read, chain_rev,
+            np.concatenate(roffs), np.concatenate(tposs),
+            anc_off, self.index.k, self.haps.text, self.haps.text_start,
+            self.scoring, p)
+        if st is None:
+            return None
+        ok, score, matches, rs, re_, t0, t1, runs, runs_off = st
+        ci = 0
+        for ri, chains in enumerate(per_read_chains):
+            for ch in chains:
+                if ok[ci]:
+                    per_read[ri].append(dict(
+                        chain=ch, score=int(score[ci]),
+                        matches=int(matches[ci]), read_start=int(rs[ci]),
+                        read_end=int(re_[ci]), t0=int(t0[ci]),
+                        t1=int(t1[ci]),
+                        runs=runs[int(runs_off[ci]) : int(runs_off[ci + 1])]))
+                ci += 1
+        return codes_list, rc_list, per_read
+
     def map_batch(self, reads: Sequence[Read],
                   threads: int = 1) -> List[Alignment]:
-        """Long-read mapping; threads>1 available but the chaining loop is
-        currently GIL-bound, so the default stays serial (see TODO.md)."""
-        if threads <= 1 or len(reads) < 4:
+        """Long-read batch mapping via the native stitcher; falls back to
+        the Python stitcher when the native lib is absent."""
+        nb = self._native_batch(reads)
+        if nb is None:
             return [self.map_read(r) for r in reads]
-        from concurrent.futures import ThreadPoolExecutor
+        codes_list, rc_list, per_read = nb
+        out: List[Alignment] = []
+        for ri, read in enumerate(reads):
+            results = []
+            for d in per_read[ri]:
+                def ta_factory(d=d, ri=ri):
+                    edits = _runs_to_edits(
+                        d["runs"], rc_list[ri] if d["chain"].is_rev
+                        else codes_list[ri])
+                    return TextAlignment(
+                        score=d["score"], read_start=d["read_start"],
+                        read_end=d["read_end"], text_start=0,
+                        text_end=d["t1"] - d["t0"], edits=edits,
+                        matches=d["matches"])
+                results.append((ta_factory, d["t0"], d["chain"],
+                                d["score"], d["matches"]))
+            out.append(self._finish(read, codes_list[ri], rc_list[ri],
+                                    results))
+        return out
 
-        with ThreadPoolExecutor(max_workers=threads) as ex:
-            return list(ex.map(self.map_read, reads))
+    def _dedup_winner(self, results: List[dict]):
+        """Best-first sort + same-graph-placement dedup; returns
+        (winner, deduped list) or None."""
+        if not results:
+            return None
+        results = sorted(results, key=lambda d: -d["score"])
+        seen = set()
+        deduped = []
+        for d in results:
+            a = int(np.clip(d["t0"], 0, len(self.haps.text) - 1))
+            key = (d["chain"].is_rev, self.haps.text_pos_to_graph(a))
+            if key not in seen:
+                seen.add(key)
+                deduped.append(d)
+        return deduped[0], deduped
+
+    def _refpos_of(self, t0: int, t1: int, rev: bool):
+        """Reference-path position of the alignment start (walks past
+        off-path nodes like PathPositionIndex.annotate_refpos)."""
+        stp = self.haps.step_text_pos
+        steps = self.haps.steps
+        g = self.graph
+        si0 = int(np.searchsorted(stp[1:], t0, side="right"))
+        si1 = int(np.searchsorted(stp[1:], max(t1 - 1, t0), side="right"))
+        order = range(si1, si0 - 1, -1) if rev else range(si0, si1 + 1)
+        walked = 0
+        for si in order:
+            h = int(steps[si])
+            seg_lo = max(int(stp[si]), t0)
+            seg_hi = min(int(stp[si + 1]), t1)
+            flen = seg_hi - seg_lo
+            nid = int(g.node_id[h >> 1])
+            nlen = int(g.seq_start[(h >> 1) + 1] - g.seq_start[h >> 1])
+            off = seg_lo - int(stp[si])
+            mrev = bool(h & 1)
+            if rev:
+                mrev = not mrev
+                off = nlen - off - flen
+            hits = self.path_pos.positions_of(nid, off, mrev)
+            if hits:
+                for hh in hits:
+                    hh.offset = max(0, hh.offset - walked)
+                return hits
+            walked += flen
+        return []
+
+    def map_batch_encoded(self, reads: Sequence[Read]):
+        """Native end-to-end long-read mapping: stitch + winner/mapq on
+        arrays, then ONE native runs->GAM encode (no per-read Python path
+        objects). Returns GAM record bytes, or None when the native path
+        is unavailable."""
+        from ..native import lib as native_lib, native_emit_runs_gam
+
+        nb = self._native_batch(reads)
+        if nb is None or native_lib() is None:
+            return None
+        codes_list, rc_list, per_read = nb
+        p = self.params
+        winners = []                      # (read idx, dict, mapq)
+        records: List[object] = [None] * len(reads)
+        for ri, read in enumerate(reads):
+            dw = self._dedup_winner(per_read[ri])
+            if dw is None:
+                records[ri] = Alignment(
+                    name=read.name, sequence=read.sequence,
+                    quality=bytes((ord(q) - 33) for q in read.quality)
+                    if read.quality else b"").encode()
+                continue
+            win, deduped = dw
+            mq = mapq_exact([d["score"] for d in deduped], which=0,
+                            max_mapq=p.max_mapq)
+            winners.append((ri, win, mq))
+        if winners:
+            Nw = len(winners)
+            names_b = [reads[ri].name.encode() for ri, _, _ in winners]
+            reads_b = [reads[ri].sequence.encode() for ri, _, _ in winners]
+            quals_b = [bytes((ord(q) - 33) for q in reads[ri].quality)
+                       if reads[ri].quality else b""
+                       for ri, _, _ in winners]
+
+            def blob(parts):
+                off = np.zeros(len(parts) + 1, np.int64)
+                np.cumsum([len(x) for x in parts], out=off[1:])
+                return off, np.frombuffer(b"".join(parts) or b"\0",
+                                          np.uint8)
+
+            name_off, names = blob(names_b)
+            read_off, reads_blob = blob(reads_b)
+            qual_off, quals = blob(quals_b)
+            refnames_b = [n.encode() for n in self.path_pos.path_names]
+            refname_off, refnames = blob(refnames_b)
+            run_blocks = [w["runs"] for _, w, _ in winners]
+            runs_off = np.zeros(Nw + 1, np.int64)
+            np.cumsum([len(r) for r in run_blocks], out=runs_off[1:])
+            runs_all = (np.concatenate(run_blocks) if runs_off[-1]
+                        else np.zeros((1, 3), np.int32))
+            rp_arr = np.full(Nw, -1, np.int32)
+            ro_arr = np.zeros(Nw, np.int64)
+            rr_arr = np.zeros(Nw, np.uint8)
+            name_to_pi = {n: i for i, n in
+                          enumerate(self.path_pos.path_names)}
+            for wi, (ri, w, _) in enumerate(winners):
+                hits = self._refpos_of(w["t0"], w["t1"],
+                                       w["chain"].is_rev)
+                if hits:
+                    rp_arr[wi] = name_to_pi[hits[0].name]
+                    ro_arr[wi] = hits[0].offset
+                    rr_arr[wi] = 1 if hits[0].is_reverse else 0
+            arrs = {
+                "N": Nw,
+                "t0": np.array([w["t0"] for _, w, _ in winners], np.int64),
+                "rev": np.array([w["chain"].is_rev
+                                 for _, w, _ in winners], np.uint8),
+                "mapq": np.array([mq for _, _, mq in winners], np.int32),
+                "score": np.array([w["score"] for _, w, _ in winners],
+                                  np.int32),
+                "matches": np.array([w["matches"] for _, w, _ in winners],
+                                    np.int64),
+                "read_start": np.array([w["read_start"]
+                                        for _, w, _ in winners], np.int64),
+                "read_end": np.array([w["read_end"]
+                                      for _, w, _ in winners], np.int64),
+                "name_off": name_off, "names": names,
+                "read_off": read_off, "reads": reads_blob,
+                "qual_off": qual_off, "quals": quals,
+                "runs": np.ascontiguousarray(runs_all, np.int32),
+                "runs_off": runs_off,
+                "step_text_pos": self.haps.step_text_pos,
+                "steps": self.haps.steps,
+                "n_steps": len(self.haps.steps),
+                "node_id": self.graph.node_id,
+                "seq_start": self.graph.seq_start,
+                "ref_path": rp_arr, "ref_off": ro_arr, "ref_rev": rr_arr,
+                "refname_off": refname_off, "refnames": refnames,
+            }
+            res = native_emit_runs_gam(arrs)
+            if res is None:
+                return None
+            buf, rec_off = res
+            mv = memoryview(buf)
+            for wi, (ri, _, _) in enumerate(winners):
+                records[ri] = mv[int(rec_off[wi]) : int(rec_off[wi + 1])]
+        return records
+
+
+def _runs_to_edits(runs: np.ndarray, oriented: np.ndarray) -> List[Tuple]:
+    """Native stitch runs (op, len, oriented_read_pos) -> edit tuples."""
+    edits: List[Tuple] = []
+    for op, ln, rp in runs:
+        op, ln, rp = int(op), int(ln), int(rp)
+        if op == 0:
+            edits.append(("M", ln))
+        elif op == 1:
+            edits.append(("X", ln, oriented[rp : rp + ln].copy()))
+        elif op == 2:
+            edits.append(("I", ln, oriented[rp : rp + ln].copy()))
+        else:
+            edits.append(("D", ln))
+    return edits
 
 
 def _merge_edits(edits: List[Tuple]) -> List[Tuple]:

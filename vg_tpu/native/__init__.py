@@ -468,3 +468,137 @@ def native_extract_minimizers_batch(codes2d: np.ndarray, k: int, w: int):
     if n < 0:
         return None
     return ridx[:n], offs[:n], keys[:n], rev[:n].astype(bool)
+
+
+def native_longread_stitch(codes_list, chain_read, chain_rev, anc_roff,
+                           anc_tpos, anc_off, k, text, hap_starts,
+                           scoring, lr_params, max_cells: int = 4_000_000):
+    """Batch long-read chain stitching in C++ (merge blocks, align links,
+    error-model guard, segment, banded tails) — the host loop that
+    dominated long-read throughput. Returns per-chain
+    (ok, score, matches, read_start, read_end, t0, t1, runs, runs_off)
+    or None when the lib is absent."""
+    import ctypes
+
+    L_ = lib()
+    if L_ is None:
+        return None
+    if not hasattr(L_, "_lrs_registered"):
+        L_.longread_stitch_batch.restype = ctypes.c_int64
+        L_.longread_stitch_batch.argtypes = (
+            [ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+             ctypes.c_int32,
+             ctypes.c_void_p, ctypes.c_int64,
+             ctypes.c_void_p, ctypes.c_int64]
+            + [ctypes.c_int32] * 5
+            + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int32]
+            + [ctypes.c_double] * 6
+            + [ctypes.c_int64]
+            + [ctypes.c_void_p] * 7
+            + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p])
+        L_._lrs_registered = True
+    n_reads = len(codes_list)
+    read_off = np.zeros(n_reads + 1, np.int64)
+    np.cumsum([len(c) for c in codes_list], out=read_off[1:])
+    blob = (np.concatenate(codes_list) if n_reads else
+            np.zeros(1, np.uint8)).astype(np.uint8)
+    nc = len(chain_read)
+    chain_read = np.ascontiguousarray(chain_read, np.int32)
+    chain_rev = np.ascontiguousarray(chain_rev, np.uint8)
+    anc_off = np.ascontiguousarray(anc_off, np.int64)
+    anc_roff = np.ascontiguousarray(anc_roff, np.int64)
+    anc_tpos = np.ascontiguousarray(anc_tpos, np.int64)
+    text = np.ascontiguousarray(text, np.uint8)
+    hap_starts = np.ascontiguousarray(hap_starts, np.int64)
+    out_score = np.zeros(nc, np.int32)
+    out_matches = np.zeros(nc, np.int64)
+    out_rs = np.zeros(nc, np.int64)
+    out_re = np.zeros(nc, np.int64)
+    out_t0 = np.zeros(nc, np.int64)
+    out_t1 = np.zeros(nc, np.int64)
+    out_ok = np.zeros(nc, np.uint8)
+    cap = int(anc_off[-1]) * 4 + int(read_off[-1]) // 4 + 64 * max(nc, 1)
+    while True:
+        runs = np.zeros((cap, 3), np.int32)
+        runs_off = np.zeros(nc + 1, np.int64)
+        rc = L_.longread_stitch_batch(
+            n_reads, read_off.ctypes.data, blob.ctypes.data,
+            nc, chain_read.ctypes.data, chain_rev.ctypes.data,
+            anc_off.ctypes.data, anc_roff.ctypes.data,
+            anc_tpos.ctypes.data, k,
+            text.ctypes.data, len(text),
+            hap_starts.ctypes.data, len(hap_starts) - 1,
+            scoring.match, scoring.mismatch, scoring.gap_open,
+            scoring.gap_extend, scoring.full_length_bonus,
+            lr_params.max_link_len, lr_params.max_tail,
+            lr_params.tail_band,
+            lr_params.link_mismatch_base, lr_params.link_mismatch_per_base,
+            float(lr_params.link_mismatch_cap),
+            lr_params.link_gap_base, lr_params.link_gap_per_base,
+            float(lr_params.link_gap_cap),
+            max_cells,
+            out_score.ctypes.data, out_matches.ctypes.data,
+            out_rs.ctypes.data, out_re.ctypes.data,
+            out_t0.ctypes.data, out_t1.ctypes.data, out_ok.ctypes.data,
+            runs.ctypes.data, cap, runs_off.ctypes.data)
+        if rc == 0:
+            return (out_ok.astype(bool), out_score, out_matches, out_rs,
+                    out_re, out_t0, out_t1, runs, runs_off)
+        cap *= 2
+
+
+def native_emit_runs_gam(arrs, out_cap: int = 0):
+    """Run-based GAM record encoder (indel-capable sibling of
+    native_emit_gapless_gam). arrs: see LongReadMapper.map_batch_encoded.
+    Returns (buffer, rec_offsets) or None when the lib is absent."""
+    import ctypes
+
+    L_ = lib()
+    if L_ is None:
+        return None
+    if not hasattr(L_, "_erg_registered"):
+        L_.emit_runs_gam.restype = ctypes.c_int64
+        L_.emit_runs_gam.argtypes = (
+            [ctypes.c_int64]
+            + [ctypes.c_void_p] * 15        # t0..runs_off
+            + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            + [ctypes.c_void_p] * 7
+            + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p])
+        L_._erg_registered = True
+    N = int(arrs["N"])
+    c = lambda a, dt: np.ascontiguousarray(a, dt)
+    t0 = c(arrs["t0"], np.int64)
+    rev = c(arrs["rev"], np.uint8)
+    mapq = c(arrs["mapq"], np.int32)
+    score = c(arrs["score"], np.int32)
+    matches = c(arrs["matches"], np.int64)
+    rs = c(arrs["read_start"], np.int64)
+    re_ = c(arrs["read_end"], np.int64)
+    runs = c(arrs["runs"], np.int32)
+    runs_off = c(arrs["runs_off"], np.int64)
+    if not out_cap:
+        out_cap = int(arrs["read_off"][-1]) * 6 + N * 1024 \
+            + int(runs_off[-1]) * 48 + 4096
+    while True:
+        out = np.zeros(out_cap, np.uint8)
+        rec_off = np.zeros(N + 1, np.int64)
+        rc = L_.emit_runs_gam(
+            N, t0.ctypes.data, rev.ctypes.data, mapq.ctypes.data,
+            score.ctypes.data, matches.ctypes.data, rs.ctypes.data,
+            re_.ctypes.data,
+            arrs["name_off"].ctypes.data, arrs["names"].ctypes.data,
+            arrs["read_off"].ctypes.data, arrs["reads"].ctypes.data,
+            arrs["qual_off"].ctypes.data, arrs["quals"].ctypes.data,
+            runs.ctypes.data, runs_off.ctypes.data,
+            arrs["step_text_pos"].ctypes.data, arrs["steps"].ctypes.data,
+            ctypes.c_int64(int(arrs["n_steps"])),
+            arrs["node_id"].ctypes.data, arrs["seq_start"].ctypes.data,
+            arrs["ref_path"].ctypes.data, arrs["ref_off"].ctypes.data,
+            arrs["ref_rev"].ctypes.data,
+            arrs["refname_off"].ctypes.data, arrs["refnames"].ctypes.data,
+            out.ctypes.data, out_cap, rec_off.ctypes.data)
+        if rc == 0:
+            return out, rec_off
+        out_cap *= 2

@@ -1064,3 +1064,692 @@ int64_t global_align_batch(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Long-read chain stitching (native port of map/longread.py _stitch et al.,
+// reference role: MinimizerMapper::map_from_chains alignment phase,
+// src/minimizer_mapper_from_chains.cpp:708). One call per read batch;
+// OpenMP over reads. Per chain: merge anchors into exact blocks, align
+// inter-block links (Hamming fast path / global affine DP), apply the WFA
+// error-model chimera guard, split at broken links, stitch each segment
+// with banded semiglobal tails, keep the best segment. Output: merged edit
+// runs (op, len, oriented_read_pos) + geometry per chain.
+
+namespace lrstitch {
+
+struct Run { int32_t op; int64_t len; int64_t rpos; };
+
+struct RunVec {
+    std::vector<Run> v;
+    void add(int32_t op, int64_t len, int64_t rpos) {
+        if (!v.empty() && v.back().op == op
+            && (op == 0 || op == 3 || op == 1 || op == 2)
+            && (op == 3 || v.back().rpos + v.back().len == rpos)) {
+            v.back().len += len;
+            return;
+        }
+        v.push_back({op, len, rpos});
+    }
+};
+
+struct LinkRes {
+    bool ok = false;
+    int64_t score = 0;
+    int64_t matches = 0;
+    std::vector<Run> runs;
+};
+
+struct Scratch {
+    std::vector<int32_t> edits;
+    std::vector<uint8_t> win;
+    std::vector<uint8_t> rc;
+};
+
+struct Params {
+    int32_t match, mismatch, gap_open, gap_extend, bonus, k, tail_band;
+    int64_t max_link_len, max_tail, max_cells;
+    double lm_base, lm_per_base, lm_cap, lg_base, lg_per_base, lg_cap;
+};
+
+inline int64_t hap_of(const int64_t* hs, int64_t H, int64_t pos) {
+    // last h with hs[h] <= pos (hs has H+1 entries)
+    int64_t lo = 0, hi = H;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) / 2;
+        if (hs[mid + 1] > pos) hi = mid; else lo = mid + 1;
+    }
+    return lo;
+}
+
+inline bool link_ok(int64_t mism, int64_t gapb, int64_t link_len,
+                    const Params& p) {
+    if (link_len < 30) return true;
+    double max_m = 4.0 * std::min(p.lm_cap,
+                                  p.lm_base + p.lm_per_base * link_len);
+    double max_g = 4.0 * std::min(p.lg_cap,
+                                  p.lg_base + p.lg_per_base * link_len);
+    if (mism + gapb > link_len / 2) return false;
+    return mism <= max_m && gapb <= max_g;
+}
+
+// align one link a (read part) vs b (text part); fills res
+void align_link(const uint8_t* a, int64_t la, const uint8_t* b, int64_t lb,
+                int64_t ra, const Params& p, Scratch& sc, LinkRes& res) {
+    res.ok = false;
+    res.runs.clear();
+    res.matches = 0;
+    if (la == lb) {
+        if (la == 0) { res.ok = true; res.score = 0; return; }
+        int64_t nm = 0;
+        for (int64_t i = 0; i < la; i++)
+            if (a[i] != b[i] || a[i] >= 4) nm++;
+        if (nm <= 2) {
+            // diagonal provably optimal (see map/longread.py fast path)
+            RunVec rv;
+            int64_t cur = 0;
+            for (int64_t i = 0; i < la && nm; i++) {
+                if (a[i] != b[i] || a[i] >= 4) {
+                    if (i > cur) rv.add(0, i - cur, ra + cur);
+                    rv.add(1, 1, ra + i);
+                    cur = i + 1;
+                }
+            }
+            if (cur < la) rv.add(0, la - cur, ra + cur);
+            res.ok = true;
+            res.score = (la - nm) * p.match - nm * p.mismatch;
+            res.matches = la - nm;
+            res.runs = std::move(rv.v);
+            return;
+        }
+    }
+    int64_t cap = 2 * (la + lb) + 16;
+    if ((int64_t)sc.edits.size() < cap * 3) sc.edits.resize(cap * 3);
+    int64_t n_edits = 0;
+    int64_t score = global_align(a, la, b, lb, p.match, p.mismatch,
+                                 p.gap_open, p.gap_extend, p.max_cells,
+                                 sc.edits.data(), cap, &n_edits);
+    if (n_edits < 0) return;
+    // unit edits in traceback order -> forward merged runs
+    RunVec rv;
+    int64_t mism = 0, gapb = 0, rpos = ra;
+    for (int64_t e = n_edits - 1; e >= 0; e--) {
+        int32_t op = sc.edits[e * 3];
+        if (op == 0) { rv.add(0, 1, rpos); res.matches++; rpos++; }
+        else if (op == 1) { rv.add(1, 1, rpos); mism++; rpos++; }
+        else if (op == 2) { rv.add(2, 1, rpos); gapb++; rpos++; }
+        else { rv.add(3, 1, rpos); gapb++; }
+    }
+    if (!link_ok(mism, gapb, std::max(la, lb), p)) return;
+    res.ok = true;
+    res.score = score;
+    res.runs = std::move(rv.v);
+}
+
+struct TailRes {
+    bool ok = false;
+    int64_t score = 0, matches = 0;
+    std::vector<Run> runs;   // forward oriented order
+    int64_t read_lo = 0;     // left tail: oriented read start after clip
+    int64_t read_hi = 0;     // right tail: oriented read end
+    int64_t text_lo = 0, text_hi = 0;
+};
+
+// left tail of oriented[0:r0) against text ending at t0 (bounds [lo_b, .))
+void left_tail(const uint8_t* oriented, int64_t r0, const uint8_t* text,
+               int64_t t0, int64_t lo_b, const Params& p, Scratch& sc,
+               TailRes& out) {
+    out.ok = false;
+    if (r0 == 0 || r0 > p.max_tail) return;
+    int64_t n = r0;
+    int64_t B = std::min<int64_t>(p.tail_band, std::max<int64_t>(n / 2, 8));
+    int64_t wlo = std::max<int64_t>(std::max<int64_t>(t0 - n - B, lo_b), 0);
+    int64_t TW = n + 2 * B;
+    sc.win.assign(TW, 6);
+    for (int64_t q = 0; q < std::min(TW, t0 - wlo); q++)
+        sc.win[q] = text[t0 - 1 - q];               // reversed window
+    sc.rc.resize(n);
+    for (int64_t q = 0; q < n; q++) sc.rc[q] = oriented[n - 1 - q];
+    int64_t cap = 2 * (n + TW) + 16;
+    if ((int64_t)sc.edits.size() < cap * 3) sc.edits.resize(cap * 3);
+    int64_t spans[4] = {0, 0, 0, 0}, n_edits = 0, nmatch = 0;
+    int64_t score = banded_traceback(
+        sc.rc.data(), n, sc.win.data(), TW, (int32_t)B, p.match, p.mismatch,
+        p.gap_open, p.gap_extend, p.bonus, spans, sc.edits.data(), cap,
+        &n_edits, &nmatch);
+    if (score <= 0 || n_edits < 0 || spans[0] != 0 || spans[2] != 0) return;
+    int64_t read_end = spans[1];                    // reversed space
+    int64_t consumed = spans[3] - spans[2];
+    score -= p.bonus;                               // junction row bonus
+    if (read_end == n) score -= p.bonus;            // re-awarded by stitcher
+    // push order == oriented ascending (double reversal); rpos tracked
+    RunVec rv;
+    int64_t rpos = r0 - read_end;
+    for (int64_t e = 0; e < n_edits; e++) {
+        int32_t op = sc.edits[e * 3];
+        if (op == 3) rv.add(3, 1, rpos);
+        else { rv.add(op, 1, rpos); rpos++; }
+    }
+    out.ok = true;
+    out.score = score;
+    out.matches = nmatch;
+    out.runs = std::move(rv.v);
+    out.read_lo = r0 - read_end;
+    out.text_lo = t0 - consumed;
+}
+
+// right tail of oriented[cur_r:L) against text from cur_t (bounds [., hi_b))
+void right_tail(const uint8_t* oriented, int64_t L, int64_t cur_r,
+                const uint8_t* text, int64_t cur_t, int64_t hi_b,
+                const Params& p, Scratch& sc, TailRes& out) {
+    out.ok = false;
+    if (cur_r >= L) return;
+    int64_t n = L - cur_r;
+    if (n > p.max_tail) return;
+    int64_t B = std::min<int64_t>(p.tail_band, std::max<int64_t>(n / 2, 8));
+    int64_t wend = std::min(cur_t + n + B, hi_b);
+    int64_t TW = n + 2 * B;
+    sc.win.assign(TW, 6);
+    for (int64_t q = 0; q < std::min(TW, wend - cur_t); q++)
+        sc.win[q] = text[cur_t + q];
+    int64_t cap = 2 * (n + TW) + 16;
+    if ((int64_t)sc.edits.size() < cap * 3) sc.edits.resize(cap * 3);
+    int64_t spans[4] = {0, 0, 0, 0}, n_edits = 0, nmatch = 0;
+    int64_t score = banded_traceback(
+        oriented + cur_r, n, sc.win.data(), TW, (int32_t)B, p.match,
+        p.mismatch, p.gap_open, p.gap_extend, p.bonus, spans,
+        sc.edits.data(), cap, &n_edits, &nmatch);
+    if (score <= 0 || n_edits < 0 || spans[0] != 0 || spans[2] != 0) return;
+    score -= p.bonus;
+    if (spans[1] == n) score -= p.bonus;
+    RunVec rv;
+    int64_t rpos = cur_r + spans[1];
+    for (int64_t e = n_edits - 1; e >= 0; e--) {    // traceback -> forward
+        int32_t op = sc.edits[e * 3];
+        (void)rpos;
+        if (op == 3) rv.add(3, 1, 0);
+        else rv.add(op, 1, 0);
+    }
+    // recompute rpos forward (cleaner than reverse bookkeeping)
+    {
+        int64_t rp = cur_r;
+        for (auto& r : rv.v) {
+            r.rpos = rp;
+            if (r.op != 3) rp += r.len;
+        }
+    }
+    out.ok = true;
+    out.score = score;
+    out.matches = nmatch;
+    out.runs = std::move(rv.v);
+    out.read_hi = cur_r + spans[1];
+    out.text_hi = cur_t + (spans[3] - spans[2]);
+}
+
+struct Block { int64_t r, t, l; };
+
+}  // namespace lrstitch
+
+extern "C" {
+
+// Returns 0, or -1 when the runs buffer overflowed (caller doubles).
+int64_t longread_stitch_batch(
+    int64_t n_reads, const int64_t* read_off, const uint8_t* codes_blob,
+    int64_t n_chains, const int32_t* chain_read, const uint8_t* chain_rev,
+    const int64_t* anc_off, const int64_t* roffs, const int64_t* tposs,
+    int32_t k,
+    const uint8_t* text, int64_t text_len,
+    const int64_t* hap_starts, int64_t n_haps,
+    int32_t match, int32_t mismatch, int32_t gap_open, int32_t gap_extend,
+    int32_t bonus, int64_t max_link_len, int64_t max_tail,
+    int32_t tail_band,
+    double lm_base, double lm_per_base, double lm_cap,
+    double lg_base, double lg_per_base, double lg_cap,
+    int64_t max_cells,
+    int32_t* out_score, int64_t* out_matches,
+    int64_t* out_read_start, int64_t* out_read_end,
+    int64_t* out_t0, int64_t* out_t1, uint8_t* out_ok,
+    int32_t* runs, int64_t runs_cap, int64_t* runs_off) {
+    using namespace lrstitch;
+    Params p{match, mismatch, gap_open, gap_extend, bonus, k, tail_band,
+             max_link_len, max_tail, max_cells,
+             lm_base, lm_per_base, lm_cap, lg_base, lg_per_base, lg_cap};
+
+    // per-chain best-segment runs, assembled in parallel then laid out
+    std::vector<std::vector<Run>> chain_runs(n_chains);
+    std::vector<int8_t> chain_ok(n_chains, 0);
+
+#pragma omp parallel
+    {
+        Scratch sc;
+        std::vector<uint8_t> rcbuf;
+#pragma omp for schedule(dynamic)
+        for (int64_t ci = 0; ci < n_chains; ci++) {
+            int64_t ri = chain_read[ci];
+            const uint8_t* fwd = codes_blob + read_off[ri];
+            int64_t L = read_off[ri + 1] - read_off[ri];
+            const uint8_t* oriented = fwd;
+            if (chain_rev[ci]) {
+                rcbuf.resize(L);
+                for (int64_t q = 0; q < L; q++) {
+                    uint8_t c = fwd[L - 1 - q];
+                    rcbuf[q] = c < 4 ? 3 - c : c;
+                }
+                oriented = rcbuf.data();
+            }
+            int64_t a0 = anc_off[ci], a1 = anc_off[ci + 1];
+            if (a1 <= a0) continue;
+            // merge anchors into blocks
+            std::vector<Block> blocks;
+            for (int64_t ai = a0; ai < a1; ai++) {
+                int64_t r = roffs[ai], t = tposs[ai];
+                if (!blocks.empty()) {
+                    Block& b = blocks.back();
+                    if (t - b.t == r - b.r && r <= b.r + b.l) {
+                        b.l = std::max(b.l, r - b.r + k);
+                        continue;
+                    }
+                    if (r < b.r + b.l || t < b.t + b.l) {
+                        int64_t trim = std::max(b.r + b.l - r,
+                                                b.t + b.l - t);
+                        if (trim >= k) continue;
+                        blocks.push_back({r + trim, t + trim, k - trim});
+                        continue;
+                    }
+                }
+                blocks.push_back({r, t, (int64_t)k});
+            }
+            int64_t nb = (int64_t)blocks.size();
+            // links with haplotype-bound tracking
+            std::vector<LinkRes> links(std::max<int64_t>(nb - 1, 0));
+            int64_t hap = hap_of(hap_starts, n_haps, blocks[0].t);
+            int64_t lo_b = hap_starts[hap], hi_b = hap_starts[hap + 1];
+            for (int64_t bi = 0; bi + 1 < nb; bi++) {
+                const Block& pb = blocks[bi];
+                const Block& nbk = blocks[bi + 1];
+                int64_t ra = pb.r + pb.l, ta = pb.t + pb.l;
+                if (nbk.r - ra <= p.max_link_len
+                    && nbk.t - ta <= p.max_link_len
+                    && ta >= lo_b && nbk.t <= hi_b) {
+                    align_link(oriented + ra, nbk.r - ra, text + ta,
+                               nbk.t - ta, ra, p, sc, links[bi]);
+                } else {
+                    hap = hap_of(hap_starts, n_haps, nbk.t);
+                    lo_b = hap_starts[hap];
+                    hi_b = hap_starts[hap + 1];
+                }
+            }
+            // segment at broken links; stitch each, keep best
+            int64_t best_score = INT64_MIN;
+            int64_t seg_start = 0;
+            std::vector<Run> best_runs;
+            int64_t best_matches = 0, best_rs = 0, best_re = 0,
+                    best_t0 = 0, best_t1 = 0;
+            for (int64_t seg_end = 0; seg_end < nb; seg_end++) {
+                bool last = seg_end + 1 >= nb || !links[seg_end].ok;
+                if (!last) continue;
+                // segment blocks [seg_start .. seg_end]
+                const Block& fb = blocks[seg_start];
+                int64_t shap = hap_of(hap_starts, n_haps, fb.t);
+                int64_t slo = hap_starts[shap], shi = hap_starts[shap + 1];
+                TailRes lt;
+                left_tail(oriented, fb.r, text, fb.t, slo, p, sc, lt);
+                int64_t score = 0, matches = 0;
+                RunVec rv;
+                int64_t read_start, t0_abs;
+                if (lt.ok) {
+                    score += lt.score;
+                    matches += lt.matches;
+                    for (auto& r : lt.runs) rv.add(r.op, r.len, r.rpos);
+                    read_start = lt.read_lo;
+                    t0_abs = lt.text_lo;
+                } else {
+                    read_start = fb.r;
+                    t0_abs = fb.t;
+                }
+                int64_t cur_r = fb.r, cur_t = fb.t;
+                for (int64_t bi = seg_start; bi <= seg_end; bi++) {
+                    if (bi > seg_start) {
+                        LinkRes& lk = links[bi - 1];
+                        score += lk.score;
+                        matches += lk.matches;
+                        for (auto& r : lk.runs) rv.add(r.op, r.len, r.rpos);
+                    }
+                    rv.add(0, blocks[bi].l, blocks[bi].r);
+                    matches += blocks[bi].l;
+                    score += blocks[bi].l * p.match;
+                    cur_r = blocks[bi].r + blocks[bi].l;
+                    cur_t = blocks[bi].t + blocks[bi].l;
+                }
+                TailRes rt;
+                right_tail(oriented, L, cur_r, text, cur_t, shi, p, sc, rt);
+                int64_t read_end, t1_abs;
+                if (rt.ok) {
+                    score += rt.score;
+                    matches += rt.matches;
+                    for (auto& r : rt.runs) rv.add(r.op, r.len, r.rpos);
+                    read_end = rt.read_hi;
+                    t1_abs = rt.text_hi;
+                } else {
+                    read_end = cur_r;
+                    t1_abs = cur_t;
+                }
+                if (read_start == 0) score += p.bonus;
+                if (read_end == L) score += p.bonus;
+                if (score > best_score) {
+                    best_score = score;
+                    best_runs = std::move(rv.v);
+                    best_matches = matches;
+                    best_rs = read_start;
+                    best_re = read_end;
+                    best_t0 = t0_abs;
+                    best_t1 = t1_abs;
+                }
+                seg_start = seg_end + 1;
+            }
+            if (best_score > INT64_MIN) {
+                chain_ok[ci] = 1;
+                out_score[ci] = (int32_t)best_score;
+                out_matches[ci] = best_matches;
+                out_read_start[ci] = best_rs;
+                out_read_end[ci] = best_re;
+                out_t0[ci] = best_t0;
+                out_t1[ci] = best_t1;
+                chain_runs[ci] = std::move(best_runs);
+            }
+        }
+    }
+    // serial layout of runs
+    int64_t pos = 0;
+    for (int64_t ci = 0; ci < n_chains; ci++) {
+        runs_off[ci] = pos;
+        out_ok[ci] = chain_ok[ci];
+        if (!chain_ok[ci]) continue;
+        if (pos + (int64_t)chain_runs[ci].size() > runs_cap) return -1;
+        for (auto& r : chain_runs[ci]) {
+            runs[pos * 3] = r.op;
+            runs[pos * 3 + 1] = (int32_t)r.len;
+            runs[pos * 3 + 2] = (int32_t)r.rpos;
+            pos++;
+        }
+    }
+    runs_off[n_chains] = pos;
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Run-based GAM encoder: like emit_gapless_gam but edits come as merged
+// (op, len, oriented_read_pos) runs (op 0=M 1=X 2=I 3=D), so indel-bearing
+// winners (long reads, short-read wide-band retries) encode natively too.
+// Soft clips are synthesized from read_start/read_end. Reverse-strand
+// paths are built in forward text space then flipped (vg
+// reverse_complement_path semantics, src/path.cpp) — edit sequences come
+// straight out of the original-strand ASCII read because the flipped
+// slice of the oriented read IS an original-strand substring.
+
+namespace runsgam {
+
+struct ERec { int64_t from_len, to_len, rpos; bool has_seq; };
+struct MRec {
+    int64_t handle, off, nlen;
+    std::vector<ERec> edits;
+};
+
+}  // namespace runsgam
+
+extern "C" {
+
+int64_t emit_runs_gam(
+    int64_t N,
+    const int64_t* t0s, const uint8_t* revs,
+    const int32_t* mapqs, const int32_t* scores, const int64_t* matches,
+    const int64_t* read_starts, const int64_t* read_ends,
+    const int64_t* name_off, const uint8_t* names,
+    const int64_t* read_off, const uint8_t* reads,
+    const int64_t* qual_off, const uint8_t* quals,
+    const int32_t* runs, const int64_t* runs_off,
+    const int64_t* step_text_pos, const int64_t* steps, int64_t n_steps,
+    const int64_t* node_id, const int64_t* seq_start,
+    const int32_t* ref_path, const int64_t* ref_off, const uint8_t* ref_rev,
+    const int64_t* refname_off, const uint8_t* refnames,
+    uint8_t* out, int64_t out_cap, int64_t* rec_off) {
+    using namespace runsgam;
+    int64_t pos = 0;
+    std::vector<MRec> maps;
+    std::vector<uint8_t> mapbuf, pathbuf, tmp;
+    for (int64_t i = 0; i < N; i++) {
+        rec_off[i] = pos;
+        const int64_t L = read_off[i + 1] - read_off[i];
+        const int64_t t0 = t0s[i];
+        const bool rev = revs[i];
+        const uint8_t* rd = reads + read_off[i];
+        const int64_t r_lo = read_starts[i], r_hi = read_ends[i];
+
+        // ---- build forward-space mappings
+        maps.clear();
+        int64_t lo = 0, hi = n_steps;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) / 2;
+            if (step_text_pos[mid + 1] > t0) hi = mid; else lo = mid + 1;
+        }
+        int64_t si = lo, piece_left = 0, cur_t = t0;
+        auto ensure_mapping = [&]() {
+            if (piece_left == 0) {
+                while (step_text_pos[si + 1] <= cur_t) si++;
+                int64_t h = steps[si];
+                int64_t nlen = seq_start[(h >> 1) + 1] - seq_start[h >> 1];
+                maps.push_back({h, cur_t - step_text_pos[si], nlen, {}});
+                piece_left = step_text_pos[si + 1] - cur_t;
+            }
+        };
+        ensure_mapping();
+        if (r_lo > 0)   // leading soft clip on the first mapping
+            maps.back().edits.push_back({0, r_lo, 0, true});
+        const int64_t rn0 = runs_off[i], rn1 = runs_off[i + 1];
+        for (int64_t r = rn0; r < rn1; r++) {
+            int32_t op = runs[r * 3];
+            int64_t len = runs[r * 3 + 1];
+            int64_t rp = runs[r * 3 + 2];
+            if (op == 2) {  // insertion: attach to current mapping
+                maps.back().edits.push_back({0, len, rp, true});
+                continue;
+            }
+            // text-consuming runs split at node boundaries
+            int64_t left = len;
+            while (left > 0) {
+                ensure_mapping();
+                int64_t take = std::min(left, piece_left);
+                if (op == 0)
+                    maps.back().edits.push_back({take, take, rp, false});
+                else if (op == 1)
+                    maps.back().edits.push_back({take, take, rp, true});
+                else
+                    maps.back().edits.push_back({take, 0, rp, false});
+                piece_left -= take;
+                cur_t += take;
+                left -= take;
+                if (op != 3) rp += take;
+            }
+        }
+        if (r_hi < L)   // trailing soft clip on the last mapping
+            maps.back().edits.push_back({0, L - r_hi, r_hi, true});
+
+        // ---- merge adjacent same-kind M edits within each mapping
+        for (auto& m : maps) {
+            size_t w = 0;
+            for (size_t e = 0; e < m.edits.size(); e++) {
+                ERec& cur = m.edits[e];
+                if (w > 0) {
+                    ERec& prv = m.edits[w - 1];
+                    bool both_m = !prv.has_seq && !cur.has_seq
+                        && prv.from_len == prv.to_len
+                        && cur.from_len == cur.to_len;
+                    if (both_m) {
+                        prv.from_len += cur.from_len;
+                        prv.to_len += cur.to_len;
+                        continue;
+                    }
+                }
+                m.edits[w++] = cur;
+            }
+            m.edits.resize(w);
+        }
+
+        // ---- serialize (flip on the fly when rev)
+        pathbuf.clear();
+        const int64_t n_maps = (int64_t)maps.size();
+        for (int64_t mi = 0; mi < n_maps; mi++) {
+            const MRec& m = maps[rev ? n_maps - 1 - mi : mi];
+            int64_t from_total = 0;
+            for (const auto& e : m.edits) from_total += e.from_len;
+            int64_t h = m.handle;
+            bool mrev = (h & 1) != 0;
+            int64_t off = m.off;
+            if (rev) { mrev = !mrev; off = m.nlen - off - from_total; }
+            mapbuf.clear();
+            tmp.clear();
+            tmp.resize(64);
+            int64_t tp = 0;
+            tp = put_tag(tmp.data(), tp, 1, 0);
+            tp = put_varint(tmp.data(), tp, (uint64_t)node_id[h >> 1]);
+            if (off) {
+                tp = put_tag(tmp.data(), tp, 2, 0);
+                tp = put_varint(tmp.data(), tp, (uint64_t)off);
+            }
+            if (mrev) {
+                tp = put_tag(tmp.data(), tp, 4, 0);
+                tmp[tp++] = 1;
+            }
+            mapbuf.push_back((1 << 3) | 2);
+            {
+                uint8_t vb[10];
+                int64_t vp = put_varint(vb, 0, (uint64_t)tp);
+                mapbuf.insert(mapbuf.end(), vb, vb + vp);
+            }
+            mapbuf.insert(mapbuf.end(), tmp.data(), tmp.data() + tp);
+            const int64_t ne = (int64_t)m.edits.size();
+            for (int64_t ei = 0; ei < ne; ei++) {
+                const ERec& e = m.edits[rev ? ne - 1 - ei : ei];
+                tmp.clear();
+                tmp.resize(40 + (e.has_seq ? e.to_len : 0));
+                int64_t ep = 0;
+                if (e.from_len) {
+                    ep = put_tag(tmp.data(), ep, 1, 0);
+                    ep = put_varint(tmp.data(), ep, (uint64_t)e.from_len);
+                }
+                if (e.to_len) {
+                    ep = put_tag(tmp.data(), ep, 2, 0);
+                    ep = put_varint(tmp.data(), ep, (uint64_t)e.to_len);
+                }
+                if (e.has_seq && e.to_len) {
+                    ep = put_tag(tmp.data(), ep, 3, 2);
+                    ep = put_varint(tmp.data(), ep, (uint64_t)e.to_len);
+                    // oriented slice [rpos, rpos+to_len) = original-strand
+                    // slice (mirrored when rev)
+                    int64_t o0 = rev ? (L - e.rpos - e.to_len) : e.rpos;
+                    for (int64_t q = 0; q < e.to_len; q++)
+                        tmp[ep++] = rd[o0 + q];
+                }
+                mapbuf.push_back((2 << 3) | 2);
+                {
+                    uint8_t vb[10];
+                    int64_t vp = put_varint(vb, 0, (uint64_t)ep);
+                    mapbuf.insert(mapbuf.end(), vb, vb + vp);
+                }
+                mapbuf.insert(mapbuf.end(), tmp.data(), tmp.data() + ep);
+            }
+            {
+                uint8_t vb[16];
+                int64_t vp = 0;
+                vp = put_tag(vb, vp, 5, 0);
+                vp = put_varint(vb, vp, (uint64_t)(mi + 1));
+                mapbuf.insert(mapbuf.end(), vb, vb + vp);
+            }
+            pathbuf.push_back((2 << 3) | 2);
+            {
+                uint8_t vb[10];
+                int64_t vp = put_varint(vb, 0, (uint64_t)mapbuf.size());
+                pathbuf.insert(pathbuf.end(), vb, vb + vp);
+            }
+            pathbuf.insert(pathbuf.end(), mapbuf.begin(), mapbuf.end());
+        }
+
+        // ---- assemble Alignment (same field layout as emit_gapless_gam)
+        const int64_t name_len = name_off[i + 1] - name_off[i];
+        tmp.clear();
+        if (ref_path[i] >= 0) {
+            const int64_t f0 = refname_off[ref_path[i]];
+            const int64_t f1 = refname_off[ref_path[i] + 1];
+            tmp.resize(32 + (f1 - f0));
+            int64_t rp = 0;
+            if (ref_off[i]) {
+                rp = put_tag(tmp.data(), rp, 2, 0);
+                rp = put_varint(tmp.data(), rp, (uint64_t)ref_off[i]);
+            }
+            if (ref_rev[i]) {
+                rp = put_tag(tmp.data(), rp, 4, 0);
+                tmp[rp++] = 1;
+            }
+            rp = put_tag(tmp.data(), rp, 5, 2);
+            rp = put_varint(tmp.data(), rp, (uint64_t)(f1 - f0));
+            for (int64_t q = f0; q < f1; q++) tmp[rp++] = refnames[q];
+            tmp.resize(rp);
+        }
+        const int64_t qual_len = qual_off[i + 1] - qual_off[i];
+        int64_t need = 1 + varint_size(L) + L
+                     + (qual_len ? 12 + qual_len : 0)
+                     + 1 + varint_size(pathbuf.size()) + pathbuf.size()
+                     + 1 + varint_size(name_len) + name_len
+                     + 12 + 12
+                     + (tmp.empty() ? 0
+                        : (2 + varint_size(tmp.size()) + (int64_t)tmp.size()))
+                     + 10;
+        if (pos + need + 16 > out_cap) return -1;
+        pos = put_tag(out, pos, 1, 2);
+        pos = put_varint(out, pos, (uint64_t)L);
+        memcpy(out + pos, rd, L);
+        pos += L;
+        pos = put_tag(out, pos, 2, 2);
+        pos = put_varint(out, pos, (uint64_t)pathbuf.size());
+        memcpy(out + pos, pathbuf.data(), pathbuf.size());
+        pos += pathbuf.size();
+        if (name_len) {
+            pos = put_tag(out, pos, 3, 2);
+            pos = put_varint(out, pos, (uint64_t)name_len);
+            memcpy(out + pos, names + name_off[i], name_len);
+            pos += name_len;
+        }
+        if (qual_len) {
+            pos = put_tag(out, pos, 4, 2);
+            pos = put_varint(out, pos, (uint64_t)qual_len);
+            memcpy(out + pos, quals + qual_off[i], qual_len);
+            pos += qual_len;
+        }
+        if (mapqs[i]) {
+            pos = put_tag(out, pos, 5, 0);
+            pos = put_varint(out, pos, (uint64_t)mapqs[i]);
+        }
+        if (scores[i]) {
+            pos = put_tag(out, pos, 6, 0);
+            pos = put_varint(out, pos, (uint64_t)scores[i]);
+        }
+        {
+            double ident = L ? (double)matches[i] / (double)L : 0.0;
+            pos = put_tag(out, pos, 16, 1);
+            memcpy(out + pos, &ident, 8);
+            pos += 8;
+        }
+        if (!tmp.empty()) {
+            pos = put_tag(out, pos, 19, 2);
+            pos = put_varint(out, pos, (uint64_t)tmp.size());
+            memcpy(out + pos, tmp.data(), tmp.size());
+            pos += (int64_t)tmp.size();
+        }
+        rec_off[i + 1] = pos;
+    }
+    rec_off[N] = pos;
+    return 0;
+}
+
+}  // extern "C"
