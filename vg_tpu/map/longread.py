@@ -495,53 +495,34 @@ class LongReadMapper:
         return self._finish(read, codes, codes_rc, results)
 
     def _native_batch(self, reads: Sequence[Read]):
-        """Anchors+chains per read (numpy), ONE native stitch call over
-        all chains (OpenMP across reads). Returns (codes_list, rc_list,
-        per_read) where per_read[ri] is a list of dicts per stitched
-        chain, or None when the native lib is absent."""
-        from ..native import lib as native_lib, native_longread_stitch
+        """ONE fused native call (minimizer anchors -> chain DP -> greedy
+        chains -> stitch, OpenMP across reads). Returns (codes_list,
+        rc_list, per_read) where per_read[ri] is a list of dicts per
+        stitched chain, or None when the native lib is absent."""
+        from types import SimpleNamespace
 
-        if native_lib() is None:
-            return None
+        from ..native import native_longread_map_batch
+
         p = self.params
         codes_list = [dna.encode(r.sequence) for r in reads]
-        rc_list = [dna.revcomp_codes(c) for c in codes_list]
-        per_read_chains: List[List[Chain]] = [
-            self._read_chains(c) for c in codes_list]
-        chain_read: List[int] = []
-        chain_rev: List[bool] = []
-        anc_off = [0]
-        roffs: List[np.ndarray] = []
-        tposs: List[np.ndarray] = []
-        for ri, chains in enumerate(per_read_chains):
-            for ch in chains:
-                chain_read.append(ri)
-                chain_rev.append(ch.is_rev)
-                roffs.append(np.asarray(ch.roff, np.int64))
-                tposs.append(np.asarray(ch.tpos, np.int64))
-                anc_off.append(anc_off[-1] + len(ch.roff))
-        per_read: List[List[dict]] = [[] for _ in reads]
-        if not chain_read:
-            return codes_list, rc_list, per_read
-        st = native_longread_stitch(
-            codes_list, chain_read, chain_rev,
-            np.concatenate(roffs), np.concatenate(tposs),
-            anc_off, self.index.k, self.haps.text, self.haps.text_start,
-            self.scoring, p)
+        st = native_longread_map_batch(
+            codes_list, self.index, p, p.chain, self.haps.text,
+            self.haps.text_start, self.scoring)
         if st is None:
             return None
-        ok, score, matches, rs, re_, t0, t1, runs, runs_off = st
-        ci = 0
-        for ri, chains in enumerate(per_read_chains):
-            for ch in chains:
-                if ok[ci]:
-                    per_read[ri].append(dict(
-                        chain=ch, score=int(score[ci]),
-                        matches=int(matches[ci]), read_start=int(rs[ci]),
-                        read_end=int(re_[ci]), t0=int(t0[ci]),
-                        t1=int(t1[ci]),
-                        runs=runs[int(runs_off[ci]) : int(runs_off[ci + 1])]))
-                ci += 1
+        rc_list = [dna.revcomp_codes(c) for c in codes_list]
+        n_out, rev, score, matches, rs, re_, t0, t1, runs, runs_off = st
+        C = p.chain.max_chains
+        per_read: List[List[dict]] = [[] for _ in reads]
+        for ri in range(len(reads)):
+            for s in range(int(n_out[ri])):
+                si = ri * C + s
+                per_read[ri].append(dict(
+                    chain=SimpleNamespace(is_rev=bool(rev[si])),
+                    score=int(score[si]), matches=int(matches[si]),
+                    read_start=int(rs[si]), read_end=int(re_[si]),
+                    t0=int(t0[si]), t1=int(t1[si]),
+                    runs=runs[int(runs_off[si]) : int(runs_off[si + 1])]))
         return codes_list, rc_list, per_read
 
     def map_batch(self, reads: Sequence[Read],

@@ -602,3 +602,93 @@ def native_emit_runs_gam(arrs, out_cap: int = 0):
         if rc == 0:
             return out, rec_off
         out_cap *= 2
+
+
+def native_longread_map_batch(codes_list, index, lr_params, chain_params,
+                              text, hap_starts, scoring,
+                              max_cells: int = 4_000_000,
+                              chain_frac: float = 0.7):
+    """Fused long-read mapping in C++: minimizer anchors -> chain DP ->
+    greedy chains -> stitch, OpenMP over reads. Returns
+    (n_out, rev, score, matches, read_start, read_end, t0, t1, runs,
+    runs_off) with max_chains slots per read, or None when absent."""
+    import ctypes
+
+    L_ = lib()
+    if L_ is None:
+        return None
+    if not hasattr(L_, "_lrm_registered"):
+        L_.longread_map_batch.restype = ctypes.c_int64
+        L_.longread_map_batch.argtypes = (
+            [ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+            + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+               ctypes.c_void_p, ctypes.c_void_p]
+            + [ctypes.c_int32] * 2
+            + [ctypes.c_int32] * 3
+            + [ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+               ctypes.c_double, ctypes.c_double, ctypes.c_double,
+               ctypes.c_int32, ctypes.c_double]
+            + [ctypes.c_void_p, ctypes.c_int64,
+               ctypes.c_void_p, ctypes.c_int64]
+            + [ctypes.c_int32] * 5
+            + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int32]
+            + [ctypes.c_double] * 6
+            + [ctypes.c_int64]
+            + [ctypes.c_void_p] * 8
+            + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p])
+        L_._lrm_registered = True
+    n_reads = len(codes_list)
+    read_off = np.zeros(n_reads + 1, np.int64)
+    np.cumsum([len(c) for c in codes_list], out=read_off[1:])
+    blob = (np.concatenate(codes_list) if n_reads else
+            np.zeros(1, np.uint8)).astype(np.uint8)
+    keys = np.ascontiguousarray(index.keys, np.uint64)
+    offsets = np.ascontiguousarray(index.offsets, np.int64)
+    pos_text = np.ascontiguousarray(index.pos_text, np.int64)
+    pos_rev = np.ascontiguousarray(index.pos_rev, np.uint8)
+    text = np.ascontiguousarray(text, np.uint8)
+    hap_starts = np.ascontiguousarray(hap_starts, np.int64)
+    C = chain_params.max_chains
+    total = n_reads * C
+    n_out = np.zeros(n_reads, np.int32)
+    rev = np.zeros(total, np.uint8)
+    score = np.zeros(total, np.int32)
+    matches = np.zeros(total, np.int64)
+    rs = np.zeros(total, np.int64)
+    re_ = np.zeros(total, np.int64)
+    t0 = np.zeros(total, np.int64)
+    t1 = np.zeros(total, np.int64)
+    cap = int(read_off[-1]) // 2 + 64 * max(total, 1)
+    while True:
+        runs = np.zeros((cap, 3), np.int32)
+        runs_off = np.zeros(total + 1, np.int64)
+        rc = L_.longread_map_batch(
+            n_reads, read_off.ctypes.data, blob.ctypes.data,
+            keys.ctypes.data, offsets.ctypes.data, len(keys),
+            pos_text.ctypes.data, pos_rev.ctypes.data,
+            index.k, index.w,
+            lr_params.hard_hit_cap, lr_params.max_seeds_per_window,
+            lr_params.downsample_window,
+            chain_params.lookback_cands, chain_params.max_lookback,
+            chain_params.max_indel, chain_params.gap_scale,
+            chain_params.gap_open, chain_params.min_chain_score,
+            C, chain_frac,
+            text.ctypes.data, len(text),
+            hap_starts.ctypes.data, len(hap_starts) - 1,
+            scoring.match, scoring.mismatch, scoring.gap_open,
+            scoring.gap_extend, scoring.full_length_bonus,
+            lr_params.max_link_len, lr_params.max_tail,
+            lr_params.tail_band,
+            lr_params.link_mismatch_base, lr_params.link_mismatch_per_base,
+            float(lr_params.link_mismatch_cap),
+            lr_params.link_gap_base, lr_params.link_gap_per_base,
+            float(lr_params.link_gap_cap),
+            max_cells,
+            n_out.ctypes.data, rev.ctypes.data, score.ctypes.data,
+            matches.ctypes.data, rs.ctypes.data, re_.ctypes.data,
+            t0.ctypes.data, t1.ctypes.data,
+            runs.ctypes.data, cap, runs_off.ctypes.data)
+        if rc == 0:
+            return (n_out, rev, score, matches, rs, re_, t0, t1,
+                    runs, runs_off)
+        cap *= 2

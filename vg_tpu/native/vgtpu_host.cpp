@@ -11,6 +11,7 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#include <cmath>
 
 namespace {
 
@@ -1287,6 +1288,129 @@ void right_tail(const uint8_t* oriented, int64_t L, int64_t cur_r,
 
 struct Block { int64_t r, t, l; };
 
+struct ChainResult {
+    bool ok = false;
+    int64_t score = 0, matches = 0, read_start = 0, read_end = 0;
+    int64_t t0 = 0, t1 = 0;
+    std::vector<Run> runs;
+};
+
+// merge anchors -> blocks -> links -> segments -> best segment (the whole
+// per-chain stitch; shared by longread_stitch_batch and the fused
+// longread_map_batch)
+void stitch_chain(const uint8_t* oriented, int64_t L,
+                  const int64_t* roffs, const int64_t* tposs, int64_t na,
+                  const uint8_t* text, const int64_t* hap_starts,
+                  int64_t n_haps, const Params& p, Scratch& sc,
+                  ChainResult& out) {
+    out.ok = false;
+    if (na <= 0) return;
+    const int64_t k = p.k;
+    std::vector<Block> blocks;
+    for (int64_t ai = 0; ai < na; ai++) {
+        int64_t r = roffs[ai], t = tposs[ai];
+        if (!blocks.empty()) {
+            Block& b = blocks.back();
+            if (t - b.t == r - b.r && r <= b.r + b.l) {
+                b.l = std::max(b.l, r - b.r + k);
+                continue;
+            }
+            if (r < b.r + b.l || t < b.t + b.l) {
+                int64_t trim = std::max(b.r + b.l - r, b.t + b.l - t);
+                if (trim >= k) continue;
+                blocks.push_back({r + trim, t + trim, k - trim});
+                continue;
+            }
+        }
+        blocks.push_back({r, t, k});
+    }
+    int64_t nb = (int64_t)blocks.size();
+    std::vector<LinkRes> links(std::max<int64_t>(nb - 1, 0));
+    int64_t hap = hap_of(hap_starts, n_haps, blocks[0].t);
+    int64_t lo_b = hap_starts[hap], hi_b = hap_starts[hap + 1];
+    for (int64_t bi = 0; bi + 1 < nb; bi++) {
+        const Block& pb = blocks[bi];
+        const Block& nbk = blocks[bi + 1];
+        int64_t ra = pb.r + pb.l, ta = pb.t + pb.l;
+        if (nbk.r - ra <= p.max_link_len && nbk.t - ta <= p.max_link_len
+            && ta >= lo_b && nbk.t <= hi_b) {
+            align_link(oriented + ra, nbk.r - ra, text + ta, nbk.t - ta,
+                       ra, p, sc, links[bi]);
+        } else {
+            hap = hap_of(hap_starts, n_haps, nbk.t);
+            lo_b = hap_starts[hap];
+            hi_b = hap_starts[hap + 1];
+        }
+    }
+    int64_t best_score = INT64_MIN;
+    int64_t seg_start = 0;
+    for (int64_t seg_end = 0; seg_end < nb; seg_end++) {
+        bool last = seg_end + 1 >= nb || !links[seg_end].ok;
+        if (!last) continue;
+        const Block& fb = blocks[seg_start];
+        int64_t shap = hap_of(hap_starts, n_haps, fb.t);
+        int64_t slo = hap_starts[shap], shi = hap_starts[shap + 1];
+        TailRes lt;
+        left_tail(oriented, fb.r, text, fb.t, slo, p, sc, lt);
+        int64_t score = 0, matches = 0;
+        RunVec rv;
+        int64_t read_start, t0_abs;
+        if (lt.ok) {
+            score += lt.score;
+            matches += lt.matches;
+            for (auto& r : lt.runs) rv.add(r.op, r.len, r.rpos);
+            read_start = lt.read_lo;
+            t0_abs = lt.text_lo;
+        } else {
+            read_start = fb.r;
+            t0_abs = fb.t;
+        }
+        int64_t cur_r = fb.r, cur_t = fb.t;
+        for (int64_t bi = seg_start; bi <= seg_end; bi++) {
+            if (bi > seg_start) {
+                LinkRes& lk = links[bi - 1];
+                score += lk.score;
+                matches += lk.matches;
+                for (auto& r : lk.runs) rv.add(r.op, r.len, r.rpos);
+            }
+            rv.add(0, blocks[bi].l, blocks[bi].r);
+            matches += blocks[bi].l;
+            score += blocks[bi].l * p.match;
+            cur_r = blocks[bi].r + blocks[bi].l;
+            cur_t = blocks[bi].t + blocks[bi].l;
+        }
+        TailRes rt;
+        right_tail(oriented, L, cur_r, text, cur_t, shi, p, sc, rt);
+        int64_t read_end, t1_abs;
+        if (rt.ok) {
+            score += rt.score;
+            matches += rt.matches;
+            for (auto& r : rt.runs) rv.add(r.op, r.len, r.rpos);
+            read_end = rt.read_hi;
+            t1_abs = rt.text_hi;
+        } else {
+            read_end = cur_r;
+            t1_abs = cur_t;
+        }
+        if (read_start == 0) score += p.bonus;
+        if (read_end == L) score += p.bonus;
+        if (score > best_score) {
+            best_score = score;
+            out.runs = std::move(rv.v);
+            out.matches = matches;
+            out.read_start = read_start;
+            out.read_end = read_end;
+            out.t0 = t0_abs;
+            out.t1 = t1_abs;
+        }
+        seg_start = seg_end + 1;
+    }
+    if (best_score > INT64_MIN) {
+        out.ok = true;
+        out.score = best_score;
+    }
+}
+
 }  // namespace lrstitch
 
 extern "C" {
@@ -1338,123 +1462,18 @@ int64_t longread_stitch_batch(
             }
             int64_t a0 = anc_off[ci], a1 = anc_off[ci + 1];
             if (a1 <= a0) continue;
-            // merge anchors into blocks
-            std::vector<Block> blocks;
-            for (int64_t ai = a0; ai < a1; ai++) {
-                int64_t r = roffs[ai], t = tposs[ai];
-                if (!blocks.empty()) {
-                    Block& b = blocks.back();
-                    if (t - b.t == r - b.r && r <= b.r + b.l) {
-                        b.l = std::max(b.l, r - b.r + k);
-                        continue;
-                    }
-                    if (r < b.r + b.l || t < b.t + b.l) {
-                        int64_t trim = std::max(b.r + b.l - r,
-                                                b.t + b.l - t);
-                        if (trim >= k) continue;
-                        blocks.push_back({r + trim, t + trim, k - trim});
-                        continue;
-                    }
-                }
-                blocks.push_back({r, t, (int64_t)k});
-            }
-            int64_t nb = (int64_t)blocks.size();
-            // links with haplotype-bound tracking
-            std::vector<LinkRes> links(std::max<int64_t>(nb - 1, 0));
-            int64_t hap = hap_of(hap_starts, n_haps, blocks[0].t);
-            int64_t lo_b = hap_starts[hap], hi_b = hap_starts[hap + 1];
-            for (int64_t bi = 0; bi + 1 < nb; bi++) {
-                const Block& pb = blocks[bi];
-                const Block& nbk = blocks[bi + 1];
-                int64_t ra = pb.r + pb.l, ta = pb.t + pb.l;
-                if (nbk.r - ra <= p.max_link_len
-                    && nbk.t - ta <= p.max_link_len
-                    && ta >= lo_b && nbk.t <= hi_b) {
-                    align_link(oriented + ra, nbk.r - ra, text + ta,
-                               nbk.t - ta, ra, p, sc, links[bi]);
-                } else {
-                    hap = hap_of(hap_starts, n_haps, nbk.t);
-                    lo_b = hap_starts[hap];
-                    hi_b = hap_starts[hap + 1];
-                }
-            }
-            // segment at broken links; stitch each, keep best
-            int64_t best_score = INT64_MIN;
-            int64_t seg_start = 0;
-            std::vector<Run> best_runs;
-            int64_t best_matches = 0, best_rs = 0, best_re = 0,
-                    best_t0 = 0, best_t1 = 0;
-            for (int64_t seg_end = 0; seg_end < nb; seg_end++) {
-                bool last = seg_end + 1 >= nb || !links[seg_end].ok;
-                if (!last) continue;
-                // segment blocks [seg_start .. seg_end]
-                const Block& fb = blocks[seg_start];
-                int64_t shap = hap_of(hap_starts, n_haps, fb.t);
-                int64_t slo = hap_starts[shap], shi = hap_starts[shap + 1];
-                TailRes lt;
-                left_tail(oriented, fb.r, text, fb.t, slo, p, sc, lt);
-                int64_t score = 0, matches = 0;
-                RunVec rv;
-                int64_t read_start, t0_abs;
-                if (lt.ok) {
-                    score += lt.score;
-                    matches += lt.matches;
-                    for (auto& r : lt.runs) rv.add(r.op, r.len, r.rpos);
-                    read_start = lt.read_lo;
-                    t0_abs = lt.text_lo;
-                } else {
-                    read_start = fb.r;
-                    t0_abs = fb.t;
-                }
-                int64_t cur_r = fb.r, cur_t = fb.t;
-                for (int64_t bi = seg_start; bi <= seg_end; bi++) {
-                    if (bi > seg_start) {
-                        LinkRes& lk = links[bi - 1];
-                        score += lk.score;
-                        matches += lk.matches;
-                        for (auto& r : lk.runs) rv.add(r.op, r.len, r.rpos);
-                    }
-                    rv.add(0, blocks[bi].l, blocks[bi].r);
-                    matches += blocks[bi].l;
-                    score += blocks[bi].l * p.match;
-                    cur_r = blocks[bi].r + blocks[bi].l;
-                    cur_t = blocks[bi].t + blocks[bi].l;
-                }
-                TailRes rt;
-                right_tail(oriented, L, cur_r, text, cur_t, shi, p, sc, rt);
-                int64_t read_end, t1_abs;
-                if (rt.ok) {
-                    score += rt.score;
-                    matches += rt.matches;
-                    for (auto& r : rt.runs) rv.add(r.op, r.len, r.rpos);
-                    read_end = rt.read_hi;
-                    t1_abs = rt.text_hi;
-                } else {
-                    read_end = cur_r;
-                    t1_abs = cur_t;
-                }
-                if (read_start == 0) score += p.bonus;
-                if (read_end == L) score += p.bonus;
-                if (score > best_score) {
-                    best_score = score;
-                    best_runs = std::move(rv.v);
-                    best_matches = matches;
-                    best_rs = read_start;
-                    best_re = read_end;
-                    best_t0 = t0_abs;
-                    best_t1 = t1_abs;
-                }
-                seg_start = seg_end + 1;
-            }
-            if (best_score > INT64_MIN) {
+            ChainResult cr;
+            stitch_chain(oriented, L, roffs + a0, tposs + a0, a1 - a0,
+                         text, hap_starts, n_haps, p, sc, cr);
+            if (cr.ok) {
                 chain_ok[ci] = 1;
-                out_score[ci] = (int32_t)best_score;
-                out_matches[ci] = best_matches;
-                out_read_start[ci] = best_rs;
-                out_read_end[ci] = best_re;
-                out_t0[ci] = best_t0;
-                out_t1[ci] = best_t1;
-                chain_runs[ci] = std::move(best_runs);
+                out_score[ci] = (int32_t)cr.score;
+                out_matches[ci] = cr.matches;
+                out_read_start[ci] = cr.read_start;
+                out_read_end[ci] = cr.read_end;
+                out_t0[ci] = cr.t0;
+                out_t1[ci] = cr.t1;
+                chain_runs[ci] = std::move(cr.runs);
             }
         }
     }
@@ -1749,6 +1768,250 @@ int64_t emit_runs_gam(
         rec_off[i + 1] = pos;
     }
     rec_off[N] = pos;
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused long-read mapping: minimizer anchors -> chain DP -> greedy chain
+// extraction -> stitch, all in one OpenMP pass over reads (the per-read
+// numpy call overhead of anchors/chains capped throughput at ~350/s).
+// Semantics mirror map/longread.py _anchors/_read_chains exactly.
+
+extern "C" {
+
+int64_t longread_map_batch(
+    int64_t n_reads, const int64_t* read_off, const uint8_t* codes_blob,
+    // minimizer index (sorted unique keys + hit ranges)
+    const uint64_t* idx_keys, const int64_t* idx_offsets, int64_t n_keys,
+    const int64_t* pos_text, const uint8_t* pos_rev,
+    int32_t k, int32_t w,
+    // anchor params
+    int32_t hard_hit_cap, int32_t max_seeds_per_window,
+    int32_t downsample_window,
+    // chain params
+    int32_t lookback_cands, int64_t max_lookback, int64_t max_indel,
+    double gap_scale, double chain_gap_open, double min_chain_score,
+    int32_t max_chains, double chain_frac,
+    // text / stitch params
+    const uint8_t* text, int64_t text_len,
+    const int64_t* hap_starts, int64_t n_haps,
+    int32_t match, int32_t mismatch, int32_t gap_open, int32_t gap_extend,
+    int32_t bonus, int64_t max_link_len, int64_t max_tail,
+    int32_t tail_band,
+    double lm_base, double lm_per_base, double lm_cap,
+    double lg_base, double lg_per_base, double lg_cap,
+    int64_t max_cells,
+    // outputs: up to max_chains records per read, laid out at
+    // read_i * max_chains + slot; n_out[read] = used slots
+    int32_t* n_out, uint8_t* out_rev, int32_t* out_score,
+    int64_t* out_matches, int64_t* out_read_start, int64_t* out_read_end,
+    int64_t* out_t0, int64_t* out_t1,
+    int32_t* runs, int64_t runs_cap, int64_t* runs_off) {
+    using namespace lrstitch;
+    Params p{match, mismatch, gap_open, gap_extend, bonus, k, tail_band,
+             max_link_len, max_tail, max_cells,
+             lm_base, lm_per_base, lm_cap, lg_base, lg_per_base, lg_cap};
+    const int64_t max_slots = (int64_t)max_chains;
+    std::vector<std::vector<Run>> slot_runs(n_reads * max_slots);
+
+#pragma omp parallel
+    {
+        Scratch sc;
+        std::vector<int64_t> offs;
+        std::vector<uint64_t> keys;
+        std::vector<uint8_t> crev;
+        std::vector<uint8_t> rcbuf;
+#pragma omp for schedule(dynamic)
+        for (int64_t ri = 0; ri < n_reads; ri++) {
+            n_out[ri] = 0;
+            const uint8_t* codes = codes_blob + read_off[ri];
+            const int64_t L = read_off[ri + 1] - read_off[ri];
+            if (L < k) continue;
+            const int64_t m = L - k + 1;
+            offs.resize(m); keys.resize(m); crev.resize(m);
+            int64_t nm = extract_minimizers(codes, L, k, w, offs.data(),
+                                            keys.data(), crev.data());
+            if (nm == 0) continue;
+            // lookup + hard cap
+            struct Min { int64_t off, hs, he, cnt; uint8_t cr; };
+            std::vector<Min> mins;
+            mins.reserve(nm);
+            for (int64_t i = 0; i < nm; i++) {
+                // lower_bound over sorted keys
+                int64_t lo = 0, hi = n_keys;
+                const uint64_t key = keys[i];
+                while (lo < hi) {
+                    int64_t mid = (lo + hi) / 2;
+                    if (idx_keys[mid] < key) lo = mid + 1; else hi = mid;
+                }
+                if (lo >= n_keys || idx_keys[lo] != key) continue;
+                int64_t hs = idx_offsets[lo], he = idx_offsets[lo + 1];
+                int64_t cnt = he - hs;
+                if (cnt <= 0 || cnt > hard_hit_cap) continue;
+                mins.push_back({offs[i], hs, he, cnt, crev[i]});
+            }
+            if (mins.empty()) continue;
+            // per-window downsample: keep the max_seeds_per_window
+            // lowest-count minimizers per window (stable by offset)
+            std::vector<int64_t> order(mins.size());
+            for (size_t i = 0; i < mins.size(); i++) order[i] = i;
+            std::stable_sort(order.begin(), order.end(),
+                [&](int64_t a, int64_t b) {
+                    int64_t wa = mins[a].off / downsample_window;
+                    int64_t wb = mins[b].off / downsample_window;
+                    if (wa != wb) return wa < wb;
+                    return mins[a].cnt < mins[b].cnt;
+                });
+            std::vector<uint8_t> keep(mins.size(), 0);
+            {
+                int64_t cur_w = -1, rank = 0;
+                for (int64_t oi : order) {
+                    int64_t ww = mins[oi].off / downsample_window;
+                    if (ww != cur_w) { cur_w = ww; rank = 0; }
+                    if (rank < max_seeds_per_window) keep[oi] = 1;
+                    rank++;
+                }
+            }
+            // expand anchors per strand
+            struct Anc { int64_t roff, tpos; double score; };
+            std::vector<Anc> anc[2];
+            const double logcap = std::log((double)hard_hit_cap);
+            for (size_t i = 0; i < mins.size(); i++) {
+                if (!keep[i]) continue;
+                const Min& mn = mins[i];
+                double sc_a = std::min(
+                    1.0 + logcap - std::log((double)std::max<int64_t>(
+                        mn.cnt, 1)), 10.0) + k * 0.5;
+                for (int64_t h = mn.hs; h < mn.he; h++) {
+                    bool strand = (pos_rev[h] != 0) != (mn.cr != 0);
+                    int64_t ro = strand ? (L - k - mn.off) : mn.off;
+                    anc[strand ? 1 : 0].push_back({ro, pos_text[h], sc_a});
+                }
+            }
+            // per strand: sort by (tpos, roff), chain DP, greedy extract
+            struct CRec {
+                double cscore; uint8_t rev;
+                std::vector<int64_t> ro, tp;
+            };
+            std::vector<CRec> chains;
+            for (int s = 0; s < 2; s++) {
+                auto& a = anc[s];
+                int64_t n = (int64_t)a.size();
+                if (!n) continue;
+                std::stable_sort(a.begin(), a.end(),
+                    [](const Anc& x, const Anc& y) {
+                        if (x.tpos != y.tpos) return x.tpos < y.tpos;
+                        return x.roff < y.roff;
+                    });
+                std::vector<int64_t> ro(n), tp(n), parent(n);
+                std::vector<double> as(n), f(n);
+                for (int64_t i = 0; i < n; i++) {
+                    ro[i] = a[i].roff; tp[i] = a[i].tpos; as[i] = a[i].score;
+                }
+                int32_t J = (int32_t)std::min<int64_t>(
+                    lookback_cands, std::max<int64_t>(n - 1, 1));
+                chain_anchors_dp(ro.data(), tp.data(), as.data(), n, J, k,
+                                 max_lookback, max_indel, gap_scale,
+                                 chain_gap_open, f.data(), parent.data());
+                // greedy non-overlapping extraction by descending score
+                std::vector<int64_t> tips(n);
+                for (int64_t i = 0; i < n; i++) tips[i] = i;
+                std::stable_sort(tips.begin(), tips.end(),
+                    [&](int64_t x, int64_t y) { return f[x] > f[y]; });
+                std::vector<uint8_t> used(n, 0);
+                int64_t got = 0;
+                for (int64_t tip : tips) {
+                    if (got >= max_chains) break;
+                    if (used[tip] || f[tip] < min_chain_score) continue;
+                    std::vector<int64_t> walk;
+                    int64_t i = tip;
+                    bool clean = true;
+                    while (i >= 0) {
+                        if (used[i]) { clean = false; break; }
+                        walk.push_back(i);
+                        i = parent[i];
+                    }
+                    if (!clean || walk.empty()) continue;
+                    std::reverse(walk.begin(), walk.end());
+                    for (int64_t q : walk) used[q] = 1;
+                    CRec c;
+                    c.cscore = f[tip];
+                    c.rev = (uint8_t)s;
+                    c.ro.reserve(walk.size());
+                    c.tp.reserve(walk.size());
+                    for (int64_t q : walk) {
+                        c.ro.push_back(ro[q]);
+                        c.tp.push_back(tp[q]);
+                    }
+                    chains.push_back(std::move(c));
+                    got++;
+                }
+            }
+            if (chains.empty()) continue;
+            std::stable_sort(chains.begin(), chains.end(),
+                [](const CRec& x, const CRec& y) {
+                    return x.cscore > y.cscore;
+                });
+            if ((int64_t)chains.size() > max_slots)
+                chains.resize(max_slots);
+            // chain-score fraction filter (keep the best always)
+            {
+                size_t wkeep = 1;
+                for (size_t q = 1; q < chains.size(); q++)
+                    if (chains[q].cscore >= chain_frac * chains[0].cscore) {
+                        if (q != wkeep)
+                            chains[wkeep] = std::move(chains[q]);
+                        wkeep++;
+                    }
+                chains.resize(wkeep);
+            }
+            // stitch each chain
+            int32_t slot = 0;
+            for (auto& c : chains) {
+                const uint8_t* oriented = codes;
+                if (c.rev) {
+                    rcbuf.resize(L);
+                    for (int64_t q = 0; q < L; q++) {
+                        uint8_t cc = codes[L - 1 - q];
+                        rcbuf[q] = cc < 4 ? 3 - cc : cc;
+                    }
+                    oriented = rcbuf.data();
+                }
+                ChainResult cr;
+                stitch_chain(oriented, L, c.ro.data(), c.tp.data(),
+                             (int64_t)c.ro.size(), text, hap_starts,
+                             n_haps, p, sc, cr);
+                if (!cr.ok) continue;
+                int64_t slot_i = ri * max_slots + slot;
+                out_rev[slot_i] = c.rev;
+                out_score[slot_i] = (int32_t)cr.score;
+                out_matches[slot_i] = cr.matches;
+                out_read_start[slot_i] = cr.read_start;
+                out_read_end[slot_i] = cr.read_end;
+                out_t0[slot_i] = cr.t0;
+                out_t1[slot_i] = cr.t1;
+                slot_runs[slot_i] = std::move(cr.runs);
+                slot++;
+            }
+            n_out[ri] = slot;
+        }
+    }
+    // serial layout of runs (slot-major)
+    int64_t pos = 0;
+    int64_t total_slots = n_reads * max_slots;
+    for (int64_t si = 0; si < total_slots; si++) {
+        runs_off[si] = pos;
+        for (auto& r : slot_runs[si]) {
+            if (pos >= runs_cap) return -1;
+            runs[pos * 3] = r.op;
+            runs[pos * 3 + 1] = (int32_t)r.len;
+            runs[pos * 3 + 2] = (int32_t)r.rpos;
+            pos++;
+        }
+    }
+    runs_off[total_slots] = pos;
     return 0;
 }
 
