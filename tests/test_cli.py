@@ -246,3 +246,23 @@ def test_cli_inject_from_bam(indexed, capsys, tmp_path):
     assert {a.name for a in back} == orig
     assert sum(1 for a in back if a.path and a.path.mappings) >= \
         0.9 * len(back)
+
+
+def test_cli_viz_svg(indexed, capsys):
+    """Linear SVG viz (vg viz role): well-formed XML with a node ribbon,
+    path rows, and a read pileup track."""
+    import xml.dom.minidom as minidom
+
+    d, prefix = indexed
+    gam = str(d / "viz_reads.gam")
+    rc = main(["sim", "-Z", prefix, "-n", "20", "-l", "80", "-a",
+               "-s", "5", "--output", gam])
+    assert rc == 0
+    svg_path = str(d / "x.svg")
+    rc = main(["viz", "-x", prefix + ".vgz.npz", "-f", "svg",
+               "-d", gam, "-o", svg_path])
+    assert rc == 0
+    doc = minidom.parse(svg_path)
+    rects = doc.getElementsByTagName("rect")
+    assert len(rects) > 50          # ribbon + paths + pileup
+    assert doc.documentElement.tagName == "svg"

@@ -1041,6 +1041,31 @@ def cmd_rna(args) -> int:
 
 
 
+def cmd_mcmc(args) -> int:
+    """Phased genotyping by Gibbs sampling (vg mcmc,
+    reference src/subcommand/mcmc_main.cpp): sample a diploid pair of
+    haplotypes from mapped reads and embed them as paths."""
+    from ..call.mcmc import MCMCGenotyper, MCMCParams
+    from ..io.gam import read_gam
+
+    g = _load_graph_any(args.graph)
+    alns = list(read_gam(args.gam))
+    mc = MCMCGenotyper(g, ref_path=args.ref_path,
+                       params=MCMCParams(n_iter=args.iterations,
+                                         seed=args.seed))
+    h1, h2, logp = mc.run(alns)
+    for si, site in enumerate(mc.sites):
+        s_id = int(g.node_id[int(site.snarl.start) >> 1])
+        e_id = int(g.node_id[int(site.snarl.end) >> 1])
+        print(f"site {s_id}..{e_id}: {int(h1[si])}|{int(h2[si])}",
+              file=sys.stderr)
+    print(f"MAP log-likelihood: {logp:.2f} over {len(mc.sites)} sites",
+          file=sys.stderr)
+    out_g = mc.embed_haplotypes(h1, h2, sample=args.sample)
+    _save_graph_any(out_g, args.output)
+    return 0
+
+
 def cmd_msga(args) -> int:
     from ..construct.msa import msa_to_graph, parse_aligned_fasta
 
@@ -1058,10 +1083,33 @@ def cmd_msga(args) -> int:
 
 
 def cmd_viz(args) -> int:
+    g = _load_graph_any(args.xg)
+    if args.out and args.out.endswith(".svg") or args.format == "svg":
+        from ..utils.viz import to_svg
+
+        alns = None
+        if args.gam_in:
+            from ..io.gam import read_gam
+
+            alns = []
+            for path in args.gam_in:
+                alns.extend(read_gam(path))
+        svg = to_svg(g, alignments=alns, width=args.width,
+                     max_nodes=args.max_nodes)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(svg)
+        else:
+            sys.stdout.write(svg)
+        return 0
     from ..utils.viz import to_dot
 
-    g = _load_graph_any(args.xg)
-    sys.stdout.write(to_dot(g, max_nodes=args.max_nodes))
+    out = to_dot(g, max_nodes=args.max_nodes)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out)
+    else:
+        sys.stdout.write(out)
     return 0
 
 
@@ -1610,9 +1658,27 @@ def build_parser() -> argparse.ArgumentParser:
     ms.add_argument("-o", "--output")
     ms.set_defaults(func=cmd_msga)
 
-    vz = sub.add_parser("viz", help="Graphviz dot output")
+    mc = sub.add_parser("mcmc",
+                        help="phased genotyping by MCMC over snarls")
+    mc.add_argument("gam", help="mapped reads (GAM/GAMP)")
+    mc.add_argument("graph")
+    mc.add_argument("-o", "--output", required=True)
+    mc.add_argument("-i", "--iterations", type=int, default=500)
+    mc.add_argument("-s", "--seed", type=int, default=42)
+    mc.add_argument("-p", "--ref-path")
+    mc.add_argument("--sample", default="PHASED_SAMPLE")
+    mc.set_defaults(func=cmd_mcmc)
+
+    vz = sub.add_parser("viz",
+                        help="visualization: linear SVG or Graphviz dot")
     vz.add_argument("-x", "--xg", required=True)
     vz.add_argument("-m", "--max-nodes", type=int, default=2000)
+    vz.add_argument("-o", "--out", help=".svg extension selects SVG")
+    vz.add_argument("-f", "--format", choices=["dot", "svg"],
+                    default="dot")
+    vz.add_argument("-d", "--gam-in", action="append",
+                    help="read pileup track(s) from GAM")
+    vz.add_argument("-w", "--width", type=int, default=1600)
     vz.set_defaults(func=cmd_viz)
 
     sp = sub.add_parser("simplify", help="pop small non-reference bubbles")
