@@ -266,3 +266,19 @@ def test_cli_viz_svg(indexed, capsys):
     rects = doc.getElementsByTagName("rect")
     assert len(rects) > 50          # ribbon + paths + pileup
     assert doc.documentElement.tagName == "svg"
+
+
+def test_cli_view_turtle(indexed, capsys):
+    """RDF/Turtle export uses the vg ontology and references only
+    declared nodes."""
+    import re
+
+    d, prefix = indexed
+    rc = main(["view", "-t", prefix + ".vgz.npz"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "@prefix vg:<http://biohackathon.org/resource/vg#>" in out
+    nodes = set(re.findall(r"node:(\d+) rdf:value", out))
+    refs = set(re.findall(r"node:(\d+)", out))
+    assert nodes and refs == nodes
+    assert "vg:Step" in out and "vg:linksForwardToForward" in out

@@ -563,6 +563,11 @@ def cmd_view(args) -> int:
             sys.stdout.write(a.to_json_str() + "\n")
         return 0
     g = _load_graph_any(args.input)
+    if args.turtle:
+        from ..io.rdf import write_turtle
+
+        write_turtle(g, sys.stdout, base_uri=args.rdf_base_uri)
+        return 0
     if args.output and not args.gfa_out:
         _save_graph_any(g, args.output)
     else:
@@ -1429,6 +1434,10 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("-a", "--gam-json", action="store_true",
                    help="GAM -> JSON lines")
     v.add_argument("-g", "--gfa-out", action="store_true")
+    v.add_argument("-t", "--turtle", action="store_true",
+                   help="RDF/Turtle output (vg ontology)")
+    v.add_argument("-r", "--rdf-base-uri",
+                   default="http://example.org/vg/")
     v.add_argument("-o", "--output")
     v.set_defaults(func=cmd_view)
 
