@@ -282,3 +282,20 @@ def test_cli_view_turtle(indexed, capsys):
     refs = set(re.findall(r"node:(\d+)", out))
     assert nodes and refs == nodes
     assert "vg:Step" in out and "vg:linksForwardToForward" in out
+
+
+def test_cli_giraffe_sweep(indexed, tmp_path):
+    """Parameter grid sweeps (rangeable options role): one mapping run
+    per grid point, outputs suffixed with the combination."""
+    d, prefix = indexed
+    fq = d / "reads.fq"
+    out = tmp_path / "sw.gam"
+    rc = main(["giraffe", "-Z", prefix, "-f", str(fq),
+               "--sweep", "hit_cap=10:20:10", "--output", str(out)])
+    assert rc == 0
+    from vg_tpu.io.gam import read_gam
+
+    for tag in ("hit_cap-10", "hit_cap-20"):
+        f = tmp_path / f"sw.{tag}.gam"
+        assert f.exists(), tag
+        assert len(list(read_gam(str(f)))) == 50

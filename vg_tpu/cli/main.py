@@ -147,6 +147,31 @@ def cmd_autoindex(args) -> int:
     return 0
 
 
+def _expand_sweeps(specs):
+    """Parse `key=start:end[:step]` sweep specs (the reference's
+    rangeable options, src/subcommand/options.hpp Range: inclusive end)
+    into a list of {key: value} grid points."""
+    from itertools import product
+
+    axes = []
+    for spec in specs:
+        key, _, rng = spec.partition("=")
+        parts = rng.split(":")
+        conv = float if any("." in x for x in parts) else int
+        if len(parts) == 1:
+            vals = [conv(parts[0])]
+        else:
+            start, end = conv(parts[0]), conv(parts[1])
+            step = conv(parts[2]) if len(parts) > 2 else 1
+            vals = []
+            v = start
+            while v <= end + (1e-9 if conv is float else 0):
+                vals.append(conv(v))
+                v += step
+        axes.append([(key, v) for v in vals])
+    return [dict(combo) for combo in product(*axes)]
+
+
 def cmd_giraffe(args) -> int:
     from ..io.fastq import (iter_fastq, iter_fastq_interleaved,
                             iter_fastq_paired)
@@ -154,6 +179,31 @@ def cmd_giraffe(args) -> int:
     from ..io.gam import write_gam
     from ..map.giraffe import GiraffeMapper, GiraffeParams
     from ..map.paired import PairedGiraffeMapper
+
+    if getattr(args, "sweep", None):
+        # parameter grid sweep: one full mapping run per combination,
+        # outputs suffixed with the grid point (reference: rangeable
+        # options ticked by the subcommand chain, options.hpp:174)
+        import argparse as _ap
+        import json as _json
+
+        combos = _expand_sweeps(args.sweep)
+        for combo in combos:
+            sub = _ap.Namespace(**vars(args))
+            sub.sweep = None
+            sub.param_override = dict(getattr(args, "param_override", None)
+                                      or {}, **combo)
+            tag = "_".join(f"{k}-{v}" for k, v in combo.items())
+            if args.output:
+                root, dot, ext = args.output.rpartition(".")
+                sub.output = (f"{root}.{tag}.{ext}" if dot
+                              else f"{args.output}.{tag}")
+            print(f"[sweep] {_json.dumps(combo)} -> "
+                  f"{sub.output or 'stdout'}", file=sys.stderr)
+            rc = cmd_giraffe(sub)
+            if rc != 0:
+                return rc
+        return 0
 
     g, haps, idx = _load_bundle(args.index_prefix)
     if args.parameter_preset in ("hifi", "r10", "lr"):
@@ -194,6 +244,11 @@ def cmd_giraffe(args) -> int:
             params.hard_hit_cap = 500
             params.score_fraction = 0.5
             params.max_candidates = min(params.max_candidates, 4)
+        for k, v in (getattr(args, "param_override", None) or {}).items():
+            if not hasattr(params, k):
+                print(f"unknown parameter {k!r} in sweep", file=sys.stderr)
+                return 2
+            setattr(params, k, type(getattr(params, k))(v))
         mapper = GiraffeMapper(haps, idx, params)
     out = sys.stdout
     alns_out: List = []
@@ -1392,6 +1447,10 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=["default", "fast", "hifi", "r10", "lr"])
     gme.add_argument("--track-provenance", action="store_true",
                      help="funnel stage annotations + stderr report")
+    gme.add_argument("--sweep", action="append",
+                     help="parameter grid sweep key=start:end[:step] "
+                          "(repeatable; one mapping run per combination, "
+                          "outputs suffixed with the grid point)")
     gme.set_defaults(func=cmd_giraffe)
 
     s = sub.add_parser("surject", help="GAM -> SAM/BAM on reference paths")
