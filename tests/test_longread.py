@@ -184,3 +184,20 @@ def test_native_stitch_and_encode_parity(long_setup):
         assert (a.score, a.mapping_quality) == (b.score, b.mapping_quality)
         d = Alignment.decode(bytes(rb))
         assert a.to_json() == d.to_json(), a.name
+
+
+def test_repetitive_minimizer_flagging(long_setup):
+    """Viterbi repetitive-region flags: multi-hit runs flag repetitive,
+    unique runs do not; native anchor path agrees with Python (a read
+    through a tandem repeat still maps)."""
+    import numpy as np
+
+    from vg_tpu.map.longread import LongReadMapper
+
+    counts = np.array([1, 1, 1, 50, 60, 55, 70, 1, 1, 1])
+    flags = LongReadMapper._flag_repetitive(counts)
+    assert not flags[:3].any() and not flags[-3:].any()
+    assert flags[3:7].all()
+    # a single isolated multi-hit minimizer shouldn't flip the state
+    counts2 = np.array([1, 1, 9, 1, 1])
+    assert not LongReadMapper._flag_repetitive(counts2).any()

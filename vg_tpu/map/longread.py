@@ -88,6 +88,45 @@ class LongReadMapper:
 
     # ----------------------------------------------------------- anchors
 
+    @staticmethod
+    def _flag_repetitive(counts: np.ndarray) -> np.ndarray:
+        """2-state Viterbi over read-ordered minimizers: is each from a
+        repetitive region of the read? Emission favors unique (hits==1)
+        in the unique state and multi-hit in the repetitive state
+        (reference MinimizerMapper::flag_repetitive_minimizers,
+        src/minimizer_mapper.cpp: switch 0.1, emit-same 0.9, ties
+        resolved unique)."""
+        n = len(counts)
+        if n == 0:
+            return np.zeros(0, bool)
+        sw, nsw = np.log(0.1), np.log(0.9)
+        ediff, esame = np.log(0.1), np.log(0.9)
+        s_rep, s_uni = np.log(0.05), np.log(0.95)
+        prev_rep = np.zeros(n, bool)   # best predecessor of rep state
+        prev_uni = np.zeros(n, bool)
+        for i in range(n):
+            e_uni = esame if counts[i] == 1 else ediff
+            e_rep = ediff if counts[i] == 1 else esame
+            r2u = s_rep + sw + e_uni
+            u2u = s_uni + nsw + e_uni
+            r2r = s_rep + nsw + e_rep
+            u2r = s_uni + sw + e_rep
+            if r2u > u2u:
+                s_uni_new, prev_uni[i] = r2u, True
+            else:
+                s_uni_new, prev_uni[i] = u2u, False
+            if r2r >= u2r:
+                s_rep_new, prev_rep[i] = r2r, True
+            else:
+                s_rep_new, prev_rep[i] = u2r, False
+            s_rep, s_uni = s_rep_new, s_uni_new
+        flags = np.zeros(n, bool)
+        state = s_rep > s_uni          # ties resolved unique
+        for i in range(n - 1, -1, -1):
+            flags[i] = state
+            state = prev_rep[i] if state else prev_uni[i]
+        return flags
+
     def _anchors(self, codes: np.ndarray):
         """Minimizer anchors on both strands: (roff, tpos, score, strand)."""
         p = self.params
@@ -104,7 +143,9 @@ class LongReadMapper:
         if len(offs) == 0:
             return (np.zeros(0, np.int64),) * 3 + (np.zeros(0, bool),)
         # downsample: keep the lowest-count minimizers per window
-        # (vectorized per-window rank)
+        # (vectorized per-window rank); repetitive-region minimizers
+        # (Viterbi flags, reference flag_repetitive_minimizers) get a
+        # quota of 1 — enough to bridge chain gaps, not to flood seeds
         win = offs // p.downsample_window
         order = np.lexsort((counts, win))
         wo = win[order]
@@ -115,7 +156,8 @@ class LongReadMapper:
         gix = np.cumsum(firsts) - 1
         rank = np.empty(len(wo), np.int64)
         rank[order] = np.arange(len(wo)) - gstart[gix]
-        keep = rank < p.max_seeds_per_window
+        rep = self._flag_repetitive(counts)
+        keep = rank < np.where(rep, 1, p.max_seeds_per_window)
         offs, canon_rev, hs, he, counts = (
             offs[keep], canon_rev[keep], hs[keep], he[keep], counts[keep])
 

@@ -1853,8 +1853,39 @@ int64_t longread_map_batch(
                 mins.push_back({offs[i], hs, he, cnt, crev[i]});
             }
             if (mins.empty()) continue;
+            // repetitive-region Viterbi flags over read-ordered
+            // minimizers (reference flag_repetitive_minimizers,
+            // src/minimizer_mapper.cpp: switch 0.1, emit-same 0.9)
+            std::vector<uint8_t> rep(mins.size(), 0);
+            {
+                const double sw = std::log(0.1), nsw = std::log(0.9);
+                const double ediff = std::log(0.1), esame = std::log(0.9);
+                double s_rep = std::log(0.05), s_uni = std::log(0.95);
+                std::vector<uint8_t> prev_rep(mins.size()),
+                    prev_uni(mins.size());
+                for (size_t i = 0; i < mins.size(); i++) {
+                    double e_uni = mins[i].cnt == 1 ? esame : ediff;
+                    double e_rep = mins[i].cnt == 1 ? ediff : esame;
+                    double r2u = s_rep + sw + e_uni;
+                    double u2u = s_uni + nsw + e_uni;
+                    double r2r = s_rep + nsw + e_rep;
+                    double u2r = s_uni + sw + e_rep;
+                    double su, sr;
+                    if (r2u > u2u) { su = r2u; prev_uni[i] = 1; }
+                    else { su = u2u; prev_uni[i] = 0; }
+                    if (r2r >= u2r) { sr = r2r; prev_rep[i] = 1; }
+                    else { sr = u2r; prev_rep[i] = 0; }
+                    s_rep = sr; s_uni = su;
+                }
+                uint8_t state = s_rep > s_uni ? 1 : 0;
+                for (int64_t i = (int64_t)mins.size() - 1; i >= 0; i--) {
+                    rep[i] = state;
+                    state = state ? prev_rep[i] : prev_uni[i];
+                }
+            }
             // per-window downsample: keep the max_seeds_per_window
-            // lowest-count minimizers per window (stable by offset)
+            // lowest-count minimizers per window (stable by offset);
+            // repetitive-region minimizers get a quota of 1
             std::vector<int64_t> order(mins.size());
             for (size_t i = 0; i < mins.size(); i++) order[i] = i;
             std::stable_sort(order.begin(), order.end(),
@@ -1870,7 +1901,8 @@ int64_t longread_map_batch(
                 for (int64_t oi : order) {
                     int64_t ww = mins[oi].off / downsample_window;
                     if (ww != cur_w) { cur_w = ww; rank = 0; }
-                    if (rank < max_seeds_per_window) keep[oi] = 1;
+                    int32_t quota = rep[oi] ? 1 : max_seeds_per_window;
+                    if (rank < quota) keep[oi] = 1;
                     rank++;
                 }
             }
