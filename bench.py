@@ -193,6 +193,33 @@ def main():
             f"{res_i.accuracy_at_mapq(30)[0]:.4f}@mapq30\n")
     except Exception as e:  # accuracy sidecar must never kill the bench
         sys.stderr.write(f"[bench] accuracy check failed: {e}\n")
+    # long-read sidecar (stderr): fused native hifi-style pipeline
+    try:
+        from vg_tpu.map.longread import LongReadMapper
+
+        lrm = LongReadMapper(haps, idx)
+        lr_reads = []
+        T = len(haps.text)
+        for i in range(512):
+            s = int(rng.integers(0, T - 10100))
+            c = haps.text[s : s + 10000].copy()
+            err = rng.random(len(c)) < 0.005
+            c[err] = (c[err] + rng.integers(1, 4, int(err.sum()))) % 4
+            from vg_tpu.io.fastq import Read as _Read
+            from vg_tpu.utils import dna as _dna
+
+            lr_reads.append(_Read(name=f"lr{i}",
+                                  sequence=_dna.decode(c), quality=""))
+        lrm.map_batch_encoded(lr_reads[:16])       # warm native build
+        t0 = time.time()
+        recs = lrm.map_batch_encoded(lr_reads[16:])
+        lr_dt = time.time() - t0
+        if recs is not None:
+            sys.stderr.write(
+                f"[bench] longread: {len(recs)} 10kb reads in "
+                f"{lr_dt:.2f}s = {len(recs)/lr_dt:.0f} reads/s\n")
+    except Exception as e:
+        sys.stderr.write(f"[bench] longread sidecar failed: {e}\n")
     print(json.dumps({
         "metric": metric,
         "value": round(rps, 1),
