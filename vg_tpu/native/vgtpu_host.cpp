@@ -13,6 +13,19 @@
 #include <algorithm>
 #include <cmath>
 
+// TSan cannot see libgomp's end-of-parallel-region barrier (libgomp is
+// not instrumented), so the OpenMP batch entry points annotate the
+// worker->main handoff explicitly; no-ops outside -fsanitize=thread.
+#if defined(__SANITIZE_THREAD__)
+extern "C" void __tsan_acquire(void*);
+extern "C" void __tsan_release(void*);
+#define VGTPU_HB_RELEASE(p) __tsan_release((void*)(p))
+#define VGTPU_HB_ACQUIRE(p) __tsan_acquire((void*)(p))
+#else
+#define VGTPU_HB_RELEASE(p) ((void)0)
+#define VGTPU_HB_ACQUIRE(p) ((void)0)
+#endif
+
 namespace {
 
 inline uint64_t wang_hash(uint64_t x) {
@@ -1442,8 +1455,11 @@ int64_t longread_stitch_batch(
     std::vector<std::vector<Run>> chain_runs(n_chains);
     std::vector<int8_t> chain_ok(n_chains, 0);
 
+    int fork_token = 0;
+    VGTPU_HB_RELEASE(&fork_token);
 #pragma omp parallel
     {
+        VGTPU_HB_ACQUIRE(&fork_token);
         Scratch sc;
         std::vector<uint8_t> rcbuf;
 #pragma omp for schedule(dynamic)
@@ -1475,11 +1491,13 @@ int64_t longread_stitch_batch(
                 out_t1[ci] = cr.t1;
                 chain_runs[ci] = std::move(cr.runs);
             }
+            VGTPU_HB_RELEASE(&chain_runs[ci]);
         }
     }
     // serial layout of runs
     int64_t pos = 0;
     for (int64_t ci = 0; ci < n_chains; ci++) {
+        VGTPU_HB_ACQUIRE(&chain_runs[ci]);
         runs_off[ci] = pos;
         out_ok[ci] = chain_ok[ci];
         if (!chain_ok[ci]) continue;
@@ -1816,8 +1834,11 @@ int64_t longread_map_batch(
     const int64_t max_slots = (int64_t)max_chains;
     std::vector<std::vector<Run>> slot_runs(n_reads * max_slots);
 
+    int fork_token = 0;
+    VGTPU_HB_RELEASE(&fork_token);
 #pragma omp parallel
     {
+        VGTPU_HB_ACQUIRE(&fork_token);
         Scratch sc;
         std::vector<int64_t> offs;
         std::vector<uint64_t> keys;
@@ -1828,12 +1849,12 @@ int64_t longread_map_batch(
             n_out[ri] = 0;
             const uint8_t* codes = codes_blob + read_off[ri];
             const int64_t L = read_off[ri + 1] - read_off[ri];
-            if (L < k) continue;
+            if (L < k) { for (int64_t s2 = 0; s2 < max_slots; s2++) VGTPU_HB_RELEASE(&slot_runs[ri * max_slots + s2]); continue; }
             const int64_t m = L - k + 1;
             offs.resize(m); keys.resize(m); crev.resize(m);
             int64_t nm = extract_minimizers(codes, L, k, w, offs.data(),
                                             keys.data(), crev.data());
-            if (nm == 0) continue;
+            if (nm == 0) { for (int64_t s2 = 0; s2 < max_slots; s2++) VGTPU_HB_RELEASE(&slot_runs[ri * max_slots + s2]); continue; }
             // lookup + hard cap
             struct Min { int64_t off, hs, he, cnt; uint8_t cr; };
             std::vector<Min> mins;
@@ -1852,7 +1873,7 @@ int64_t longread_map_batch(
                 if (cnt <= 0 || cnt > hard_hit_cap) continue;
                 mins.push_back({offs[i], hs, he, cnt, crev[i]});
             }
-            if (mins.empty()) continue;
+            if (mins.empty()) { for (int64_t s2 = 0; s2 < max_slots; s2++) VGTPU_HB_RELEASE(&slot_runs[ri * max_slots + s2]); continue; }
             // repetitive-region Viterbi flags over read-ordered
             // minimizers (reference flag_repetitive_minimizers,
             // src/minimizer_mapper.cpp: switch 0.1, emit-same 0.9)
@@ -1981,7 +2002,7 @@ int64_t longread_map_batch(
                     got++;
                 }
             }
-            if (chains.empty()) continue;
+            if (chains.empty()) { for (int64_t s2 = 0; s2 < max_slots; s2++) VGTPU_HB_RELEASE(&slot_runs[ri * max_slots + s2]); continue; }
             std::stable_sort(chains.begin(), chains.end(),
                 [](const CRec& x, const CRec& y) {
                     return x.cscore > y.cscore;
@@ -2028,12 +2049,15 @@ int64_t longread_map_batch(
                 slot++;
             }
             n_out[ri] = slot;
+            for (int64_t s2 = 0; s2 < max_slots; s2++)
+                VGTPU_HB_RELEASE(&slot_runs[ri * max_slots + s2]);
         }
     }
     // serial layout of runs (slot-major)
     int64_t pos = 0;
     int64_t total_slots = n_reads * max_slots;
     for (int64_t si = 0; si < total_slots; si++) {
+        VGTPU_HB_ACQUIRE(&slot_runs[si]);
         runs_off[si] = pos;
         for (auto& r : slot_runs[si]) {
             if (pos >= runs_cap) return -1;
