@@ -118,11 +118,11 @@ def main():
         f"text {haps.total_len} bp, {idx.unique_count} minimizers "
         f"({time.time()-t0:.1f}s)\n")
 
-    bs = int(os.environ.get("BENCH_BATCH", "8192"))
+    bs = int(os.environ.get("BENCH_BATCH", "16384"))
     mode = os.environ.get("BENCH_MODE", "paired")
     params = GiraffeParams(batch_reads=bs)
     mapper = GiraffeMapper(haps, idx, params)
-    n_bench = int(os.environ.get("BENCH_READS", "65536"))
+    n_bench = int(os.environ.get("BENCH_READS", "131072"))
 
     if mode == "paired":
         from vg_tpu.map.paired import PairedGiraffeMapper
