@@ -592,6 +592,12 @@ class GiraffeMapper:
                     cand_rev[i, j] = c.is_rev
                     cand_valid[i, j] = True
 
+        # reference projection of the candidate READ START (diag): exact
+        # where the anchor-based value was anchor-offset noisy, and —
+        # crucially — recomputable on DEVICE from cand_start + resident
+        # arrays, so the paired dispatch never uploads refpath/refoff
+        cand_refpath[:], cand_refoff[:] = self._diag_refproj(
+            cand_start[:R], cand_valid[:R])
         self.funnel.record("seed", _time.time() - _t0, items_in=R,
                            items_out=int(cand_valid.sum()))
         return {
@@ -602,6 +608,27 @@ class GiraffeMapper:
             "cand_valid": cand_valid, "cand_refpath": cand_refpath,
             "cand_refoff": cand_refoff,
         }
+
+    def _diag_refproj(self, cand_start: np.ndarray,
+                      cand_valid: np.ndarray):
+        """(refpath, refoff) of each candidate's seed diagonal text
+        position — the same formula the device paired step applies to
+        its resident arrays (parallel/mesh.py derive_candidate_meta)."""
+        B = self.params.band_radius
+        stp = self.haps.step_text_pos
+        steps = self.haps.steps
+        g = self.graph
+        diag = np.clip(cand_start.astype(np.int64) + B, 0,
+                       max(len(self.haps.text) - 1, 0))
+        si = np.searchsorted(stp[1:], diag, side="right")
+        h = steps[si]
+        nidx = (h >> 1).astype(np.int64)
+        nlen = g.seq_start[nidx + 1] - g.seq_start[nidx]
+        off_visit = diag - stp[si]
+        fwd_off = np.where(h & 1, nlen - off_visit, off_visit)
+        rp = np.where(cand_valid, self._node_ref_path[nidx], -1)
+        ro = np.where(cand_valid, self._node_ref_off[nidx] + fwd_off, 0)
+        return rp.astype(np.int32), ro
 
     def _device_scores(self, reads_arr, reads_rc_arr, rlens, cand_start,
                        cand_lo, cand_hi, cand_rev, cand_valid,

@@ -411,30 +411,34 @@ class PairedGiraffeMapper:
             import jax.numpy as jnp
             from jax import lax
 
-            from ..ops.xfer import revcomp_dev, unpack_cand_meta_dev, \
-                unpack_reads4_dev
+            from ..ops.xfer import revcomp_dev, unpack_reads4_dev
+            from ..parallel.mesh import derive_candidate_meta
 
-            def packed_step(text, hb, rp1, rl1, ca1, co1, cm1,
-                            rp2, rl2, ca2, co2, cm2, mu, sd):
+            B = p.band_radius
+
+            def packed_step(text, hb, stp, steps, nlen, nrp, nro,
+                            rp1, rl1, ca1, cf1, rp2, rl2, ca2, cf2,
+                            mu, sd):
                 """Transfer-compressed paired step (see ops/xfer.py): the
-                tunnel runs at ~10 MB/s, so inputs arrive 4-bit packed
-                (reverse complements derived here) with 3-word candidate
-                meta, and ALL outputs leave as ONE int16 buffer — each
-                separate fetch pays ~50 ms latency."""
-                def mate(rp, rl, cm):
+                tunnel runs at ~10 MB/s, so reads arrive 4-bit packed
+                (reverse complements derived here), candidates as just
+                (start, rev|valid) — lo/hi/refpath/refoff are derived
+                from the resident index arrays — and ALL outputs leave as
+                ONE int16 buffer (each separate fetch pays ~50 ms)."""
+                def mate(rp, rl, ca, cf):
                     r = unpack_reads4_dev(rp)
                     rc = revcomp_dev(r, rl)
-                    lo, hi, rev, valid, refpath = unpack_cand_meta_dev(
-                        cm, hb)
-                    return r, rc, lo, hi, rev, valid, refpath
+                    valid = (cf & 1).astype(bool)
+                    rev = ((cf >> 1) & 1).astype(bool)
+                    lo, hi, rpth, ro = derive_candidate_meta(
+                        ca + B, hb, stp, steps, nlen, nrp, nro)
+                    return r, rc, (ca, lo, hi, rev, valid, rpth, ro)
 
-                r1, r1rc, lo1, hi1, rev1, v1, rpth1 = mate(rp1, rl1, cm1)
-                r2, r2rc, lo2, hi2, rev2, v2, rpth2 = mate(rp2, rl2, cm2)
+                r1, r1rc, c1 = mate(rp1, rl1, ca1, cf1)
+                r2, r2rc, c2 = mate(rp2, rl2, ca2, cf2)
                 (s1, s2, j1, j2, mq1, mq2, use_pair, frags,
                  mm1, mm2, bits1, bits2, _stats, _cov) = step(
-                    text, r1, r1rc, rl1, (ca1, lo1, hi1, rev1, v1, rpth1, co1),
-                    r2, r2rc, rl2, (ca2, lo2, hi2, rev2, v2, rpth2, co2),
-                    mu, sd)
+                    text, r1, r1rc, rl1, c1, r2, r2rc, rl2, c2, mu, sd)
                 i16 = lambda a: jnp.clip(a, -32768, 32767).astype(jnp.int16)
                 return jnp.concatenate([
                     i16(s1).ravel(), i16(s2).ravel(),
@@ -444,9 +448,16 @@ class PairedGiraffeMapper:
                     lax.bitcast_convert_type(bits1, jnp.int16).ravel(),
                     lax.bitcast_convert_type(bits2, jnp.int16).ravel()])
 
-            hb_dev = jax.device_put(
-                np.asarray(m.haps.text_start, np.int32))
-            self._pair_step = (jax.jit(packed_step), text_arg, hb_dev)
+            dev32 = lambda a: jax.device_put(np.asarray(a, np.int32))
+            g = m.graph
+            resident = (jax.device_put(
+                            np.asarray(m.haps.text_start, np.int32)),
+                        dev32(m.haps.step_text_pos),
+                        dev32(m.haps.steps),
+                        dev32(g.seq_start[1:] - g.seq_start[:-1]),
+                        dev32(m._node_ref_path),
+                        dev32(m._node_ref_off))
+            self._pair_step = (jax.jit(packed_step), text_arg, resident)
         return self._pair_step
 
     def score_pairs_device(self, pairs: Sequence[Tuple[Read, Read]]):
@@ -457,7 +468,7 @@ class PairedGiraffeMapper:
         observes pairs on the host)."""
         import jax.numpy as jnp
 
-        from ..ops.xfer import pack_cand_meta, pack_reads4
+        from ..ops.xfer import pack_reads4
 
         m = self.mapper
         reads1 = [a for a, _ in pairs]
@@ -465,22 +476,16 @@ class PairedGiraffeMapper:
         p1 = m.prepare_batch(reads1)
         p2 = m.prepare_batch(reads2)
         R = len(pairs)
-        step, text_arg, hb_dev = self._get_pair_step()
-        hap_starts = np.asarray(m.haps.text_start, np.int64)
+        step, text_arg, resident = self._get_pair_step()
 
         def wire(pr):
-            """(packed reads, rlen, cand start, cand refoff, cand meta)."""
-            Rpad = pr["cand_start"].shape[0]
-            rp = np.full((Rpad, pr["cand_refpath"].shape[1]), -1, np.int32)
-            rp[:R] = pr["cand_refpath"]
-            ro = np.zeros((Rpad, pr["cand_refoff"].shape[1]), np.int32)
-            ro[:R] = pr["cand_refoff"]
-            meta = pack_cand_meta(pr["cand_lo"], pr["cand_rev"],
-                                  pr["cand_valid"], rp, hap_starts)
+            """(packed reads, rlen, cand start, valid|rev flags)."""
+            flags = (pr["cand_valid"].astype(np.int8)
+                     | (pr["cand_rev"].astype(np.int8) << 1))
             return (pack_reads4(pr["reads_arr"]), pr["rlens"],
-                    pr["cand_start"], ro, meta)
+                    pr["cand_start"], flags)
 
-        packed = step(text_arg, hb_dev, *wire(p1), *wire(p2),
+        packed = step(text_arg, *resident, *wire(p1), *wire(p2),
                       jnp.float32(self.fragdist.mean),
                       jnp.float32(max(self.fragdist.stdev, 1e-3)))
         Rpad, C = p1["cand_start"].shape

@@ -9,10 +9,10 @@ per 8k-pair batch. This module shrinks the wire format:
 - reads: 4-bit packed (8 base codes per int32 word, little-endian
   nibbles — same layout as pallas_align.pack_text); the reverse
   complement is DERIVED on device instead of uploaded.
-- candidates: 3 int32 words per candidate — window start, approximate
-  reference offset, and a packed meta word (valid | rev | refpath+1 |
-  haplotype id). The per-candidate [lo, hi) haplotype bounds are
-  reconstructed on device from the resident text_start table.
+- candidates: window start (int32) + a valid|rev flag byte. The
+  [lo, hi) haplotype bounds and the reference projection (refpath,
+  refoff) are derived ON DEVICE from resident index arrays
+  (parallel/mesh.derive_candidate_meta).
 
 The reference has no analogue (shared-memory threads, vg
 src/subcommand/giraffe_main.cpp:2369); this is TPU-deployment plumbing.
@@ -58,33 +58,3 @@ def revcomp_dev(reads, rlen):
                             axis=1)
     comp = jnp.where(g < 4, 3 - g, g)
     return jnp.where(idx >= 0, comp, jnp.uint8(5))
-
-
-def pack_cand_meta(lo: np.ndarray, rev: np.ndarray, valid: np.ndarray,
-                   refpath, hap_starts: np.ndarray) -> np.ndarray:
-    """Candidate meta word: bit0 valid, bit1 rev, bits2-16 refpath+1,
-    bits17-31 haplotype id (index into hap_starts such that
-    hap_starts[h] == lo for valid candidates)."""
-    hap = np.searchsorted(hap_starts, lo.astype(np.int64),
-                          side="right") - 1
-    hap = np.clip(hap, 0, max(len(hap_starts) - 2, 0)).astype(np.uint32)
-    if refpath is None:
-        rp1 = np.zeros(lo.shape, np.uint32)
-    else:
-        rp1 = (refpath.astype(np.int64) + 1).astype(np.uint32) & 0x7FFF
-    m = (valid.astype(np.uint32)
-         | (rev.astype(np.uint32) << np.uint32(1))
-         | (rp1 << np.uint32(2))
-         | ((hap & np.uint32(0x7FFF)) << np.uint32(17)))
-    return m.view(np.int32)
-
-
-def unpack_cand_meta_dev(cm, hap_bounds):
-    """Device inverse of pack_cand_meta -> (lo, hi, rev, valid, refpath)."""
-    valid = (cm & 1).astype(bool)
-    rev = ((cm >> 1) & 1).astype(bool)
-    refpath = ((cm >> 2) & 0x7FFF) - 1
-    hap = (cm >> 17) & 0x7FFF
-    lo = hap_bounds[hap]
-    hi = hap_bounds[hap + 1]
-    return lo, hi, rev, valid, refpath

@@ -79,6 +79,27 @@ def sharded_map_step(mesh: Mesh, text, reads, reads_rc, rlen,
                             cand_lo, cand_hi, cand_rev, cand_valid)
 
 
+def derive_candidate_meta(diag, hb, stp, steps, node_len, nrp, nro):
+    """Per-candidate (lo, hi, refpath, refoff) derived ON DEVICE from the
+    seed diagonal text position and resident index arrays — so the host
+    uploads only (start, rev|valid) per candidate. Mirrors the host
+    formula (GiraffeMapper._diag_refproj)."""
+    import jax.numpy as jnp
+
+    hap = jnp.clip(jnp.searchsorted(hb, diag, side="right") - 1,
+                   0, hb.shape[0] - 2)
+    lo = hb[hap]
+    hi = hb[hap + 1]
+    si = jnp.clip(jnp.searchsorted(stp, diag, side="right") - 1,
+                  0, steps.shape[0] - 1)
+    h = steps[si]
+    nidx = h >> 1
+    off_visit = diag - stp[si]
+    fwd_off = jnp.where((h & 1).astype(bool),
+                        node_len[nidx] - off_visit, off_visit)
+    return lo, hi, nrp[nidx], nro[nidx] + fwd_off
+
+
 # ------------------------------------------------------- full paired step
 
 def _distinct_mask(scores, rev, rp, ro, valid, tol):
