@@ -415,6 +415,7 @@ class PairedGiraffeMapper:
             from ..parallel.mesh import derive_candidate_meta
 
             B = p.band_radius
+            step_bonus = p.full_length_bonus
 
             def packed_step(text, hb, stp, steps, nlen, nrp, nro,
                             rp1, rl1, ca1, cf1, rp2, rl2, ca2, cf2,
@@ -440,8 +441,18 @@ class PairedGiraffeMapper:
                  mm1, mm2, bits1, bits2, _stats, _cov) = step(
                     text, r1, r1rc, rl1, c1, r2, r2rc, rl2, c2, mu, sd)
                 i16 = lambda a: jnp.clip(a, -32768, 32767).astype(jnp.int16)
+                R_, C_ = s1.shape
+                # short-read scores fit int8 with a +64 bias (max score
+                # RL + 2*bonus; deep negatives floor at -64, far below
+                # any winner): halves the largest chunk of the fetch
+                if r1.shape[1] + 2 * step_bonus <= 191 and C_ % 2 == 0:
+                    pack_s = lambda s: lax.bitcast_convert_type(
+                        jnp.clip(s - 64, -128, 127).astype(jnp.int8)
+                        .reshape(R_, C_ // 2, 2), jnp.int16).ravel()
+                else:
+                    pack_s = lambda s: i16(s).ravel()
                 return jnp.concatenate([
-                    i16(s1).ravel(), i16(s2).ravel(),
+                    pack_s(s1), pack_s(s2),
                     i16(j1), i16(j2), i16(mq1), i16(mq2),
                     use_pair.astype(jnp.int16), i16(jnp.round(frags)),
                     i16(mm1), i16(mm2),
@@ -485,10 +496,14 @@ class PairedGiraffeMapper:
             return (pack_reads4(pr["reads_arr"]), pr["rlens"],
                     pr["cand_start"], flags)
 
-        packed = step(text_arg, *resident, *wire(p1), *wire(p2),
+        w1 = wire(p1)
+        w2 = wire(p2)
+        packed = step(text_arg, *resident, *w1, *w2,
                       jnp.float32(self.fragdist.mean),
                       jnp.float32(max(self.fragdist.stdev, 1e-3)))
         Rpad, C = p1["cand_start"].shape
+        s_i8 = (w1[0].shape[1] * 8 + 2 * m.params.full_length_bonus <= 191
+                and C % 2 == 0)
         sb1 = ScoredBatch(
             reads=reads1, codes=p1["codes"], codes_rc=p1["codes_rc"],
             cand_start=p1["cand_start"][:R], cand_lo=p1["cand_lo"][:R],
@@ -501,18 +516,26 @@ class PairedGiraffeMapper:
             cand_hi=p2["cand_hi"][:R], cand_rev=p2["cand_rev"][:R],
             cand_valid=p2["cand_valid"][:R], scores_raw=None,
             cand_refpath=p2["cand_refpath"], cand_refoff=p2["cand_refoff"])
-        sel = (packed, Rpad, C, sb1, sb2)
+        sel = (packed, Rpad, C, sb1, sb2, s_i8)
         return sb1, sb2, sel
 
     def _force_device_sel(self, sel, R: int):
         """ONE device fetch of the packed buffer; unpack scores + winner
         mismatch bitmaps into the two ScoredBatches and return the host
         selection arrays."""
-        packed, Rpad, C, sb1, sb2 = sel
+        packed, Rpad, C, sb1, sb2, s_i8 = sel
         buf = np.asarray(packed)          # int16 wire buffer
-        n = Rpad * C
-        sb1.scores_raw = buf[:n].reshape(Rpad, C)[:R].astype(np.int32)
-        sb2.scores_raw = buf[n : 2 * n].reshape(Rpad, C)[:R].astype(np.int32)
+        if s_i8:
+            # biased-int8 score pairs inside int16 units
+            n = Rpad * C // 2
+            unpack_s = lambda a: (np.ascontiguousarray(a)
+                                  .view(np.int8).reshape(Rpad, C)[:R]
+                                  .astype(np.int32) + 64)
+        else:
+            n = Rpad * C
+            unpack_s = lambda a: a.reshape(Rpad, C)[:R].astype(np.int32)
+        sb1.scores_raw = unpack_s(buf[:n])
+        sb2.scores_raw = unpack_s(buf[n : 2 * n])
         off = 2 * n
         rest = buf[off : off + 6 * Rpad].reshape(6, Rpad)
         off += 6 * Rpad
