@@ -299,3 +299,83 @@ def test_cli_giraffe_sweep(indexed, tmp_path):
         f = tmp_path / f"sw.{tag}.gam"
         assert f.exists(), tag
         assert len(list(read_gam(str(f)))) == 50
+
+
+def test_cli_augment_translate_roundtrip(indexed, tmp_path):
+    """augment -Z + translate: alignments projected onto the augmented
+    graph stay base-accounted and edge-valid."""
+    d, prefix = indexed
+    mapped_gam = d / "mapped.gam"
+    aug = tmp_path / "aug.npz"
+    trans = tmp_path / "trans.json"
+    assert main(["augment", prefix + ".vgz.npz", str(mapped_gam),
+                 "-o", str(aug), "-Z", str(trans)]) == 0
+    out = tmp_path / "translated.gam"
+    assert main(["translate", str(trans), str(mapped_gam),
+                 "-x", str(aug), "--output", str(out)]) == 0
+    from vg_tpu.io.gam import read_gam
+    from vg_tpu.io.native import load_graph
+
+    g2 = load_graph(str(aug))
+    n = 0
+    for a in read_gam(str(out)):
+        if a.path is None or not a.path.mappings:
+            continue
+        n += 1
+        tl = sum(e.to_length for mp in a.path.mappings for e in mp.edits)
+        assert tl == len(a.sequence), a.name
+        for mp in a.path.mappings:
+            fl = sum(e.from_length for e in mp.edits)
+            assert (mp.position.offset + fl
+                    <= g2.node_len(mp.position.node_id)), a.name
+        hs = [g2.handle(m.position.node_id, m.position.is_reverse)
+              for m in a.path.mappings]
+        for h1, h2 in zip(hs[:-1], hs[1:]):
+            assert h1 == h2 or g2.has_edge(h1, h2), a.name
+    assert n >= 40
+
+
+def test_cli_genotype(indexed, capsys):
+    """Legacy genotype (augment -> translate -> pack -> call) emits
+    variant calls from haplotype-bearing reads."""
+    d, prefix = indexed
+    mapped_gam = d / "mapped.gam"
+    rc = main(["genotype", prefix + ".vgz.npz", str(mapped_gam)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    body = [l for l in out.splitlines() if l and not l.startswith("#")]
+    assert len(body) >= 10
+    assert out.startswith("##fileformat")
+
+
+def test_cli_concat(indexed, tmp_path, capsys):
+    d, prefix = indexed
+    g = prefix + ".vgz.npz"
+    out = tmp_path / "cat.npz"
+    assert main(["concat", g, g, "-o", str(out)]) == 0
+    from vg_tpu.io.native import load_graph
+
+    g1 = load_graph(g)
+    g2 = load_graph(str(out))
+    assert g2.node_count == 2 * g1.node_count
+    assert not g2.validate()
+    # the concatenated reference path doubles in length
+    pi = g2.path_index("x")
+    assert len(g2.path_handles(pi)) == 2 * len(g1.path_handles("x")
+                                                if isinstance("x", int)
+                                                else g1.path_handles(
+                                                    g1.path_index("x")))
+
+
+def test_cli_gbwt_kmers_minimizer(indexed, tmp_path, capsys):
+    d, prefix = indexed
+    assert main(["gbwt", "-Z", prefix]) == 0
+    out = capsys.readouterr().out
+    assert "threads\t3" in out
+    assert main(["kmers", "-Z", prefix, "-k", "11", "--head", "5"]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert len(lines) == 5 and all("\t" in l for l in lines)
+    assert main(["minimizer", "-Z", prefix, "-k", "21", "-w", "9",
+                 "-o", str(tmp_path / "m.npz")]) == 0
+    out = capsys.readouterr().out
+    assert "k\t21" in out

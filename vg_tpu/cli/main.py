@@ -887,10 +887,145 @@ def cmd_augment(args) -> int:
 
     g = _load_graph_any(args.input)
     alns = list(read_gam(args.gam))
-    g2, trans = augment(g, alns)
+    g2, trans = augment(g, alns, min_coverage=args.min_coverage)
     _save_graph_any(g2, args.output)
+    if getattr(args, "translation", None):
+        import json as _json
+
+        with open(args.translation, "w") as f:
+            _json.dump({str(k): v for k, v in trans.pieces.items()}, f)
     print(f"augmented: {g.node_count} -> {g2.node_count} nodes",
           file=sys.stderr)
+    return 0
+
+
+def _load_translation(path):
+    import json as _json
+
+    from ..graph.augment import Translation
+
+    with open(path) as f:
+        raw = _json.load(f)
+    return Translation(pieces={int(k): [tuple(p) for p in v]
+                               for k, v in raw.items()})
+
+
+def cmd_translate(args) -> int:
+    """Project alignments onto an augmented graph through the augment
+    translation (vg translate, reference
+    src/subcommand/translate_main.cpp)."""
+    from ..graph.augment import translate_alignment
+    from ..io.gam import read_gam, write_gam
+
+    g_new = _load_graph_any(args.graph)
+    trans = _load_translation(args.translation)
+    alns = [translate_alignment(trans, g_new, a)
+            for a in read_gam(args.gam)]
+    sink = open(args.output, "wb") if args.output else sys.stdout.buffer
+    write_gam(sink, alns)
+    if args.output:
+        sink.close()
+    return 0
+
+
+def cmd_genotype(args) -> int:
+    """Legacy augment-based genotyper (vg genotype, reference
+    src/subcommand/genotype_main.cpp role): augment the graph with the
+    reads' novel variation, project the reads through the translation,
+    pack coverage on the augmented graph, and call."""
+    from ..call.caller import SnarlCaller
+    from ..call.pack import Packer
+    from ..graph.augment import augment, translate_alignment
+    from ..io.gam import read_gam
+
+    g = _load_graph_any(args.graph)
+    alns = list(read_gam(args.gam))
+    g2, trans = augment(g, alns, min_coverage=args.min_support)
+    pk = Packer(g2)
+    pk.add_batch([translate_alignment(trans, g2, a) for a in alns])
+    ref_path = args.path or g2.path_meta[0].name
+    sc = SnarlCaller(g2, pk, ref_path, sample_name=args.sample)
+    sc.write_vcf(sys.stdout, sc.call())
+    return 0
+
+
+def cmd_concat(args) -> int:
+    """Serial graph concatenation (vg concat): graphs joined
+    head-to-tail with connecting edges, ids offset to stay unique."""
+    from ..graph import ops
+
+    graphs = [_load_graph_any(p) for p in args.inputs]
+    out = ops.concat(graphs)
+    _save_graph_any(out, args.output)
+    print(f"concat: {out.node_count} nodes", file=sys.stderr)
+    return 0
+
+
+def cmd_gbwt(args) -> int:
+    """Haplotype index utilities (vg gbwt role): metadata report and
+    GBZ export of the haplotype set."""
+    g, haps, _ = _load_bundle(args.index_prefix)
+    if args.output:
+        from ..io.gbz_write import write_gbz
+
+        write_gbz(args.output, g, haps)
+        print(f"wrote GBZ: {args.output}", file=sys.stderr)
+    meta = {}
+    for m in haps.metas:
+        meta.setdefault(m.sample, []).append(m)
+    print(f"threads\t{haps.count}")
+    print(f"samples\t{len(meta)}")
+    print(f"total_bp\t{haps.total_len}")
+    for s, ms in meta.items():
+        print(f"sample\t{s}\t{len(ms)} threads")
+    return 0
+
+
+def cmd_kmers(args) -> int:
+    """Enumerate graph kmers with their positions (vg kmers role,
+    GCSA2 input generation): kmers of the haplotype text with
+    node:offset anchors."""
+    g, haps, _ = _load_bundle(args.index_prefix)
+    from ..utils import dna
+
+    k = args.kmer_size
+    text = haps.text
+    stp = haps.step_text_pos
+    steps = haps.steps
+    import numpy as np
+
+    n = 0
+    for start in range(0, len(text) - k + 1):
+        km = text[start : start + k]
+        if (km >= 4).any():
+            continue
+        si = int(np.searchsorted(stp[1:], start, side="right"))
+        h = int(steps[si])
+        nid = int(g.node_id[h >> 1])
+        off = start - int(stp[si])
+        sys.stdout.write(f"{dna.decode(km)}\t{nid}:{off}"
+                         f"{'-' if h & 1 else '+'}\n")
+        n += 1
+        if args.head and n >= args.head:
+            break
+    return 0
+
+
+def cmd_minimizer(args) -> int:
+    """Build / report the minimizer index standalone (vg minimizer)."""
+    from ..index.minimizer import MinimizerIndex
+    from ..io import native
+
+    g = native.load_graph(args.index_prefix + ".vgz.npz")
+    haps = native.load_haplotypes(args.index_prefix + ".hpt.npz", g)
+    idx = MinimizerIndex.build(haps, k=args.kmer_length,
+                               w=args.window_length)
+    out = args.output or (args.index_prefix + ".min.npz")
+    native.save_minimizer(out, idx)
+    print(f"minimizers\t{idx.unique_count}")
+    print(f"positions\t{len(idx.pos_text)}")
+    print(f"k\t{idx.k}")
+    print(f"w\t{idx.w}")
     return 0
 
 
@@ -1433,6 +1568,20 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("-p", "--prefix", required=True)
     a.set_defaults(func=cmd_autoindex)
 
+    # `index` = autoindex alias (the reference's manual index builder
+    # role is covered by the recipe-solving autoindexer)
+    a2 = sub.add_parser("index", help="alias of autoindex")
+    a2.add_argument("-r", "--reference")
+    a2.add_argument("-v", "--vcf")
+    a2.add_argument("-g", "--gfa")
+    a2.add_argument("-Z", "--gbz")
+    a2.add_argument("--gbz-out")
+    a2.add_argument("-m", "--node-max", type=int, default=32)
+    a2.add_argument("-k", "--kmer-length", type=int, default=29)
+    a2.add_argument("-w", "--window-length", type=int, default=11)
+    a2.add_argument("-p", "--prefix", required=True)
+    a2.set_defaults(func=cmd_autoindex)
+
     gme = sub.add_parser("giraffe", help="map reads")
     gme.add_argument("-Z", "--index-prefix", required=True)
     gme.add_argument("-f", "--fastq", required=True)
@@ -1613,7 +1762,56 @@ def build_parser() -> argparse.ArgumentParser:
     au.add_argument("input")
     au.add_argument("gam")
     au.add_argument("-o", "--output", required=True)
+    au.add_argument("-Z", "--translation",
+                    help="write the old->new node translation (JSON)")
+    au.add_argument("-m", "--min-coverage", type=int, default=0,
+                    help="only embed edits supported by >= N reads")
     au.set_defaults(func=cmd_augment)
+
+    tr2 = sub.add_parser("translate",
+                         help="project GAM through an augment translation")
+    tr2.add_argument("translation")
+    tr2.add_argument("gam")
+    tr2.add_argument("-x", "--graph", required=True,
+                     help="the augmented graph")
+    tr2.add_argument("--output")
+    tr2.set_defaults(func=cmd_translate)
+
+    gt = sub.add_parser("genotype",
+                        help="legacy augment-based genotyper")
+    gt.add_argument("graph")
+    gt.add_argument("gam")
+    gt.add_argument("-p", "--path")
+    gt.add_argument("-s", "--sample", default="SAMPLE")
+    gt.add_argument("-m", "--min-support", type=int, default=3,
+                    help="augment support threshold for novel edits")
+    gt.set_defaults(func=cmd_genotype)
+
+    cc = sub.add_parser("concat", help="join graphs head-to-tail")
+    cc.add_argument("inputs", nargs="+")
+    cc.add_argument("-o", "--output", required=True)
+    cc.set_defaults(func=cmd_concat)
+
+    gb = sub.add_parser("gbwt",
+                        help="haplotype index report / GBZ export")
+    gb.add_argument("-Z", "--index-prefix", required=True)
+    gb.add_argument("-o", "--output", help="export GBZ here")
+    gb.set_defaults(func=cmd_gbwt)
+
+    km = sub.add_parser("kmers", help="graph kmers with positions")
+    km.add_argument("-Z", "--index-prefix", required=True)
+    km.add_argument("-k", "--kmer-size", type=int, default=16)
+    km.add_argument("--head", type=int, default=0,
+                    help="stop after N kmers (0 = all)")
+    km.set_defaults(func=cmd_kmers)
+
+    mz = sub.add_parser("minimizer",
+                        help="(re)build the minimizer index standalone")
+    mz.add_argument("-Z", "--index-prefix", required=True)
+    mz.add_argument("-k", "--kmer-length", type=int, default=29)
+    mz.add_argument("-w", "--window-length", type=int, default=11)
+    mz.add_argument("-o", "--output")
+    mz.set_defaults(func=cmd_minimizer)
 
     ad = sub.add_parser("add", help="embed new VCF alleles into a graph")
     ad.add_argument("input")

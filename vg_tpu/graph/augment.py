@@ -41,16 +41,17 @@ def augment(g: ArrayGraph, alns: Sequence[Alignment],
     """Return (augmented graph, translation). Novel SNPs/insertions become
     new nodes; deletions become new edges; reference paths are preserved
     through the splits."""
-    # -- phase 1: breakpoints per node (forward-strand offsets)
-    breaks: Dict[int, Set[int]] = {}
-    novel: List[Tuple] = []   # ('S', node, fwd_off, len, seq) | ('D', node, a, node2, b) | ('I', ...)
-
+    # -- phase 0: collect novel events with support counts; identical
+    # edits from different reads are ONE event (one new node), and
+    # events below min_coverage are dropped entirely (the reference's
+    # augment -m support filter, src/augment.cpp min_aug_support)
     def fwd_interval(g, node_id, offset, from_len, is_rev):
         nlen = g.node_len(node_id)
         if is_rev:
             return nlen - offset - from_len, nlen - offset
         return offset, offset + from_len
 
+    event_count: Dict[Tuple, int] = {}
     for aln in alns:
         if aln.path is None:
             continue
@@ -58,18 +59,36 @@ def augment(g: ArrayGraph, alns: Sequence[Alignment],
             p = mp.position
             off = p.offset
             for e in mp.edits:
+                key = None
                 if e.from_length and e.to_length and e.sequence:
-                    a, b = fwd_interval(g, p.node_id, off, e.from_length,
+                    a, z = fwd_interval(g, p.node_id, off, e.from_length,
                                         p.is_reverse)
-                    breaks.setdefault(p.node_id, set()).update((a, b))
-                elif e.from_length and not e.to_length:  # deletion
-                    a, b = fwd_interval(g, p.node_id, off, e.from_length,
+                    seq = e.sequence if not p.is_reverse else \
+                        dna.revcomp_str(e.sequence)
+                    key = ("S", p.node_id, a, z, seq)
+                elif e.from_length and not e.to_length:
+                    a, z = fwd_interval(g, p.node_id, off, e.from_length,
                                         p.is_reverse)
-                    breaks.setdefault(p.node_id, set()).update((a, b))
-                elif e.to_length and not e.from_length:  # insertion
+                    key = ("D", p.node_id, a, z)
+                elif e.to_length and not e.from_length and e.sequence:
                     a, _ = fwd_interval(g, p.node_id, off, 0, p.is_reverse)
-                    breaks.setdefault(p.node_id, set()).add(a)
+                    seq = e.sequence if not p.is_reverse else \
+                        dna.revcomp_str(e.sequence)
+                    key = ("I", p.node_id, a, seq)
+                if key is not None:
+                    event_count[key] = event_count.get(key, 0) + 1
                 off += e.from_length
+    events = [k for k, n in event_count.items() if n >= min_coverage]
+
+    # -- phase 1: breakpoints per node from the qualifying events
+    breaks: Dict[int, Set[int]] = {}
+    for ev in events:
+        if ev[0] in ("S", "D"):
+            _, nid_e, a, z = ev[:4]
+            breaks.setdefault(nid_e, set()).update((a, z))
+        else:
+            _, nid_e, a, _ = ev
+            breaks.setdefault(nid_e, set()).add(a)
 
     # -- phase 2: split nodes
     b = GraphBuilder()
@@ -121,72 +140,37 @@ def augment(g: ArrayGraph, alns: Sequence[Alignment],
         b.add_path(meta.name, steps, meta.sense, meta.sample, meta.locus,
                    meta.haplotype, meta.is_circular)
 
-    # -- phase 3: thread novel alleles
-    def piece_at(nid, fwd_off, side):
-        """Piece id whose interval contains fwd_off; side='start' prefers
-        the piece beginning at fwd_off, side='end' the piece ending there."""
-        parts = trans.pieces[nid]
-        for j, (p, off) in enumerate(parts):
-            nxt = parts[j + 1][1] if j + 1 < len(parts) else g.node_len(nid)
-            if side == "start" and off == fwd_off:
-                return p, "begin"
-            if side == "end" and nxt == fwd_off:
-                return p, "end"
-            if off <= fwd_off < nxt:
-                return p, "within"
-        return parts[-1][0], "within"
-
-    for aln in alns:
-        if aln.path is None:
-            continue
-        mappings = aln.path.mappings
-        prev_exit: Optional[Tuple[int, bool]] = None   # (piece handle end)
-        for mp in mappings:
-            p = mp.position
-            off = p.offset
-            for e in mp.edits:
-                if e.from_length and e.to_length and e.sequence:
-                    # SNP/MNP: new node parallel to the split piece
-                    a, z = fwd_interval(g, p.node_id, off, e.from_length,
-                                        p.is_reverse)
-                    seq = e.sequence if not p.is_reverse else \
-                        dna.revcomp_str(e.sequence)
-                    new = next_id
-                    next_id += 1
-                    b.add_node(seq, node_id=new)
-                    pe, _ = piece_at(p.node_id, a, "end")  # piece before a
-                    ps, _ = piece_at(p.node_id, z, "start")
-                    # connect neighbors of the replaced piece
-                    left = _piece_before(g, trans, b, p.node_id, a)
-                    right = _piece_after(g, trans, b, p.node_id, z)
-                    for ln, lrev in left:
-                        b.add_edge(ln, new, lrev, False)
-                    for rn, rrev in right:
-                        b.add_edge(new, rn, False, rrev)
-                elif e.to_length and not e.from_length and e.sequence:
-                    # insertion: new node spliced between flanking pieces
-                    a, _ = fwd_interval(g, p.node_id, off, 0, p.is_reverse)
-                    seq = e.sequence if not p.is_reverse else \
-                        dna.revcomp_str(e.sequence)
-                    new = next_id
-                    next_id += 1
-                    b.add_node(seq, node_id=new)
-                    left = _piece_before(g, trans, b, p.node_id, a)
-                    right = _piece_after(g, trans, b, p.node_id, a)
-                    for ln, lrev in left:
-                        b.add_edge(ln, new, lrev, False)
-                    for rn, rrev in right:
-                        b.add_edge(new, rn, False, rrev)
-                elif e.from_length and not e.to_length:
-                    # deletion: edge jumping the deleted pieces
-                    a, z = fwd_interval(g, p.node_id, off, e.from_length,
-                                        p.is_reverse)
-                    left = _piece_before(g, trans, b, p.node_id, a)
-                    right = _piece_after(g, trans, b, p.node_id, z)
-                    for ln, lrev in left:
-                        for rn, rrev in right:
-                            b.add_edge(ln, rn, lrev, rrev)
-                off += e.from_length
+    # -- phase 3: thread novel alleles (one node per unique event)
+    for ev in events:
+        if ev[0] == "S":
+            _, nid_e, a, z, seq = ev
+            new = next_id
+            next_id += 1
+            b.add_node(seq, node_id=new)
+            left = _piece_before(g, trans, b, nid_e, a)
+            right = _piece_after(g, trans, b, nid_e, z)
+            for ln, lrev in left:
+                b.add_edge(ln, new, lrev, False)
+            for rn, rrev in right:
+                b.add_edge(new, rn, False, rrev)
+        elif ev[0] == "I":
+            _, nid_e, a, seq = ev
+            new = next_id
+            next_id += 1
+            b.add_node(seq, node_id=new)
+            left = _piece_before(g, trans, b, nid_e, a)
+            right = _piece_after(g, trans, b, nid_e, a)
+            for ln, lrev in left:
+                b.add_edge(ln, new, lrev, False)
+            for rn, rrev in right:
+                b.add_edge(new, rn, False, rrev)
+        else:
+            _, nid_e, a, z = ev
+            left = _piece_before(g, trans, b, nid_e, a)
+            right = _piece_after(g, trans, b, nid_e, z)
+            for ln, lrev in left:
+                for rn, rrev in right:
+                    b.add_edge(ln, rn, lrev, rrev)
     return b.freeze(), trans
 
 
@@ -298,3 +282,92 @@ def add_variants(g: ArrayGraph, vcf, contig_map=None):
                 alns.append(Alignment(
                     name=f"_add_{rec.chrom}_{rec.pos}", path=path))
     return augment(g, alns)
+
+
+def translate_path(trans: Translation, g_new: ArrayGraph, path):
+    """Project a Path expressed against the pre-augment graph onto the
+    augmented graph (vg translate role, reference
+    src/subcommand/translate_main.cpp + src/translator.cpp): mappings on
+    split nodes are cut at the new node boundaries, with edits split by
+    from-length and insertions attached to the current mapping."""
+    from ..io.gam import Edit, Mapping, Path, Position
+
+    out = Path()
+    for mp in path.mappings:
+        old = mp.position.node_id
+        parts = trans.pieces.get(old)
+        if not parts or (len(parts) == 1 and parts[0][0] == old):
+            out.mappings.append(mp)
+            continue
+        rev = mp.position.is_reverse
+        from_total = sum(e.from_length for e in mp.edits)
+        old_len = sum(g_new.node_len(nid) for nid, _ in parts)
+        # forward-strand interval covered in the old node
+        fs = mp.position.offset if not rev \
+            else old_len - mp.position.offset - from_total
+        # pieces overlapped, in forward order
+        spans = []   # (new id, piece fwd start, piece len)
+        for k, (nid, off) in enumerate(parts):
+            plen = (parts[k + 1][1] - off if k + 1 < len(parts)
+                    else old_len - off)
+            pe = off + plen
+            if pe <= fs or off >= fs + from_total:
+                if from_total > 0 or not (off <= fs < pe or
+                                          (from_total == 0 and off <= fs <= pe)):
+                    continue
+            spans.append((nid, off, plen))
+        if not spans:
+            spans = [(parts[0][0], parts[0][1],
+                      g_new.node_len(parts[0][0]))]
+        if rev:
+            spans = spans[::-1]
+        # walk edits across the spans in visit order
+        new_maps = []
+        si = 0
+
+        def span_visit(k):
+            nid, off, plen = spans[k]
+            lo = max(off, fs)
+            hi = min(off + plen, fs + from_total)
+            take = max(hi - lo, 0)
+            voff = (lo - off) if not rev else (off + plen - max(hi, lo))
+            return nid, voff, take
+
+        nid, voff, left = span_visit(0)
+        cur = Mapping(position=Position(node_id=nid, offset=voff,
+                                        is_reverse=rev))
+        new_maps.append(cur)
+        for e in mp.edits:
+            fl = e.from_length
+            if fl == 0:
+                cur.edits.append(e)
+                continue
+            done = 0
+            while fl > 0:
+                if left == 0 and si + 1 < len(spans):
+                    si += 1
+                    nid, voff, left = span_visit(si)
+                    cur = Mapping(position=Position(
+                        node_id=nid, offset=voff, is_reverse=rev))
+                    new_maps.append(cur)
+                take = min(fl, left) if left else fl
+                if e.to_length == e.from_length:
+                    seq = e.sequence[done : done + take] if e.sequence \
+                        else ""
+                    cur.edits.append(Edit(from_length=take,
+                                          to_length=take, sequence=seq))
+                else:   # deletion (to_length 0)
+                    cur.edits.append(Edit(from_length=take, to_length=0))
+                left -= take
+                fl -= take
+                done += take
+        out.mappings.extend(new_maps)
+    for rank, mp in enumerate(out.mappings, 1):
+        mp.rank = rank
+    return out
+
+
+def translate_alignment(trans: Translation, g_new: ArrayGraph, aln):
+    if aln.path is not None and aln.path.mappings:
+        aln.path = translate_path(trans, g_new, aln.path)
+    return aln

@@ -329,3 +329,47 @@ def clip_regions(g: ArrayGraph, ref_path: str,
                 doomed.add(nid)
     keep = [nid for idx, nid in enumerate(node_ids) if nid not in doomed]
     return subgraph(g, keep)
+
+
+def concat(graphs: Sequence[ArrayGraph]) -> ArrayGraph:
+    """Serial concatenation (vg concat role): graphs joined head-to-tail
+    — every forward tail (no forward out-edge) of graph i gets an edge to
+    every forward head (no forward in-edge) of graph i+1. Node ids are
+    offset to stay unique; same-name paths are concatenated in order."""
+    b = GraphBuilder()
+    offset = 0
+    prev_tails: List[int] = []
+    path_steps: dict = {}
+    path_meta: dict = {}
+    for g in graphs:
+        id_map = {}
+        for i in range(g.node_count):
+            nid = int(g.node_id[i])
+            new_id = nid + offset
+            id_map[nid] = new_id
+            b.add_node(g.seq[g.seq_start[i] : g.seq_start[i + 1]],
+                       node_id=new_id)
+        for f_id, f_rev, t_id, t_rev in g.iter_edges():
+            b.add_edge(id_map[f_id], id_map[t_id], bool(f_rev), bool(t_rev))
+        # heads: no forward in-edge; tails: no forward out-edge
+        heads, tails = [], []
+        for i in range(g.node_count):
+            if len(g.follow(i * 2 + 1)) == 0:     # nothing precedes fwd
+                heads.append(id_map[int(g.node_id[i])])
+            if len(g.follow(i * 2)) == 0:         # nothing follows fwd
+                tails.append(id_map[int(g.node_id[i])])
+        for t in prev_tails:
+            for h in heads:
+                b.add_edge(t, h)
+        prev_tails = tails
+        for pi, meta in enumerate(g.path_meta):
+            steps = [(id_map[int(g.node_id[int(h) >> 1])], bool(int(h) & 1))
+                     for h in g.path_handles(pi)]
+            path_steps.setdefault(meta.name, []).extend(steps)
+            path_meta.setdefault(meta.name, meta)
+        offset += int(g.node_id[-1]) if g.node_count else 0
+    for name, steps in path_steps.items():
+        m = path_meta[name]
+        b.add_path(name, steps, m.sense, m.sample, m.locus, m.haplotype,
+                   m.is_circular)
+    return b.freeze()
