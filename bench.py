@@ -81,18 +81,49 @@ def simulate_reads(rng, haps, n_reads, read_len=150, err=0.01):
     return reads
 
 
+def make_sample_texts(rng, haps, novel_snp=0.0005, novel_indel=0.00005):
+    """Held-out diploid: two mutated copies of indexed haplotypes with
+    NOVEL variation (SNPs + small indels) the index has never seen — so
+    bench reads are not substrings of the indexed text (the round-1
+    verdict's circularity critique)."""
+    out = []
+    for _ in range(2):
+        t = haps.text.copy()
+        n_snp = rng.binomial(len(t), novel_snp)
+        ps = rng.integers(0, len(t), n_snp)
+        t[ps] = (t[ps] + 1 + rng.integers(0, 3, n_snp)) % 4
+        parts = []
+        cur = 0
+        for p in np.sort(rng.integers(100, len(t) - 100,
+                                      rng.binomial(len(t), novel_indel))):
+            p = int(p)
+            if p <= cur:
+                continue
+            parts.append(t[cur:p])
+            if rng.random() < 0.5:
+                parts.append(rng.integers(0, 4, int(rng.integers(1, 6)))
+                             .astype(np.uint8))
+                cur = p
+            else:
+                cur = p + int(rng.integers(1, 6))
+        parts.append(t[cur:])
+        out.append(np.concatenate(parts))
+    return out
+
+
 def simulate_pairs(rng, haps, n_pairs, read_len=150, err=0.01,
-                   frag_mean=450, frag_sd=50):
+                   frag_mean=450, frag_sd=50, sample_texts=None):
     from vg_tpu.io.fastq import Read
     from vg_tpu.utils import dna
 
-    T = haps.total_len
+    texts = sample_texts if sample_texts is not None else [haps.text]
     out = []
     for i in range(n_pairs):
+        t = texts[int(rng.integers(0, len(texts)))]
         frag = max(int(rng.normal(frag_mean, frag_sd)), read_len + 10)
-        s = int(rng.integers(0, T - frag))
-        c1 = haps.text[s : s + read_len].copy()
-        c2 = haps.text[s + frag - read_len : s + frag].copy()
+        s = int(rng.integers(0, len(t) - frag))
+        c1 = t[s : s + read_len].copy()
+        c2 = t[s + frag - read_len : s + frag].copy()
         for c in (c1, c2):
             nerr = rng.binomial(read_len, err)
             for _ in range(nerr):
@@ -133,7 +164,9 @@ def main():
 
         pm = PairedGiraffeMapper(mapper)
         n_pairs = n_bench // 2
-        pairs = simulate_pairs(rng, haps, n_pairs + bs)
+        sample_texts = make_sample_texts(rng, haps)
+        pairs = simulate_pairs(rng, haps, n_pairs + bs,
+                               sample_texts=sample_texts)
         pm.map_pairs(pairs[:bs])            # warmup: compile + fragdist
         # warm the finalized-path device step too (device pair selection
         # compiles lazily on its first use)
