@@ -93,21 +93,31 @@ def make_sample_texts(rng, haps, novel_snp=0.0005, novel_indel=0.00005):
         ps = rng.integers(0, len(t), n_snp)
         t[ps] = (t[ps] + 1 + rng.integers(0, 3, n_snp)) % 4
         parts = []
+        # sample-pos -> original-pos anchors for truth evaluation
+        anchors_s = [0]
+        anchors_o = [0]
         cur = 0
+        built = 0
         for p in np.sort(rng.integers(100, len(t) - 100,
                                       rng.binomial(len(t), novel_indel))):
             p = int(p)
             if p <= cur:
                 continue
             parts.append(t[cur:p])
+            built += p - cur
             if rng.random() < 0.5:
-                parts.append(rng.integers(0, 4, int(rng.integers(1, 6)))
-                             .astype(np.uint8))
+                ins = rng.integers(0, 4, int(rng.integers(1, 6)))
+                parts.append(ins.astype(np.uint8))
+                built += len(ins)
                 cur = p
             else:
                 cur = p + int(rng.integers(1, 6))
+            anchors_s.append(built)
+            anchors_o.append(cur)
         parts.append(t[cur:])
-        out.append(np.concatenate(parts))
+        out.append((np.concatenate(parts),
+                    np.array(anchors_s, np.int64),
+                    np.array(anchors_o, np.int64)))
     return out
 
 
@@ -116,10 +126,15 @@ def simulate_pairs(rng, haps, n_pairs, read_len=150, err=0.01,
     from vg_tpu.io.fastq import Read
     from vg_tpu.utils import dna
 
-    texts = sample_texts if sample_texts is not None else [haps.text]
+    if sample_texts is not None:
+        texts = sample_texts
+    else:
+        texts = [(haps.text, np.zeros(1, np.int64), np.zeros(1, np.int64))]
     out = []
+    truth = []   # original-text coordinate of read 1's start
     for i in range(n_pairs):
-        t = texts[int(rng.integers(0, len(texts)))]
+        ti = int(rng.integers(0, len(texts)))
+        t, anc_s, anc_o = texts[ti]
         frag = max(int(rng.normal(frag_mean, frag_sd)), read_len + 10)
         s = int(rng.integers(0, len(t) - frag))
         c1 = t[s : s + read_len].copy()
@@ -129,8 +144,11 @@ def simulate_pairs(rng, haps, n_pairs, read_len=150, err=0.01,
             for _ in range(nerr):
                 p = int(rng.integers(0, read_len))
                 c[p] = (c[p] + 1 + rng.integers(0, 3)) % 4
+        a = int(np.searchsorted(anc_s, s, side="right")) - 1
+        truth.append(s - int(anc_s[a]) + int(anc_o[a]))
         out.append((Read(f"p{i}/1", dna.decode(c1), None),
                     Read(f"p{i}/2", dna.decode(dna.revcomp_codes(c2)), None)))
+    simulate_pairs.last_truth = truth
     return out
 
 
@@ -186,6 +204,35 @@ def main():
             f"[bench] paired: {mapped} reads in {dt:.2f}s -> "
             f"{out.getbuffer().nbytes/1e6:.1f} MB GAM\n")
         metric = "giraffe_sr_paired_reads_per_s_per_chip"
+        # correctness ON THE BENCH WORKLOAD itself: decode a sample of
+        # the emitted records and compare refpos to the held-out truth
+        try:
+            from vg_tpu.io.gam import Alignment, read_messages
+
+            truth = simulate_pairs.last_truth
+            n_eval = 2000
+            recs_it = read_messages(out.getvalue())
+            got_ok = tot = 0
+            for k in range(min(n_eval, n_pairs)):
+                r1 = Alignment.decode(next(recs_it))
+                next(recs_it)                      # skip mate
+                t_text = truth[bs + k]
+                want_rp, want_ro = mapper._diag_refproj(
+                    np.array([[t_text - mapper.params.band_radius]]),
+                    np.array([[True]]))
+                tot += 1
+                if r1.refpos:
+                    got = int(r1.refpos[0].offset)
+                    want = int(want_ro[0, 0])
+                    # fwd reads anchor at the start; read1 may be the
+                    # reverse mate of the fragment in either orientation
+                    if abs(got - want) <= 200:
+                        got_ok += 1
+            sys.stderr.write(
+                f"[bench] bench-workload accuracy: {got_ok/max(tot,1):.4f} "
+                f"({got_ok}/{tot} read1 within 200bp of truth)\n")
+        except Exception as e:
+            sys.stderr.write(f"[bench] workload accuracy failed: {e}\n")
     else:
         import io as _io
 
