@@ -239,7 +239,11 @@ def main():
         from vg_tpu.io.gam import write_messages
 
         reads = simulate_reads(rng, haps, n_bench + bs)
-        mapper.map_batch(reads[:bs])
+        # warm the packed single-end step (compile) + emit path
+        sb_w = mapper.score_reads_packed(reads[:bs])
+        recs_w = mapper.emit_batch_encoded(sb_w)
+        if recs_w is None:
+            mapper.map_batch(reads[:bs])
         from vg_tpu.parallel.pipeline import map_stream_encoded_mt
 
         out = _io.BytesIO()

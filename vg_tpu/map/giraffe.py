@@ -630,6 +630,147 @@ class GiraffeMapper:
         ro = np.where(cand_valid, self._node_ref_off[nidx] + fwd_off, 0)
         return rp.astype(np.int32), ro
 
+    def _resident_arrays(self):
+        """Device-resident index arrays shared by the packed single and
+        paired steps (hap bounds, step table, node lens, ref projection)."""
+        if getattr(self, "_resident_dev", None) is None:
+            import jax
+
+            dev32 = lambda a: jax.device_put(np.asarray(a, np.int32))
+            g = self.graph
+            self._resident_dev = (
+                dev32(self.haps.text_start),
+                dev32(self.haps.step_text_pos),
+                dev32(self.haps.steps),
+                dev32(g.seq_start[1:] - g.seq_start[:-1]),
+                dev32(self._node_ref_path),
+                dev32(self._node_ref_off))
+        return self._resident_dev
+
+    def _get_single_step(self):
+        """Jitted transfer-compressed single-end step: DP + distinct
+        dedup + winner + MAPQ + winner mismatch bitmaps in ONE dispatch
+        (parallel/mesh.make_single_step). Built lazily."""
+        if getattr(self, "_single_step", None) is None:
+            import jax
+            import jax.numpy as jnp
+            from jax import lax
+
+            from ..ops.xfer import revcomp_dev, unpack_reads4_dev
+            from ..parallel.mesh import (derive_candidate_meta,
+                                         make_single_step)
+
+            p = self.params
+            if self.text_packed_dev is not None:
+                from ..ops.pallas_align import banded_scores_packed
+
+                T = len(self.haps.text)
+
+                def score_fn(text, reads, rc, rlen, cand):
+                    return banded_scores_packed(
+                        text, T, reads, rc, rlen, *cand[:5],
+                        band_radius=p.band_radius, match=p.match,
+                        mismatch=p.mismatch, gap_open=p.gap_open,
+                        gap_extend=p.gap_extend,
+                        bonus=p.full_length_bonus)
+
+                text_arg = self.text_packed_dev
+            else:
+                score_fn = None
+                text_arg = self.text_dev
+            step = make_single_step(
+                band_radius=p.band_radius, match=p.match,
+                mismatch=p.mismatch, gap_open=p.gap_open,
+                gap_extend=p.gap_extend, bonus=p.full_length_bonus,
+                max_mapq=p.max_mapq, score_fn=score_fn,
+                text_packed=self.text_packed_dev is not None,
+                text_len=len(self.haps.text))
+            B = p.band_radius
+            bonus = p.full_length_bonus
+
+            def packed_single(text, hb, stp, steps, nlen, nrp, nro,
+                              rp, rl, ca, cf):
+                r = unpack_reads4_dev(rp)
+                rc = revcomp_dev(r, rl)
+                valid = (cf & 1).astype(bool)
+                rev = ((cf >> 1) & 1).astype(bool)
+                lo, hi, rpth, ro = derive_candidate_meta(
+                    ca + B, hb, stp, steps, nlen, nrp, nro)
+                s, j, mapq, anyv, mm, bits = step(
+                    text, r, rc, rl, (ca, lo, hi, rev, valid, rpth, ro), 2)
+                i16 = lambda a: jnp.clip(a, -32768,
+                                         32767).astype(jnp.int16)
+                R_, C_ = s.shape
+                if r.shape[1] + 2 * bonus <= 191 and C_ % 2 == 0:
+                    s_out = lax.bitcast_convert_type(
+                        jnp.clip(s - 64, -128, 127).astype(jnp.int8)
+                        .reshape(R_, C_ // 2, 2), jnp.int16).ravel()
+                else:
+                    s_out = i16(s).ravel()
+                return jnp.concatenate([
+                    s_out, i16(j), i16(mapq), anyv.astype(jnp.int16),
+                    i16(mm),
+                    lax.bitcast_convert_type(bits, jnp.int16).ravel()])
+
+            self._single_step = (jax.jit(packed_single), text_arg,
+                                 self._resident_arrays())
+        return self._single_step
+
+    def score_reads_packed(self, reads: Sequence[Read]) -> "ScoredBatch":
+        """score_reads variant where winner selection + MAPQ + mismatch
+        bitmaps also run on device and everything returns as ONE int16
+        buffer (fetched lazily by emit_batch_encoded)."""
+        from ..ops.xfer import pack_reads4
+
+        prep = self.prepare_batch(reads)
+        step, text_arg, resident = self._get_single_step()
+        flags = (prep["cand_valid"].astype(np.int8)
+                 | (prep["cand_rev"].astype(np.int8) << 1))
+        rp = pack_reads4(prep["reads_arr"])
+        packed = step(text_arg, *resident, rp, prep["rlens"],
+                      prep["cand_start"], flags)
+        R = len(reads)
+        sb = ScoredBatch(
+            reads=list(reads), codes=prep["codes"],
+            codes_rc=prep["codes_rc"],
+            cand_start=prep["cand_start"][:R], cand_lo=prep["cand_lo"][:R],
+            cand_hi=prep["cand_hi"][:R], cand_rev=prep["cand_rev"][:R],
+            cand_valid=prep["cand_valid"][:R], scores_raw=None,
+            cand_refpath=prep["cand_refpath"],
+            cand_refoff=prep["cand_refoff"])
+        Rpad, C = prep["cand_start"].shape
+        s_i8 = (rp.shape[1] * 8 + 2 * self.params.full_length_bonus <= 191
+                and C % 2 == 0)
+        sb._packed_single = (packed, Rpad, C, s_i8)
+        return sb
+
+    def _force_single_sel(self, sb: "ScoredBatch"):
+        """Fetch + unpack the single-step buffer into the ScoredBatch;
+        returns (best_j, mapq, any_valid)."""
+        packed, Rpad, C, s_i8 = sb._packed_single
+        sb._packed_single = None
+        R = len(sb.reads)
+        buf = np.asarray(packed)
+        if s_i8:
+            n = Rpad * C // 2
+            sb.scores_raw = (np.ascontiguousarray(buf[:n]).view(np.int8)
+                             .reshape(Rpad, C)[:R].astype(np.int32) + 64)
+        else:
+            n = Rpad * C
+            sb.scores_raw = buf[:n].reshape(Rpad, C)[:R].astype(np.int32)
+        off = n
+        j = buf[off : off + Rpad][:R].astype(np.int64)
+        mapq = buf[off + Rpad : off + 2 * Rpad][:R].astype(np.int32)
+        anyv = buf[off + 2 * Rpad : off + 3 * Rpad][:R].astype(bool)
+        off += 3 * Rpad
+        mm = buf[off : off + Rpad].astype(np.int32)
+        off += Rpad
+        W2 = (len(buf) - off) // Rpad
+        bits = np.ascontiguousarray(
+            buf[off:].reshape(Rpad, W2)).view(np.int32)
+        sb.winner_mism = (j.copy(), mm[:R], bits[:R])
+        return j, mapq, anyv
+
     def _device_scores(self, reads_arr, reads_rc_arr, rlens, cand_start,
                        cand_lo, cand_hi, cand_rev, cand_valid,
                        band_radius):
@@ -713,7 +854,7 @@ class GiraffeMapper:
         fast path; falls back to object emission + encode)."""
         pending = None
         for batch in batches:
-            sb = self.score_reads(batch)
+            sb = self.score_reads_packed(batch)
             if pending is not None:
                 recs = self.emit_batch_encoded(pending)
                 if recs is None:
@@ -745,6 +886,8 @@ class GiraffeMapper:
         only indel winners fall back to the per-read DP traceback."""
         from .mapq import log_base
 
+        if getattr(sb, "_packed_single", None) is not None:
+            self._force_single_sel(sb)     # fills scores_raw
         p = self.params
         R = len(sb.reads)
         scores = sb.scores
@@ -891,6 +1034,11 @@ class GiraffeMapper:
 
         if native_lib() is None:
             return None
+        if getattr(sb, "_packed_single", None) is not None:
+            # winner/mapq/bitmaps were computed on device in the packed
+            # single-end dispatch — one fetch, no host selection math
+            best_j, mapqs, any_valid = self._force_single_sel(sb)
+            return self.emit_chosen_encoded(sb, best_j, mapqs, any_valid)
         p = self.params
         R = len(sb.reads)
         scores = sb.scores

@@ -79,6 +79,46 @@ def sharded_map_step(mesh: Mesh, text, reads, reads_rc, rlen,
                             cand_lo, cand_hi, cand_rev, cand_valid)
 
 
+def winner_mismatch_bits(text, text_len, text_packed, B,
+                         reads, reads_rc, rlen, start, lo_a, hi_a, rev_a,
+                         j):
+    """Mismatch bitmap of the chosen winner's gapless alignment at its
+    seed diagonal, computed where the text already lives (HBM) so the
+    host emit path never re-gathers R x RL text windows. Bit k of word
+    w = mismatch at read column w*32+k."""
+    import jax.numpy as jnp
+
+    RL = reads.shape[1]
+    W = (RL + 31) // 32
+    T = text_len if text_len is not None else text.shape[0]
+    take = lambda a: jnp.take_along_axis(a, j[:, None], 1)[:, 0]
+    diag = take(start).astype(jnp.int32) + B
+    lo_w = take(lo_a)
+    hi_w = take(hi_a)
+    rev_w = take(rev_a).astype(bool)
+    pos = diag[:, None] + jnp.arange(RL, dtype=jnp.int32)
+    okm = ((pos >= lo_w[:, None]) & (pos < hi_w[:, None])
+           & (pos >= 0) & (pos < T))
+    if text_packed:
+        # 4-bit packed text (pallas_align.pack_text): base at p is
+        # nibble p%8 of int32 word p//8
+        word = text[jnp.clip(pos >> 3, 0, text.shape[0] - 1)]
+        base = ((word >> ((pos & 7) * 4)) & 15).astype(jnp.uint8)
+        tw = jnp.where(okm, base, jnp.uint8(align_ops.SENTINEL))
+    else:
+        tw = jnp.where(okm, text[jnp.clip(pos, 0, text.shape[0] - 1)],
+                       jnp.uint8(align_ops.SENTINEL))
+    oriented = jnp.where(rev_w[:, None], reads_rc, reads)
+    inread = jnp.arange(RL)[None, :] < rlen[:, None]
+    msk = ((tw != oriented) | (oriented >= 4)) & inread
+    mm = msk.sum(axis=1).astype(jnp.int32)
+    padded = jnp.pad(msk, ((0, 0), (0, W * 32 - RL)))
+    words = (padded.reshape(-1, W, 32).astype(jnp.uint32)
+             << jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+             ).sum(axis=2, dtype=jnp.uint32)
+    return mm, words.astype(jnp.int32)
+
+
 def derive_candidate_meta(diag, hb, stp, steps, node_len, nrp, nro):
     """Per-candidate (lo, hi, refpath, refoff) derived ON DEVICE from the
     seed diagonal text position and resident index arrays — so the host
@@ -116,6 +156,58 @@ def _distinct_mask(scores, rev, rp, ro, valid, tol):
         & (idx[None, None, :] < idx[None, :, None]))
     dup = (same & better & valid[:, None, :]).any(axis=2)
     return ~dup
+
+
+def make_single_step(band_radius: int = 16, match: int = 1,
+                     mismatch: int = 4, gap_open: int = 6,
+                     gap_extend: int = 1, bonus: int = 5,
+                     max_mapq: int = 60, score_fn=None,
+                     text_packed: bool = False,
+                     text_len: Optional[int] = None):
+    """Single-end device step: DP scores + distinct-placement dedup +
+    winner + MAPQ + winner mismatch bitmaps, one dispatch (the
+    jnp port of GiraffeMapper.emit_batch_encoded's host selection)."""
+    from ..map.mapq import log_base
+
+    lam = log_base(match, mismatch)
+    B = band_radius
+
+    if score_fn is None:
+        def score_fn(text, reads, reads_rc, rlen, cand):
+            return align_ops.banded_scores(
+                text, reads, reads_rc, rlen, *cand[:5],
+                band_radius=band_radius, match=match, mismatch=mismatch,
+                gap_open=gap_open, gap_extend=gap_extend, bonus=bonus)
+
+    def step(text, reads, reads_rc, rlen, cand, tol_div):
+        (c_start, c_lo, c_hi, c_rev, c_valid, c_rp, c_ro) = cand
+        s = score_fn(text, reads, reads_rc, rlen, cand)
+        R, C = s.shape
+        f = s.astype(jnp.float32)
+        valid = c_valid & (s > 0)
+        any_valid = valid.any(axis=1)
+        NEGF = jnp.float32(-1e30)
+        masked = jnp.where(valid, f, -1.0)
+        best_j = jnp.argmax(masked, axis=1)
+        best_s = jnp.take_along_axis(masked, best_j[:, None], 1)[:, 0]
+        tol = jnp.maximum(rlen // tol_div, 32)[:, None, None]
+        uniq = _distinct_mask(s, c_rev, c_rp, c_ro, valid, tol)
+        sc = jnp.where(valid & uniq, f * lam, NEGF)
+        mx = jnp.maximum(sc.max(axis=1), best_s * lam)
+        lse = mx + jnp.log(jnp.exp(sc - mx[:, None]).sum(axis=1))
+        delta = best_s * lam - lse
+        om = jnp.where(delta < -1e-12,
+                       jnp.log1p(-jnp.exp(jnp.minimum(delta, -1e-12))),
+                       -50.0)
+        mapq = jnp.clip(-10.0 / jnp.log(10.0) * om, 0, max_mapq)
+        mapq = jnp.where(jnp.isfinite(mapq), mapq, max_mapq)
+        mm, bits = winner_mismatch_bits(
+            text, text_len, text_packed, B, reads, reads_rc, rlen,
+            c_start, c_lo, c_hi, c_rev, best_j)
+        return (s, best_j.astype(jnp.int32), mapq.astype(jnp.int32),
+                any_valid, mm, bits)
+
+    return step
 
 
 def make_paired_step(band_radius: int = 16, match: int = 1,
@@ -225,46 +317,12 @@ def make_paired_step(band_radius: int = 16, match: int = 1,
         j1 = jnp.where(use_pair, j1p, b1)
         j2 = jnp.where(use_pair, j2p, b2)
 
-        def winner_bits(reads, reads_rc, rlen, start, lo_a, hi_a, rev_a, j):
-            """Mismatch bitmap of the chosen winner's gapless alignment at
-            its seed diagonal, computed where the text already lives (HBM)
-            so the host emit path never re-gathers R x RL text windows.
-            Bit k of word w = mismatch at read column w*32+k."""
-            RL = reads.shape[1]
-            W = (RL + 31) // 32
-            T = text_len if text_len is not None else text.shape[0]
-            take = lambda a: jnp.take_along_axis(a, j[:, None], 1)[:, 0]
-            diag = take(start).astype(jnp.int32) + B
-            lo_w = take(lo_a)
-            hi_w = take(hi_a)
-            rev_w = take(rev_a).astype(bool)
-            pos = diag[:, None] + jnp.arange(RL, dtype=jnp.int32)
-            okm = ((pos >= lo_w[:, None]) & (pos < hi_w[:, None])
-                   & (pos >= 0) & (pos < T))
-            if text_packed:
-                # 4-bit packed text (pallas_align.pack_text): base at p is
-                # nibble p%8 of int32 word p//8
-                word = text[jnp.clip(pos >> 3, 0, text.shape[0] - 1)]
-                base = ((word >> ((pos & 7) * 4)) & 15).astype(jnp.uint8)
-                tw = jnp.where(okm, base, jnp.uint8(align_ops.SENTINEL))
-            else:
-                tw = jnp.where(okm,
-                               text[jnp.clip(pos, 0, text.shape[0] - 1)],
-                               jnp.uint8(align_ops.SENTINEL))
-            oriented = jnp.where(rev_w[:, None], reads_rc, reads)
-            inread = jnp.arange(RL)[None, :] < rlen[:, None]
-            msk = ((tw != oriented) | (oriented >= 4)) & inread
-            mm = msk.sum(axis=1).astype(jnp.int32)
-            padded = jnp.pad(msk, ((0, 0), (0, W * 32 - RL)))
-            words = (padded.reshape(-1, W, 32).astype(jnp.uint32)
-                     << jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-                     ).sum(axis=2, dtype=jnp.uint32)
-            return mm, words.astype(jnp.int32)
-
-        mm1, bits1 = winner_bits(r1, r1rc, rl1, s1_start, s1_lo, s1_hi,
-                                 s1_rev, j1)
-        mm2, bits2 = winner_bits(r2, r2rc, rl2, s2_start, s2_lo, s2_hi,
-                                 s2_rev, j2)
+        mm1, bits1 = winner_mismatch_bits(
+            text, text_len, text_packed, B, r1, r1rc, rl1,
+            s1_start, s1_lo, s1_hi, s1_rev, j1)
+        mm2, bits2 = winner_mismatch_bits(
+            text, text_len, text_packed, B, r2, r2rc, rl2,
+            s2_start, s2_lo, s2_hi, s2_rev, j2)
         mq1s = end_mapq(f1, vd1, j1)
         mq2s = end_mapq(f2, vd2, j2)
         mq1 = jnp.where(use_pair, jnp.minimum(mq_pair, mq1s + 25), mq1s)

@@ -27,10 +27,13 @@ def map_stream_encoded_mt(mapper, batches: Iterable, depth: int = 3
     DONE = object()
     err: List[BaseException] = []
 
+    score = getattr(mapper, "score_reads_packed", None) or \
+        mapper.score_reads
+
     def seeder():
         try:
             for batch in batches:
-                q_scored.put(mapper.score_reads(batch))
+                q_scored.put(score(batch))
         except BaseException as e:   # propagate to consumer
             err.append(e)
         finally:
