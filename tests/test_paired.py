@@ -239,10 +239,21 @@ def test_device_winner_bitmap_matches_host(paired_mapper, ref_test_dir):
         inr = np.arange(RL)[None, :] < L_arr[:, None]
         mism = ((tw != orr) | (orr >= 4)) & inr
         np.testing.assert_array_equal(np.asarray(mm_dev)[:R], mism.sum(1))
-        bw = np.ascontiguousarray(np.asarray(bits)[:R]).view(np.uint32)
-        unp = np.unpackbits(bw.view(np.uint8).reshape(R, -1), axis=1,
-                            bitorder="little")[:, :RL]
-        np.testing.assert_array_equal(unp.astype(bool), mism)
+        payload = np.asarray(bits)
+        if payload.dtype == np.uint8:
+            # position-list wire format (reads <= 255bp)
+            from vg_tpu.ops.xfer import pos8_to_mism_rows
+
+            mmr = mism.sum(1)
+            rows = np.nonzero(mmr <= 8)[0]
+            rec = pos8_to_mism_rows(payload[rows], mmr[rows], RL)
+            np.testing.assert_array_equal(rec.astype(bool), mism[rows])
+            assert len(rows) == R or (mmr > 8).any()
+        else:
+            bw = np.ascontiguousarray(payload[:R]).view(np.uint32)
+            unp = np.unpackbits(bw.view(np.uint8).reshape(R, -1), axis=1,
+                                bitorder="little")[:, :RL]
+            np.testing.assert_array_equal(unp.astype(bool), mism)
         # the bitmaps must actually light up the gapless fast path
         scores = sb.scores
         best_s = scores[ar, bj]

@@ -707,10 +707,18 @@ class GiraffeMapper:
                         .reshape(R_, C_ // 2, 2), jnp.int16).ravel()
                 else:
                     s_out = i16(s).ravel()
+                if r.shape[1] <= 255:
+                    from ..ops.xfer import bits_to_pos8_dev
+
+                    b_out = lax.bitcast_convert_type(
+                        bits_to_pos8_dev(bits).reshape(R_, 4, 2),
+                        jnp.int16).ravel()
+                else:
+                    b_out = lax.bitcast_convert_type(
+                        bits, jnp.int16).ravel()
                 return jnp.concatenate([
                     s_out, i16(j), i16(mapq), anyv.astype(jnp.int16),
-                    i16(mm),
-                    lax.bitcast_convert_type(bits, jnp.int16).ravel()])
+                    i16(mm), b_out])
 
             self._single_step = (jax.jit(packed_single), text_arg,
                                  self._resident_arrays())
@@ -741,13 +749,14 @@ class GiraffeMapper:
         Rpad, C = prep["cand_start"].shape
         s_i8 = (rp.shape[1] * 8 + 2 * self.params.full_length_bonus <= 191
                 and C % 2 == 0)
-        sb._packed_single = (packed, Rpad, C, s_i8)
+        pos_mode = rp.shape[1] * 8 <= 255
+        sb._packed_single = (packed, Rpad, C, s_i8, pos_mode)
         return sb
 
     def _force_single_sel(self, sb: "ScoredBatch"):
         """Fetch + unpack the single-step buffer into the ScoredBatch;
         returns (best_j, mapq, any_valid)."""
-        packed, Rpad, C, s_i8 = sb._packed_single
+        packed, Rpad, C, s_i8, pos_mode = sb._packed_single
         sb._packed_single = None
         R = len(sb.reads)
         buf = np.asarray(packed)
@@ -766,9 +775,9 @@ class GiraffeMapper:
         mm = buf[off : off + Rpad].astype(np.int32)
         off += Rpad
         W2 = (len(buf) - off) // Rpad
-        bits = np.ascontiguousarray(
-            buf[off:].reshape(Rpad, W2)).view(np.int32)
-        sb.winner_mism = (j.copy(), mm[:R], bits[:R])
+        raw = np.ascontiguousarray(buf[off:].reshape(Rpad, W2))
+        payload = raw.view(np.uint8) if pos_mode else raw.view(np.int32)
+        sb.winner_mism = (j.copy(), mm[:R], payload[:R])
         return j, mapq, anyv
 
     def _device_scores(self, reads_arr, reads_rc_arr, rlens, cand_start,
@@ -1103,11 +1112,19 @@ class GiraffeMapper:
             return ((twr != orr) | (orr >= 4)) & inr
 
         wm = sb.winner_mism
-        if wm is not None and (wm[2].shape[1] * 32 < RL or not R):
+        pos_mode = wm is not None and wm[2].dtype == np.uint8
+        if wm is not None and not R:
+            wm = None
+        elif wm is not None and not pos_mode \
+                and wm[2].shape[1] * 32 < RL:
             wm = None
         if wm is not None:
-            dev_j, mm_dev, bits = wm
+            dev_j, mm_dev, payload = wm
             use_dev = best_j == dev_j[:R]
+            if pos_mode:
+                # the payload carries only the first 8 mismatch
+                # positions: rows with more recompute on host
+                use_dev &= mm_dev[:R] <= 8
             mm = np.where(use_dev, mm_dev[:R], 0).astype(np.int64)
             hrows = np.nonzero(~use_dev)[0]
             mism_h = host_mism(hrows) if len(hrows) else None
@@ -1130,11 +1147,18 @@ class GiraffeMapper:
         if Nw:
             wd = use_dev[w]
             if wd.any():
-                bw = np.ascontiguousarray(wm[2][w[wd]]).view(np.uint32)
-                unp = np.unpackbits(
-                    bw.view(np.uint8).reshape(int(wd.sum()), -1),
-                    axis=1, bitorder="little")
-                mism_w[wd] = unp[:, :RL]
+                if pos_mode:
+                    from ..ops.xfer import pos8_to_mism_rows
+
+                    mism_w[wd] = pos8_to_mism_rows(
+                        wm[2][w[wd]], mm[w[wd]].astype(np.int64), RL)
+                else:
+                    bw = np.ascontiguousarray(
+                        wm[2][w[wd]]).view(np.uint32)
+                    unp = np.unpackbits(
+                        bw.view(np.uint8).reshape(int(wd.sum()), -1),
+                        axis=1, bitorder="little")
+                    mism_w[wd] = unp[:, :RL]
             if (~wd).any():
                 posh = np.searchsorted(hrows, w[~wd])
                 mism_w[~wd] = mism_h[posh, :RL]

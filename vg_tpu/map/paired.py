@@ -451,13 +451,23 @@ class PairedGiraffeMapper:
                         .reshape(R_, C_ // 2, 2), jnp.int16).ravel()
                 else:
                     pack_s = lambda s: i16(s).ravel()
+                # mismatch payload: first-8 positions (8 bytes/read) when
+                # the read length fits a byte; full bitmap otherwise
+                if r1.shape[1] <= 255:
+                    from ..ops.xfer import bits_to_pos8_dev
+
+                    pack_b = lambda b: lax.bitcast_convert_type(
+                        bits_to_pos8_dev(b).reshape(R_, 4, 2),
+                        jnp.int16).ravel()
+                else:
+                    pack_b = lambda b: lax.bitcast_convert_type(
+                        b, jnp.int16).ravel()
                 return jnp.concatenate([
                     pack_s(s1), pack_s(s2),
                     i16(j1), i16(j2), i16(mq1), i16(mq2),
                     use_pair.astype(jnp.int16), i16(jnp.round(frags)),
                     i16(mm1), i16(mm2),
-                    lax.bitcast_convert_type(bits1, jnp.int16).ravel(),
-                    lax.bitcast_convert_type(bits2, jnp.int16).ravel()])
+                    pack_b(bits1), pack_b(bits2)])
 
             dev32 = lambda a: jax.device_put(np.asarray(a, np.int32))
             g = m.graph
@@ -504,6 +514,7 @@ class PairedGiraffeMapper:
         Rpad, C = p1["cand_start"].shape
         s_i8 = (w1[0].shape[1] * 8 + 2 * m.params.full_length_bonus <= 191
                 and C % 2 == 0)
+        pos_mode = w1[0].shape[1] * 8 <= 255
         sb1 = ScoredBatch(
             reads=reads1, codes=p1["codes"], codes_rc=p1["codes_rc"],
             cand_start=p1["cand_start"][:R], cand_lo=p1["cand_lo"][:R],
@@ -516,14 +527,14 @@ class PairedGiraffeMapper:
             cand_hi=p2["cand_hi"][:R], cand_rev=p2["cand_rev"][:R],
             cand_valid=p2["cand_valid"][:R], scores_raw=None,
             cand_refpath=p2["cand_refpath"], cand_refoff=p2["cand_refoff"])
-        sel = (packed, Rpad, C, sb1, sb2, s_i8)
+        sel = (packed, Rpad, C, sb1, sb2, s_i8, pos_mode)
         return sb1, sb2, sel
 
     def _force_device_sel(self, sel, R: int):
         """ONE device fetch of the packed buffer; unpack scores + winner
-        mismatch bitmaps into the two ScoredBatches and return the host
+        mismatch payloads into the two ScoredBatches and return the host
         selection arrays."""
-        packed, Rpad, C, sb1, sb2, s_i8 = sel
+        packed, Rpad, C, sb1, sb2, s_i8, pos_mode = sel
         buf = np.asarray(packed)          # int16 wire buffer
         if s_i8:
             # biased-int8 score pairs inside int16 units
@@ -542,14 +553,19 @@ class PairedGiraffeMapper:
         mm1 = buf[off : off + Rpad].astype(np.int32)
         mm2 = buf[off + Rpad : off + 2 * Rpad].astype(np.int32)
         off += 2 * Rpad
-        # bitmaps travel as int16 halves (lax.bitcast little-endian)
+        # mismatch payload: 8 uint8 positions (pos_mode) or bitmap words,
+        # both traveling as int16 halves (lax.bitcast little-endian)
         W2 = (len(buf) - off) // (2 * Rpad)
-        bits1 = np.ascontiguousarray(
-            buf[off : off + Rpad * W2].reshape(Rpad, W2)).view(np.int32)
-        bits2 = np.ascontiguousarray(
-            buf[off + Rpad * W2 :].reshape(Rpad, W2)).view(np.int32)
-        sb1.winner_mism = (rest[0, :R].astype(np.int64), mm1[:R], bits1[:R])
-        sb2.winner_mism = (rest[1, :R].astype(np.int64), mm2[:R], bits2[:R])
+        raw1 = np.ascontiguousarray(
+            buf[off : off + Rpad * W2].reshape(Rpad, W2))
+        raw2 = np.ascontiguousarray(
+            buf[off + Rpad * W2 :].reshape(Rpad, W2))
+        conv = (lambda a: a.view(np.uint8)) if pos_mode else \
+            (lambda a: a.view(np.int32))
+        sb1.winner_mism = (rest[0, :R].astype(np.int64), mm1[:R],
+                           conv(raw1)[:R])
+        sb2.winner_mism = (rest[1, :R].astype(np.int64), mm2[:R],
+                           conv(raw2)[:R])
         return (rest[0, :R], rest[1, :R], rest[2, :R], rest[3, :R],
                 rest[4, :R].astype(bool), rest[5, :R])
 

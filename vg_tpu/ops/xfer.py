@@ -58,3 +58,32 @@ def revcomp_dev(reads, rlen):
                             axis=1)
     comp = jnp.where(g < 4, 3 - g, g)
     return jnp.where(idx >= 0, comp, jnp.uint8(5))
+
+
+def bits_to_pos8_dev(bits):
+    """Device: (R, W) int32 mismatch bitmap words -> first 8 mismatch
+    column positions as (R, 8) uint8 (valid when the read length fits a
+    byte; rows with more than 8 mismatches fall back to a host gather on
+    the receive side). Stable argsort puts mismatch columns first in
+    column order."""
+    import jax.numpy as jnp
+
+    R, W = bits.shape
+    msk = (((bits[:, :, None] >> jnp.arange(32, dtype=jnp.int32)) & 1)
+           .astype(bool).reshape(R, W * 32))
+    order = jnp.argsort(~msk, axis=1, stable=True)[:, :8]
+    return order.astype(jnp.uint8)
+
+
+def pos8_to_mism_rows(pos8: np.ndarray, mm: np.ndarray, RL: int):
+    """Host: rebuild (len(pos8), RL) uint8 mismatch rows from position
+    lists (only rows with mm <= 8 are meaningful)."""
+    n = len(pos8)
+    out = np.zeros((n, RL), np.uint8)
+    if n:
+        k = np.arange(8)[None, :]
+        valid = k < mm[:, None]
+        rows = np.repeat(np.arange(n), 8).reshape(n, 8)
+        idx = np.minimum(pos8.astype(np.int64), RL - 1)
+        out[rows[valid], idx[valid]] = 1
+    return out
