@@ -341,3 +341,30 @@ def test_funnel_filter_provenance(ref_test_dir):
     # per-read annotations still present
     alns = m.map_batch([a for a, _ in pairs])
     assert any("stage_seed_time" in a.annotation for a in alns)
+
+
+def test_translate_block_substitution(ref_test_dir):
+    """translate_path must preserve block-substitution edits (from != to,
+    both > 0) across node splits instead of degrading them to deletions."""
+    import numpy as np
+
+    from vg_tpu.graph.arraygraph import GraphBuilder
+    from vg_tpu.graph.augment import Translation, translate_path
+    from vg_tpu.io.gam import Edit, Mapping, Path, Position
+
+    # old node 1 (8bp) split into 1 (3bp) + 100 (5bp)
+    b = GraphBuilder()
+    b.add_node("ACG", node_id=1)
+    b.add_node("TACGT", node_id=100)
+    b.add_edge(1, 100)
+    g2 = b.freeze()
+    trans = Translation(pieces={1: [(1, 0), (100, 3)]})
+    p = Path(mappings=[Mapping(position=Position(node_id=1, offset=1))])
+    # block substitution: 4 ref bases -> 2 read bases, spans the split
+    p.mappings[0].edits.append(Edit(from_length=4, to_length=2,
+                                    sequence="TT"))
+    out = translate_path(trans, g2, p)
+    froms = sum(e.from_length for mp in out.mappings for e in mp.edits)
+    tos = sum(e.to_length for mp in out.mappings for e in mp.edits)
+    seqs = "".join(e.sequence for mp in out.mappings for e in mp.edits)
+    assert froms == 4 and tos == 2 and seqs == "TT"

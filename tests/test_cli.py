@@ -361,10 +361,8 @@ def test_cli_concat(indexed, tmp_path, capsys):
     assert not g2.validate()
     # the concatenated reference path doubles in length
     pi = g2.path_index("x")
-    assert len(g2.path_handles(pi)) == 2 * len(g1.path_handles("x")
-                                                if isinstance("x", int)
-                                                else g1.path_handles(
-                                                    g1.path_index("x")))
+    n1 = len(g1.path_handles(g1.path_index("x")))
+    assert len(g2.path_handles(pi)) == 2 * n1
 
 
 def test_cli_gbwt_kmers_minimizer(indexed, tmp_path, capsys):

@@ -263,3 +263,67 @@ def test_device_winner_bitmap_matches_host(paired_mapper, ref_test_dir):
             + 2 * p.full_length_bonus
         fast = (gl == best_s) & (diag >= lo) & (diag + L_arr <= hi)
         assert fast.mean() > 0.5, f"fast path collapsed: {fast.mean():.2f}"
+
+
+def test_device_selection_asymmetric_mate_lengths(paired_mapper,
+                                                  ref_test_dir):
+    """Wire-format choices (int8 scores, position payloads, bitmap
+    widths) must hold when the two mates' padded read widths differ —
+    mate 2 here is long enough to force bitmap mode for both."""
+    pairs = list(iter_fastq_paired(
+        str(ref_test_dir / "small" / "x.fa_1.fastq"),
+        str(ref_test_dir / "small" / "x.fa_2.fastq")))[:48]
+    # stretch mate 2 beyond 255bp so pos_mode/int8 must switch off
+    long_pairs = []
+    for a, b in pairs:
+        seq = (b.sequence * 3)[:280]
+        long_pairs.append((a, Read(b.name, seq, "")))
+    pm = PairedGiraffeMapper(paired_mapper.mapper)
+    pm.map_pairs(long_pairs)
+    pm.finish()
+    assert pm.fragdist.finalized
+    sb1d, sb2d, sel = pm.score_pairs_device(long_pairs)
+    j1, j2, mq1, mq2, up, fr = pm._force_device_sel(sel, len(long_pairs))
+    # decoded winner scores must equal a direct host DP over the same
+    # windows (validates the int16 score path on >191bp reads; note
+    # score_pairs seeds mates folded/ragged so its candidate TABLES can
+    # differ — compare against the DP, not another seeding pass)
+    m0 = paired_mapper.mapper
+    from vg_tpu.ops.traceback import banded_traceback as _bt  # noqa: F401
+    for sb, jj in ((sb1d, j1), (sb2d, j2)):
+        got = sb.scores[np.arange(len(sb.reads)), np.asarray(jj)]
+        rescored = m0.rescore_candidates(
+            sb, sb.cand_start, sb.cand_lo, sb.cand_hi, sb.cand_rev,
+            sb.cand_valid, force=True)
+        want = np.asarray(rescored)[np.arange(len(sb.reads)),
+                                    np.asarray(jj)]
+        np.testing.assert_array_equal(got, want)
+    # winner bitmaps decode against host recomputation for mate 2
+    dev_j, mm_dev, payload = sb2d.winner_mism
+    assert payload.dtype != np.uint8 or payload.shape[1] == 8
+    m = paired_mapper.mapper
+    R = len(sb2d.reads)
+    bj = np.asarray(j2).astype(np.int64)
+    text = m.haps.text
+    L_arr = np.array([len(c) for c in sb2d.codes])
+    RL = int(L_arr.max())
+    B = m.params.band_radius
+    ar = np.arange(R)
+    diag = sb2d.cand_start[ar, bj].astype(np.int64) + B
+    lo = sb2d.cand_lo[ar, bj]
+    hi = sb2d.cand_hi[ar, bj]
+    rev = sb2d.cand_rev[ar, bj]
+    pos = diag[:, None] + np.arange(RL)
+    ok = ((pos >= lo[:, None]) & (pos < hi[:, None]) & (pos >= 0)
+          & (pos < len(text)))
+    from vg_tpu.ops import align as align_ops
+
+    tw = np.where(ok, text[np.clip(pos, 0, len(text) - 1)],
+                  align_ops.SENTINEL).astype(np.uint8)
+    orr = np.full((R, RL), 5, np.uint8)
+    for i in range(R):
+        c = sb2d.codes_rc[i] if rev[i] else sb2d.codes[i]
+        orr[i, : len(c)] = c
+    inr = np.arange(RL)[None, :] < L_arr[:, None]
+    mism = ((tw != orr) | (orr >= 4)) & inr
+    np.testing.assert_array_equal(np.asarray(mm_dev)[:R], mism.sum(1))

@@ -994,8 +994,15 @@ def cmd_kmers(args) -> int:
     steps = haps.steps
     import numpy as np
 
+    hap_ends = np.asarray(haps.text_start[1:], np.int64)
     n = 0
     for start in range(0, len(text) - k + 1):
+        # never emit windows that cross a haplotype boundary: the
+        # concatenated text has no separators, and a chimeric kmer
+        # exists in no graph walk
+        he = int(hap_ends[np.searchsorted(hap_ends, start, side="right")])
+        if start + k > he:
+            continue
         km = text[start : start + k]
         if (km >= 4).any():
             continue
@@ -1555,32 +1562,23 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("-o", "--output")
     c.set_defaults(func=cmd_construct)
 
-    a = sub.add_parser("autoindex",
-                       help="build graph + haplotype text + minimizer index")
-    a.add_argument("-r", "--reference")
-    a.add_argument("-v", "--vcf")
-    a.add_argument("-g", "--gfa")
-    a.add_argument("-Z", "--gbz")
-    a.add_argument("--gbz-out", help="also export the index as a GBZ")
-    a.add_argument("-m", "--node-max", type=int, default=32)
-    a.add_argument("-k", "--kmer-length", type=int, default=29)
-    a.add_argument("-w", "--window-length", type=int, default=11)
-    a.add_argument("-p", "--prefix", required=True)
-    a.set_defaults(func=cmd_autoindex)
-
     # `index` = autoindex alias (the reference's manual index builder
-    # role is covered by the recipe-solving autoindexer)
-    a2 = sub.add_parser("index", help="alias of autoindex")
-    a2.add_argument("-r", "--reference")
-    a2.add_argument("-v", "--vcf")
-    a2.add_argument("-g", "--gfa")
-    a2.add_argument("-Z", "--gbz")
-    a2.add_argument("--gbz-out")
-    a2.add_argument("-m", "--node-max", type=int, default=32)
-    a2.add_argument("-k", "--kmer-length", type=int, default=29)
-    a2.add_argument("-w", "--window-length", type=int, default=11)
-    a2.add_argument("-p", "--prefix", required=True)
-    a2.set_defaults(func=cmd_autoindex)
+    # role is covered by the recipe-solving autoindexer); one arg set,
+    # registered under both names
+    for _name, _help in (("autoindex",
+                          "build graph + haplotype text + minimizer index"),
+                         ("index", "alias of autoindex")):
+        a = sub.add_parser(_name, help=_help)
+        a.add_argument("-r", "--reference")
+        a.add_argument("-v", "--vcf")
+        a.add_argument("-g", "--gfa")
+        a.add_argument("-Z", "--gbz")
+        a.add_argument("--gbz-out", help="also export the index as a GBZ")
+        a.add_argument("-m", "--node-max", type=int, default=32)
+        a.add_argument("-k", "--kmer-length", type=int, default=29)
+        a.add_argument("-w", "--window-length", type=int, default=11)
+        a.add_argument("-p", "--prefix", required=True)
+        a.set_defaults(func=cmd_autoindex)
 
     gme = sub.add_parser("giraffe", help="map reads")
     gme.add_argument("-Z", "--index-prefix", required=True)

@@ -343,6 +343,7 @@ def translate_path(trans: Translation, g_new: ArrayGraph, path):
                 cur.edits.append(e)
                 continue
             done = 0
+            first_chunk = True
             while fl > 0:
                 if left == 0 and si + 1 < len(spans):
                     si += 1
@@ -356,11 +357,20 @@ def translate_path(trans: Translation, g_new: ArrayGraph, path):
                         else ""
                     cur.edits.append(Edit(from_length=take,
                                           to_length=take, sequence=seq))
-                else:   # deletion (to_length 0)
+                elif e.to_length == 0:   # deletion
                     cur.edits.append(Edit(from_length=take, to_length=0))
+                else:
+                    # block substitution (from != to, both > 0): the full
+                    # read-side sequence rides the first chunk, later
+                    # chunks consume reference only
+                    cur.edits.append(Edit(
+                        from_length=take,
+                        to_length=e.to_length if first_chunk else 0,
+                        sequence=e.sequence if first_chunk else ""))
                 left -= take
                 fl -= take
                 done += take
+                first_chunk = False
         out.mappings.extend(new_maps)
     for rank, mp in enumerate(out.mappings, 1):
         mp.rank = rank

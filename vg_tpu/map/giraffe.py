@@ -488,14 +488,11 @@ class GiraffeMapper:
         cand_hi[rr, rank] = hi[final].astype(np.int32)
         cand_rev[rr, rank] = cl_strand[final]
         cand_valid[rr, rank] = True
-        # approximate reference projection of the anchor for pair-distance
-        nid_idx = (ghandle[final] >> 1).astype(np.int64)
-        step_rev = (ghandle[final] & 1).astype(bool)
-        nlen = (self.graph.seq_start[nid_idx + 1]
-                - self.graph.seq_start[nid_idx])
-        fwd_off = np.where(step_rev, nlen - goff[final], goff[final])
-        cand_refpath[rr, rank] = self._node_ref_path[nid_idx]
-        cand_refoff[rr, rank] = self._node_ref_off[nid_idx] + fwd_off
+        # reference projection of the candidate read start (the same
+        # diag-based formula the device derives; prepare_batch's
+        # anchor-based values were dead weight before)
+        cand_refpath[:], cand_refoff[:] = self._diag_refproj(
+            cand_start, cand_valid)
         return out
 
     # ------------------------------------------------------------------- map
@@ -745,7 +742,8 @@ class GiraffeMapper:
             cand_hi=prep["cand_hi"][:R], cand_rev=prep["cand_rev"][:R],
             cand_valid=prep["cand_valid"][:R], scores_raw=None,
             cand_refpath=prep["cand_refpath"],
-            cand_refoff=prep["cand_refoff"])
+            cand_refoff=prep["cand_refoff"],
+            codes2d=prep["reads_arr"], codes_rc2d=prep["reads_rc_arr"])
         Rpad, C = prep["cand_start"].shape
         s_i8 = (rp.shape[1] * 8 + 2 * self.params.full_length_bonus <= 191
                 and C % 2 == 0)

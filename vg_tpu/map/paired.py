@@ -442,18 +442,25 @@ class PairedGiraffeMapper:
                     text, r1, r1rc, rl1, c1, r2, r2rc, rl2, c2, mu, sd)
                 i16 = lambda a: jnp.clip(a, -32768, 32767).astype(jnp.int16)
                 R_, C_ = s1.shape
+                # wire-format choices must hold for BOTH mates' padded
+                # read widths (asymmetrically trimmed pairs can differ)
+                RLmax = max(r1.shape[1], r2.shape[1])
                 # short-read scores fit int8 with a +64 bias (max score
                 # RL + 2*bonus; deep negatives floor at -64, far below
                 # any winner): halves the largest chunk of the fetch
-                if r1.shape[1] + 2 * step_bonus <= 191 and C_ % 2 == 0:
+                if RLmax + 2 * step_bonus <= 191 and C_ % 2 == 0:
                     pack_s = lambda s: lax.bitcast_convert_type(
                         jnp.clip(s - 64, -128, 127).astype(jnp.int8)
                         .reshape(R_, C_ // 2, 2), jnp.int16).ravel()
                 else:
                     pack_s = lambda s: i16(s).ravel()
                 # mismatch payload: first-8 positions (8 bytes/read) when
-                # the read length fits a byte; full bitmap otherwise
-                if r1.shape[1] <= 255:
+                # the read length fits a byte; full bitmap otherwise.
+                # NOTE: bitmap widths W differ per mate when the padded
+                # read widths differ, so pack_b is applied per mate and
+                # the host splits the two payload blocks by each mate's
+                # own width
+                if RLmax <= 255:
                     from ..ops.xfer import bits_to_pos8_dev
 
                     pack_b = lambda b: lax.bitcast_convert_type(
@@ -512,9 +519,17 @@ class PairedGiraffeMapper:
                       jnp.float32(self.fragdist.mean),
                       jnp.float32(max(self.fragdist.stdev, 1e-3)))
         Rpad, C = p1["cand_start"].shape
-        s_i8 = (w1[0].shape[1] * 8 + 2 * m.params.full_length_bonus <= 191
+        RLmax = 8 * max(w1[0].shape[1], w2[0].shape[1])
+        s_i8 = (RLmax + 2 * m.params.full_length_bonus <= 191
                 and C % 2 == 0)
-        pos_mode = w1[0].shape[1] * 8 <= 255
+        pos_mode = RLmax <= 255
+        # per-mate payload width in int16 units (bitmap widths follow
+        # each mate's own padded read width)
+        if pos_mode:
+            pw1 = pw2 = 4
+        else:
+            pw1 = -(-(w1[0].shape[1] * 8) // 32) * 2
+            pw2 = -(-(w2[0].shape[1] * 8) // 32) * 2
         sb1 = ScoredBatch(
             reads=reads1, codes=p1["codes"], codes_rc=p1["codes_rc"],
             cand_start=p1["cand_start"][:R], cand_lo=p1["cand_lo"][:R],
@@ -527,14 +542,14 @@ class PairedGiraffeMapper:
             cand_hi=p2["cand_hi"][:R], cand_rev=p2["cand_rev"][:R],
             cand_valid=p2["cand_valid"][:R], scores_raw=None,
             cand_refpath=p2["cand_refpath"], cand_refoff=p2["cand_refoff"])
-        sel = (packed, Rpad, C, sb1, sb2, s_i8, pos_mode)
+        sel = (packed, Rpad, C, sb1, sb2, s_i8, pos_mode, pw1, pw2)
         return sb1, sb2, sel
 
     def _force_device_sel(self, sel, R: int):
         """ONE device fetch of the packed buffer; unpack scores + winner
         mismatch payloads into the two ScoredBatches and return the host
         selection arrays."""
-        packed, Rpad, C, sb1, sb2, s_i8, pos_mode = sel
+        packed, Rpad, C, sb1, sb2, s_i8, pos_mode, pw1, pw2 = sel
         buf = np.asarray(packed)          # int16 wire buffer
         if s_i8:
             # biased-int8 score pairs inside int16 units
@@ -554,12 +569,12 @@ class PairedGiraffeMapper:
         mm2 = buf[off + Rpad : off + 2 * Rpad].astype(np.int32)
         off += 2 * Rpad
         # mismatch payload: 8 uint8 positions (pos_mode) or bitmap words,
-        # both traveling as int16 halves (lax.bitcast little-endian)
-        W2 = (len(buf) - off) // (2 * Rpad)
+        # both traveling as int16 halves (lax.bitcast little-endian);
+        # widths are per mate
         raw1 = np.ascontiguousarray(
-            buf[off : off + Rpad * W2].reshape(Rpad, W2))
+            buf[off : off + Rpad * pw1].reshape(Rpad, pw1))
         raw2 = np.ascontiguousarray(
-            buf[off + Rpad * W2 :].reshape(Rpad, W2))
+            buf[off + Rpad * pw1 :].reshape(Rpad, pw2))
         conv = (lambda a: a.view(np.uint8)) if pos_mode else \
             (lambda a: a.view(np.int32))
         sb1.winner_mism = (rest[0, :R].astype(np.int64), mm1[:R],
