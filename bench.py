@@ -169,7 +169,9 @@ def main():
 
     bs = int(os.environ.get("BENCH_BATCH", "16384"))
     mode = os.environ.get("BENCH_MODE", "paired")
-    params = GiraffeParams(batch_reads=bs)
+    params = GiraffeParams(
+        batch_reads=bs,
+        device_seed=os.environ.get("BENCH_DEVSEED", "0") == "1")
     mapper = GiraffeMapper(haps, idx, params)
     n_bench = int(os.environ.get("BENCH_READS", "131072"))
 

@@ -53,6 +53,9 @@ class GiraffeParams:
     score_fraction: float = 0.9
     max_candidates: int = 8           # ~ max_alignments
     band_radius: int = 16
+    # device-side seeding (ops/devseed.py): the whole dispatch takes
+    # only packed reads; candidates never cross the tunnel
+    device_seed: bool = False
     pad_quantum: int = 32
     batch_reads: int = 512            # device batch (pad to fixed shape)
     max_mapq: int = 60
@@ -520,6 +523,46 @@ class GiraffeMapper:
             cand_refpath=prep["cand_refpath"],
             cand_refoff=prep["cand_refoff"],
             codes2d=prep["reads_arr"], codes_rc2d=prep["reads_rc_arr"])
+
+    def _resident_seed_arrays(self):
+        """Device-resident minimizer index (split 64-bit keys) for
+        device-side seeding (ops/devseed.py)."""
+        if getattr(self, "_resident_seed_dev", None) is None:
+            import jax
+
+            from ..ops.devseed import split_keys
+
+            ih, il = split_keys(self.index.keys)
+            put = jax.device_put
+            self._resident_seed_dev = (
+                put(np.asarray(ih)), put(np.asarray(il)),
+                put(np.asarray(self.index.offsets, np.int32)),
+                put(np.asarray(self.index.pos_text, np.int32)),
+                put(np.asarray(self.index.pos_rev, np.uint8)))
+        return self._resident_seed_dev
+
+    def prepare_light(self, reads: Sequence[Read]) -> dict:
+        """Encode + pad only (device-side seeding needs no host
+        candidate tables)."""
+        p = self.params
+        R = len(reads)
+        lens = np.array([len(r.sequence) for r in reads], dtype=np.int32)
+        codes = [dna.encode(r.sequence) for r in reads]
+        codes_rc = [dna.revcomp_codes(c) for c in codes]
+        RL = max(int(np.max(lens)) if R else p.pad_quantum, p.pad_quantum)
+        RL = -(-RL // p.pad_quantum) * p.pad_quantum
+        Rpad = min(-(-R // 64) * 64, max(p.batch_reads, 64))
+        Rpad = max(Rpad, -(-R // 64) * 64)
+        rlens = np.zeros(Rpad, dtype=np.int32)
+        rlens[:R] = lens
+        reads_arr = np.full((Rpad, RL), 5, dtype=np.uint8)
+        reads_rc_arr = np.full((Rpad, RL), 5, dtype=np.uint8)
+        for i, c in enumerate(codes):
+            reads_arr[i, : len(c)] = c
+            reads_rc_arr[i, : len(c)] = codes_rc[i]
+        return {"codes": codes, "codes_rc": codes_rc,
+                "reads_arr": reads_arr, "reads_rc_arr": reads_rc_arr,
+                "rlens": rlens}
 
     def prepare_batch(self, reads: Sequence[Read]) -> dict:
         """Host half of score_reads: encode + pad + seed. Returns padded

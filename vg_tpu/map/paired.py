@@ -488,6 +488,196 @@ class PairedGiraffeMapper:
             self._pair_step = (jax.jit(packed_step), text_arg, resident)
         return self._pair_step
 
+    def _get_pair_step_seeded(self):
+        """Jitted FULLY-fused paired dispatch: device-side minimizer
+        seeding (ops/devseed.py) + DP + pair selection + MAPQ + winner
+        payloads — input is just the 4-bit packed reads, output a
+        winner-only int16 buffer (no candidate tables cross the tunnel
+        in either direction)."""
+        if getattr(self, "_pair_step_seeded", None) is None:
+            import jax
+            import jax.numpy as jnp
+            from jax import lax
+
+            from ..ops.devseed import (rolling_minimizers,
+                                       seed_candidates_dev)
+            from ..ops.xfer import (bits_to_pos8_dev, revcomp_dev,
+                                    unpack_reads4_dev)
+            from ..parallel.mesh import (derive_candidate_meta,
+                                         make_paired_step)
+
+            m = self.mapper
+            p = m.params
+            pp = self.params
+            if m.text_packed_dev is not None:
+                from ..ops.pallas_align import banded_scores_packed
+
+                T = len(m.haps.text)
+
+                def score_fn(text, reads, rc, rlen, cand):
+                    return banded_scores_packed(
+                        text, T, reads, rc, rlen, *cand[:5],
+                        band_radius=p.band_radius, match=p.match,
+                        mismatch=p.mismatch, gap_open=p.gap_open,
+                        gap_extend=p.gap_extend, bonus=p.full_length_bonus)
+
+                text_arg = m.text_packed_dev
+            else:
+                score_fn = None
+                text_arg = m.text_dev
+            step = make_paired_step(
+                band_radius=p.band_radius, match=p.match,
+                mismatch=p.mismatch, gap_open=p.gap_open,
+                gap_extend=p.gap_extend, bonus=p.full_length_bonus,
+                max_fragment_length=pp.max_fragment_length,
+                unpaired_penalty=pp.unpaired_penalty,
+                max_mapq=p.max_mapq, score_fn=score_fn,
+                text_packed=m.text_packed_dev is not None,
+                text_len=len(m.haps.text))
+            B = p.band_radius
+            kk, ww = m.index.k, m.index.w
+            seed_kw = dict(k=kk, hit_cap=p.hit_cap,
+                           hard_hit_cap=p.hard_hit_cap,
+                           score_fraction=p.score_fraction,
+                           max_candidates=p.max_candidates,
+                           band_radius=B)
+
+            def seeded_step(text, hb, stp, steps, nlen, nrp, nro,
+                            ih, il, ioff, ipos, irev,
+                            rp1, rl1, rp2, rl2, mu, sd):
+                def mate(rp, rl):
+                    r = unpack_reads4_dev(rp)
+                    rc = revcomp_dev(r, rl)
+                    kh, kl, cr, chosen, vld = rolling_minimizers(
+                        r, kk, ww)
+                    ca, rev, cv = seed_candidates_dev(
+                        kh, kl, cr, chosen, vld, rl,
+                        ih, il, ioff, ipos, irev, **seed_kw)
+                    lo, hi, rpth, ro = derive_candidate_meta(
+                        ca + B, hb, stp, steps, nlen, nrp, nro)
+                    return r, rc, (ca, lo, hi, rev, cv, rpth, ro)
+
+                r1, r1rc, c1 = mate(rp1, rl1)
+                r2, r2rc, c2 = mate(rp2, rl2)
+                (s1, s2, j1, j2, mq1, mq2, use_pair, frags,
+                 mm1, mm2, bits1, bits2, _stats, _cov) = step(
+                    text, r1, r1rc, rl1, c1, r2, r2rc, rl2, c2, mu, sd)
+                i16 = lambda a: jnp.clip(a, -32768,
+                                         32767).astype(jnp.int16)
+                take = lambda a, j: jnp.take_along_axis(
+                    a, j[:, None], 1)[:, 0]
+                R_ = s1.shape[0]
+
+                def mate_out(s, j, c, mm, bits, mq):
+                    ca, lo, hi, rev, cv, rpth, ro = c
+                    ws = take(s, j)
+                    wstart = take(ca, j)
+                    wrev = take(rev, j)
+                    wv = take(cv, j) & (ws > 0)
+                    flags = (wv.astype(jnp.int16)
+                             | (wrev.astype(jnp.int16) << 1))
+                    return [i16(ws),
+                            lax.bitcast_convert_type(
+                                wstart.reshape(R_, 1),
+                                jnp.int16).reshape(R_ * 2),
+                            flags, i16(mq), i16(mm),
+                            lax.bitcast_convert_type(
+                                bits_to_pos8_dev(bits).reshape(R_, 4, 2),
+                                jnp.int16).reshape(R_ * 4)]
+
+                parts = (mate_out(s1, j1, c1, mm1, bits1, mq1)
+                         + mate_out(s2, j2, c2, mm2, bits2, mq2)
+                         + [use_pair.astype(jnp.int16),
+                            i16(jnp.round(frags))])
+                return jnp.concatenate(parts)
+
+            self._pair_step_seeded = (
+                jax.jit(seeded_step), text_arg, m._resident_arrays(),
+                m._resident_seed_arrays())
+        return self._pair_step_seeded
+
+    def score_pairs_device_seeded(self, pairs: Sequence[Tuple[Read,
+                                                              Read]]):
+        """Fully-fused dispatch: reads in, winner-only buffer out; host
+        candidate tables are synthesized as single-column (C=1)
+        ScoredBatches at fetch time so rescue/emit run unchanged."""
+        from ..ops.xfer import pack_reads4
+
+        m = self.mapper
+        reads1 = [a for a, _ in pairs]
+        reads2 = [b for _, b in pairs]
+        p1 = m.prepare_light(reads1)
+        p2 = m.prepare_light(reads2)
+        if max(p1["reads_arr"].shape[1], p2["reads_arr"].shape[1]) > 255:
+            return self.score_pairs_device(pairs)   # pos8 wire limit
+        import jax.numpy as jnp
+
+        step, text_arg, resident, seed_res = self._get_pair_step_seeded()
+        packed = step(text_arg, *resident, *seed_res,
+                      pack_reads4(p1["reads_arr"]), p1["rlens"],
+                      pack_reads4(p2["reads_arr"]), p2["rlens"],
+                      jnp.float32(self.fragdist.mean),
+                      jnp.float32(max(self.fragdist.stdev, 1e-3)))
+        Rpad = p1["rlens"].shape[0]
+        sb1 = ScoredBatch(
+            reads=reads1, codes=p1["codes"], codes_rc=p1["codes_rc"],
+            cand_start=None, cand_lo=None, cand_hi=None, cand_rev=None,
+            cand_valid=None, scores_raw=None,
+            codes2d=p1["reads_arr"], codes_rc2d=p1["reads_rc_arr"])
+        sb2 = ScoredBatch(
+            reads=reads2, codes=p2["codes"], codes_rc=p2["codes_rc"],
+            cand_start=None, cand_lo=None, cand_hi=None, cand_rev=None,
+            cand_valid=None, scores_raw=None,
+            codes2d=p2["reads_arr"], codes_rc2d=p2["reads_rc_arr"])
+        sel = ("seeded", packed, Rpad, sb1, sb2)
+        return sb1, sb2, sel
+
+    def _force_seeded_sel(self, sel, R: int):
+        """Fetch the winner-only buffer and synthesize C=1 candidate
+        tables (winner per mate) so all host stages run unchanged."""
+        _, packed, Rpad, sb1, sb2 = sel
+        m = self.mapper
+        buf = np.asarray(packed)
+        blk = 10 * Rpad
+
+        def mate(sb, off):
+            ws = buf[off : off + Rpad].astype(np.int32)
+            start = np.ascontiguousarray(
+                buf[off + Rpad : off + 3 * Rpad]).view(np.int32)
+            flags = buf[off + 3 * Rpad : off + 4 * Rpad]
+            mq = buf[off + 4 * Rpad : off + 5 * Rpad].astype(np.int32)
+            mm = buf[off + 5 * Rpad : off + 6 * Rpad].astype(np.int32)
+            pos8 = np.ascontiguousarray(
+                buf[off + 6 * Rpad : off + 10 * Rpad]
+                .reshape(Rpad, 4)).view(np.uint8)
+            wv = (flags & 1).astype(bool)
+            wrev = ((flags >> 1) & 1).astype(bool)
+            diag = start.astype(np.int64) + m.params.band_radius
+            hap = np.searchsorted(m.haps.text_start[1:],
+                                  np.clip(diag, 0,
+                                          len(m.haps.text) - 1),
+                                  side="right")
+            sb.cand_start = start[:R, None].copy()
+            sb.cand_lo = m.haps.text_start[hap][:R, None].astype(np.int32)
+            sb.cand_hi = m.haps.text_start[hap + 1][:R, None].astype(
+                np.int32)
+            sb.cand_rev = wrev[:R, None].copy()
+            sb.cand_valid = wv[:R, None].copy()
+            sb.scores_raw = np.where(wv, ws, -1)[:R, None].copy()
+            rp, ro = m._diag_refproj(sb.cand_start, sb.cand_valid)
+            sb.cand_refpath = rp
+            sb.cand_refoff = ro
+            sb.winner_mism = (np.zeros(R, np.int64), mm[:R],
+                              pos8[:R].copy())
+            return mq[:R]
+
+        mq1 = mate(sb1, 0)
+        mq2 = mate(sb2, blk)
+        use_pair = buf[2 * blk : 2 * blk + Rpad][:R].astype(bool)
+        frags = buf[2 * blk + Rpad : 2 * blk + 2 * Rpad][:R]
+        z = np.zeros(R, np.int64)
+        return (z, z.copy(), mq1, mq2, use_pair, frags)
+
     def score_pairs_device(self, pairs: Sequence[Tuple[Read, Read]]):
         """Seed both mates on the host, then one device dispatch computes
         scores AND pair selection/MAPQ. Returns (sb1, sb2, sel_lazy)
@@ -549,6 +739,8 @@ class PairedGiraffeMapper:
         """ONE device fetch of the packed buffer; unpack scores + winner
         mismatch payloads into the two ScoredBatches and return the host
         selection arrays."""
+        if sel[0] == "seeded":
+            return self._force_seeded_sel(sel, R)
         packed, Rpad, C, sb1, sb2, s_i8, pos_mode, pw1, pw2 = sel
         buf = np.asarray(packed)          # int16 wire buffer
         if s_i8:
@@ -664,6 +856,9 @@ class PairedGiraffeMapper:
         selection + MAPQ on device (score_pairs_device); during warmup
         the host observes pairs itself."""
         if self.fragdist.finalized:
+            if self.mapper.params.device_seed:
+                return ("dev", batch,
+                        self.score_pairs_device_seeded(batch))
             return ("dev", batch, self.score_pairs_device(batch))
         return ("host", batch, self.score_pairs(batch))
 
