@@ -357,7 +357,9 @@ def test_cli_concat(indexed, tmp_path, capsys):
 
     g1 = load_graph(g)
     g2 = load_graph(str(out))
+    # reference goldens (09_vg_concat.t): nodes double, edges double + 1
     assert g2.node_count == 2 * g1.node_count
+    assert g2.edge_count == 2 * g1.edge_count + 1
     assert not g2.validate()
     # the concatenated reference path doubles in length
     pi = g2.path_index("x")
