@@ -379,3 +379,17 @@ def test_cli_gbwt_kmers_minimizer(indexed, tmp_path, capsys):
                  "-o", str(tmp_path / "m.npz")]) == 0
     out = capsys.readouterr().out
     assert "k\t21" in out
+
+
+def test_cli_chains_dotplot(indexed, capsys):
+    d, prefix = indexed
+    g = prefix + ".vgz.npz"
+    assert main(["chains", g]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("chain0\t") and ".." in out
+    assert main(["dotplot", "-x", g, "--max-points", "50"]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert lines[0].startswith("#x\ty")
+    assert len(lines) > 10
+    # self-dotplot has the identity diagonal
+    assert any(l.split("\t")[0] == l.split("\t")[1] for l in lines[1:])

@@ -1146,6 +1146,132 @@ def cmd_depth(args) -> int:
 
 
 
+def cmd_chains(args) -> int:
+    """Top-level chain decomposition (vg chains, reference
+    src/subcommand/chains_main.cpp role): one line per chain listing the
+    ordered snarl boundary nodes."""
+    from ..graph.cactus import decompose
+
+    g = _load_graph_any(args.graph)
+    dec = decompose(g)
+    sink = open(args.output, "w") if args.output else sys.stdout
+    n = 0
+    for ci, c in enumerate(dec.chains):
+        if not c.snarls:
+            continue
+        cols = []
+        for si in c.snarls:
+            s = dec.snarls[si]
+            if s.start < 0:
+                continue
+            cols.append(f"{int(g.node_id[s.start >> 1])}"
+                        f"{'-' if s.start & 1 else '+'}"
+                        f"..{int(g.node_id[s.end >> 1])}"
+                        f"{'-' if s.end & 1 else '+'}")
+        if cols:
+            sink.write(f"chain{n}\t" + "\t".join(cols) + "\n")
+            n += 1
+    if args.output:
+        sink.close()
+    print(f"{n} chains", file=sys.stderr)
+    return 0
+
+
+def cmd_dotplot(args) -> int:
+    """Self/other path dotplot (vg dotplot role): shared-kmer points as
+    a gnuplot-ready TSV (x offset, y offset, strand)."""
+    g = _load_graph_any(args.xg)
+    from ..index.minimizer import extract_minimizers
+    from ..utils import dna
+
+    names = [m.name for m in g.path_meta
+             if not m.name.startswith("_alt_")]
+    if not names:
+        print("no paths", file=sys.stderr)
+        return 1
+    nx = args.path_x or names[0]
+    ny = args.path_y or nx
+
+    def path_seq(name):
+        pi = g.path_index(name)
+        parts = []
+        for h in g.path_handles(pi):
+            s = dna.encode(g.node_seq(int(g.node_id[int(h) >> 1])))
+            parts.append(dna.revcomp_codes(s) if int(h) & 1 else s)
+        import numpy as np
+        return np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+
+    sx = path_seq(nx)
+    sy = path_seq(ny)
+    k = args.kmer_size
+    ox, kx, rx = extract_minimizers(sx, k, args.window)
+    oy, ky, ry = extract_minimizers(sy, k, args.window)
+    pos_y = {}
+    for o, key, r in zip(oy, ky, ry):
+        pos_y.setdefault(int(key), []).append((int(o), bool(r)))
+    sys.stdout.write(f"#x\ty\tstrand\t{nx}\t{ny}\n")
+    n = 0
+    for o, key, r in zip(ox, kx, rx):
+        for oy2, r2 in pos_y.get(int(key), ()):
+            sys.stdout.write(f"{int(o)}\t{oy2}\t"
+                             f"{'+' if bool(r) == r2 else '-'}\n")
+            n += 1
+            if args.max_points and n >= args.max_points:
+                return 0
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    """Built-in micro-benchmark (vg benchmark role): construct + index +
+    map a small synthetic pangenome and print stage timings."""
+    import time as _time
+
+    import numpy as np
+
+    from ..construct.constructor import Constructor, ConstructorParams
+    from ..index.haplotypes import thread_haplotypes
+    from ..index.minimizer import MinimizerIndex
+    from ..io.fastq import Read
+    from ..io.vcf import VcfFile, VcfRecord
+    from ..map.giraffe import GiraffeMapper, GiraffeParams
+    from ..utils import dna
+
+    rng = np.random.default_rng(1)
+    ref_codes = rng.integers(0, 4, args.size).astype(np.uint8)
+    ref = dna.decode(ref_codes)
+    recs = []
+    for p in range(100, args.size - 100, 997):
+        r = ref[p]
+        alt = "ACGT"[("ACGT".index(r) + 1) % 4]
+        recs.append(VcfRecord("r", p + 1, ".", r, [alt], ".", ".", {},
+                              [((1, 0), True)]))
+    vcf = VcfFile(samples=["s"], records=recs)
+    t0 = _time.time()
+    g, results = Constructor(ConstructorParams()).construct_graph(
+        {"r": ref}, vcf)
+    t1 = _time.time()
+    haps = thread_haplotypes(g, results, vcf)
+    idx = MinimizerIndex.build(haps)
+    t2 = _time.time()
+    m = GiraffeMapper(haps, idx, GiraffeParams(batch_reads=512))
+    reads = []
+    T = len(haps.text)
+    for i in range(1024):
+        s = int(rng.integers(0, T - 150))
+        reads.append(Read(f"b{i}", dna.decode(haps.text[s : s + 150]),
+                          ""))
+    m.map_batch(reads[:512])        # warm
+    t3 = _time.time()
+    alns = m.map_batch(reads[512:])
+    t4 = _time.time()
+    aligned = sum(1 for a in alns if a.path)
+    print(f"construct\t{t1-t0:.3f}s")
+    print(f"index\t{t2-t1:.3f}s")
+    print(f"map\t{t4-t3:.3f}s\t{len(alns)/(t4-t3):.0f} reads/s\t"
+          f"{aligned}/{len(alns)} aligned")
+    return 0
+
+
 def cmd_snarls(args) -> int:
     """Nested snarl decomposition via the cactus machinery (reference:
     IntegratedSnarlFinder, src/integrated_snarl_finder.cpp; handles
@@ -1932,6 +2058,24 @@ def build_parser() -> argparse.ArgumentParser:
     mc.add_argument("-p", "--ref-path")
     mc.add_argument("--sample", default="PHASED_SAMPLE")
     mc.set_defaults(func=cmd_mcmc)
+
+    ch = sub.add_parser("chains", help="snarl chain decomposition")
+    ch.add_argument("graph")
+    ch.add_argument("-o", "--output")
+    ch.set_defaults(func=cmd_chains)
+
+    dp = sub.add_parser("dotplot", help="shared-kmer path dotplot TSV")
+    dp.add_argument("-x", "--xg", required=True)
+    dp.add_argument("--path-x")
+    dp.add_argument("--path-y")
+    dp.add_argument("-k", "--kmer-size", type=int, default=16)
+    dp.add_argument("-w", "--window", type=int, default=8)
+    dp.add_argument("--max-points", type=int, default=100000)
+    dp.set_defaults(func=cmd_dotplot)
+
+    bm = sub.add_parser("benchmark", help="built-in micro-benchmark")
+    bm.add_argument("--size", type=int, default=100_000)
+    bm.set_defaults(func=cmd_benchmark)
 
     vz = sub.add_parser("viz",
                         help="visualization: linear SVG or Graphviz dot")
