@@ -2119,6 +2119,9 @@ def build_parser() -> argparse.ArgumentParser:
     vr = sub.add_parser("version", help="print version")
     vr.set_defaults(func=cmd_version)
 
+    hlp = sub.add_parser("help", help="print the subcommand list")
+    hlp.set_defaults(func=lambda a: (ap.print_help(), 0)[1])
+
 
     mm = sub.add_parser("mpmap", help="multipath mapping (GAMP output)")
     mm.add_argument("-Z", "--index-prefix", required=True)
