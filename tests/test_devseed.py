@@ -40,8 +40,13 @@ def test_rolling_minimizers_matches_host(k, w):
     codes = rng.integers(0, 4, (R, L)).astype(np.uint8)
     codes[2, 40] = 4          # an N breaks windows
     codes[5, 10:20] = 4
+    # pad like prepare_light does: windows must NOT extend into the pad
+    pad = np.full((R, L + 10), 5, np.uint8)
+    pad[:, :L] = codes
+    rlen = np.full(R, L, np.int32)
     kh, kl, cr, chosen, valid = (np.asarray(a) for a in
-                                 devseed.rolling_minimizers(codes, k, w))
+                                 devseed.rolling_minimizers(pad, rlen,
+                                                            k, w))
     for r in range(R):
         offs, keys, canon = extract_minimizers(codes[r], k, w)
         got_pos = np.nonzero(chosen[r])[0]
@@ -111,7 +116,7 @@ def test_seed_candidates_dev_matches_host():
 
     p = m.params
     kh, kl, cr, chosen, valid = devseed.rolling_minimizers(
-        codes2d, idx.k, idx.w)
+        codes2d, np.full(R, L, np.int32), idx.k, idx.w)
     ih, il = devseed.split_keys(idx.keys)
     gs, gr, gv = devseed.seed_candidates_dev(
         kh, kl, cr, chosen, valid,
@@ -160,4 +165,4 @@ def test_device_seeded_pipeline_byte_parity():
     b = run(False)
     assert len(a) == len(b) == 2 * bs
     same = sum(1 for x, y in zip(a, b) if bytes(x) == bytes(y))
-    assert same >= 0.99 * len(a), f"{same}/{len(a)}"
+    assert same == len(a), f"{same}/{len(a)}"

@@ -996,12 +996,15 @@ def cmd_kmers(args) -> int:
 
     hap_ends = np.asarray(haps.text_start[1:], np.int64)
     n = 0
+    hap_i = 0
     for start in range(0, len(text) - k + 1):
         # never emit windows that cross a haplotype boundary: the
         # concatenated text has no separators, and a chimeric kmer
-        # exists in no graph walk
-        he = int(hap_ends[np.searchsorted(hap_ends, start, side="right")])
-        if start + k > he:
+        # exists in no graph walk (start is monotone, so track the
+        # current haplotype end incrementally)
+        while start >= hap_ends[hap_i]:
+            hap_i += 1
+        if start + k > hap_ends[hap_i]:
             continue
         km = text[start : start + k]
         if (km >= 4).any():
@@ -1196,7 +1199,7 @@ def cmd_dotplot(args) -> int:
         pi = g.path_index(name)
         parts = []
         for h in g.path_handles(pi):
-            s = dna.encode(g.node_seq(int(g.node_id[int(h) >> 1])))
+            s = g.node_seq_codes(int(g.node_id[int(h) >> 1]))
             parts.append(dna.revcomp_codes(s) if int(h) & 1 else s)
         import numpy as np
         return np.concatenate(parts) if parts else np.zeros(0, np.uint8)

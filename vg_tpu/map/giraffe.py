@@ -461,13 +461,6 @@ class GiraffeMapper:
         lo = self.haps.text_start[hap]
         hi = self.haps.text_start[hap + 1]
 
-        # graph projection of the anchor (used for MAPQ placement dedup
-        # downstream; haplotype copies of one region stay as separate
-        # candidates so the DP picks the best-matching copy)
-        a2 = np.clip(anchor, lo, hi - 1)
-        si = np.searchsorted(self.haps.step_text_pos[1:], a2, side="right")
-        ghandle = self.haps.steps[si]
-        goff = a2 - self.haps.step_text_pos[si]
         keep_idx = np.arange(len(cl_read))
 
         # top-C per read by score
@@ -492,8 +485,7 @@ class GiraffeMapper:
         cand_rev[rr, rank] = cl_strand[final]
         cand_valid[rr, rank] = True
         # reference projection of the candidate read start (the same
-        # diag-based formula the device derives; prepare_batch's
-        # anchor-based values were dead weight before)
+        # diag-based formula the device derives)
         cand_refpath[:], cand_refoff[:] = self._diag_refproj(
             cand_start, cand_valid)
         return out
@@ -551,8 +543,7 @@ class GiraffeMapper:
         codes_rc = [dna.revcomp_codes(c) for c in codes]
         RL = max(int(np.max(lens)) if R else p.pad_quantum, p.pad_quantum)
         RL = -(-RL // p.pad_quantum) * p.pad_quantum
-        Rpad = min(-(-R // 64) * 64, max(p.batch_reads, 64))
-        Rpad = max(Rpad, -(-R // 64) * 64)
+        Rpad = -(-R // 64) * 64
         rlens = np.zeros(Rpad, dtype=np.int32)
         rlens[:R] = lens
         reads_arr = np.full((Rpad, RL), 5, dtype=np.uint8)
@@ -586,9 +577,8 @@ class GiraffeMapper:
         RL = -(-RL // p.pad_quantum) * p.pad_quantum
         C = p.max_candidates
 
-        # pad the batch dimension to a bucket so jit shapes stay stable
-        Rpad = min(-(-R // 64) * 64, max(p.batch_reads, 64))
-        Rpad = max(Rpad, -(-R // 64) * 64)
+        # pad the batch dimension to a 64 bucket so jit shapes stay stable
+        Rpad = -(-R // 64) * 64
         rlens = np.zeros(Rpad, dtype=np.int32)
         rlens[:R] = rlens_real
         reads_arr = np.full((Rpad, RL), 5, dtype=np.uint8)
@@ -635,7 +625,9 @@ class GiraffeMapper:
         # reference projection of the candidate READ START (diag): exact
         # where the anchor-based value was anchor-offset noisy, and —
         # crucially — recomputable on DEVICE from cand_start + resident
-        # arrays, so the paired dispatch never uploads refpath/refoff
+        # arrays, so the paired dispatch never uploads refpath/refoff.
+        # (Authoritative recompute: the native seeder still emits
+        # anchor-based values.)
         cand_refpath[:], cand_refoff[:] = self._diag_refproj(
             cand_start[:R], cand_valid[:R])
         self.funnel.record("seed", _time.time() - _t0, items_in=R,

@@ -549,7 +549,7 @@ class PairedGiraffeMapper:
                     r = unpack_reads4_dev(rp)
                     rc = revcomp_dev(r, rl)
                     kh, kl, cr, chosen, vld = rolling_minimizers(
-                        r, kk, ww)
+                        r, rl, kk, ww)
                     ca, rev, cv = seed_candidates_dev(
                         kh, kl, cr, chosen, vld, rl,
                         ih, il, ioff, ipos, irev, **seed_kw)
@@ -732,7 +732,8 @@ class PairedGiraffeMapper:
             cand_hi=p2["cand_hi"][:R], cand_rev=p2["cand_rev"][:R],
             cand_valid=p2["cand_valid"][:R], scores_raw=None,
             cand_refpath=p2["cand_refpath"], cand_refoff=p2["cand_refoff"])
-        sel = (packed, Rpad, C, sb1, sb2, s_i8, pos_mode, pw1, pw2)
+        sel = ("packed", packed, Rpad, C, sb1, sb2, s_i8, pos_mode,
+               pw1, pw2)
         return sb1, sb2, sel
 
     def _force_device_sel(self, sel, R: int):
@@ -741,7 +742,7 @@ class PairedGiraffeMapper:
         selection arrays."""
         if sel[0] == "seeded":
             return self._force_seeded_sel(sel, R)
-        packed, Rpad, C, sb1, sb2, s_i8, pos_mode, pw1, pw2 = sel
+        (_, packed, Rpad, C, sb1, sb2, s_i8, pos_mode, pw1, pw2) = sel
         buf = np.asarray(packed)          # int16 wire buffer
         if s_i8:
             # biased-int8 score pairs inside int16 units

@@ -92,11 +92,15 @@ def split_keys(keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 # --------------------------------------------------- rolling minimizers
 
-@partial(jax.jit, static_argnums=(1, 2))
-def rolling_minimizers(codes2d, k: int, w: int):
-    """(R, L) uint8 codes -> per kmer position (R, m):
-    key_hi, key_lo, canon_rev, chosen (window minima incl. ties), valid.
-    Mirrors index.minimizer.extract_minimizers / the C kernel."""
+@partial(jax.jit, static_argnums=(2, 3))
+def rolling_minimizers(codes2d, rlen, k: int, w: int):
+    """(R, L) uint8 codes (padded) + per-read true lengths -> per kmer
+    position (R, m): key_hi, key_lo, canon_rev, chosen (window minima
+    incl. ties), valid. Mirrors index.minimizer.extract_minimizers / the
+    C kernel on each read's TRUE length: windows never extend into the
+    pad (reads shorter than k+w-1 select nothing — the host would use a
+    shrunken window there; gate device seeding on read length >= k+w-1).
+    """
     R, L = codes2d.shape
     m = L - k + 1
     mask_bits = 2 * k
@@ -150,16 +154,19 @@ def rolling_minimizers(codes2d, k: int, w: int):
         return oh, ol   # min over window starting at each position
 
     wmh, wml = win_reduce(hh, hl)
-    n_win = m - w_eff + 1   # windows 0..n_win-1 are full
+    # full windows per read end at the read's true length, not the pad:
+    # window i is full iff 0 <= i < (rlen - k + 1) - w_eff + 1
+    n_win_r = (rlen.astype(jnp.int32) - k + 1) - w_eff + 1   # (R,)
     chosen = jnp.zeros((R, m), bool)
     for s in range(w_eff):
-        # window starting at p-s covers p when 0 <= p-s < n_win
+        # window starting at p-s covers p when 0 <= p-s < n_win_r
         cov_h = jnp.concatenate(
             [jnp.full((R, s), FULL), wmh[:, : m - s]], 1)
         cov_l = jnp.concatenate(
             [jnp.full((R, s), FULL), wml[:, : m - s]], 1)
-        in_full = (jnp.arange(m) - s >= 0) & (jnp.arange(m) - s < n_win)
-        eq = (hh == cov_h) & (hl == cov_l) & in_full[None, :]
+        win_i = jnp.arange(m)[None, :] - s
+        in_full = (win_i >= 0) & (win_i < n_win_r[:, None])
+        eq = (hh == cov_h) & (hl == cov_l) & in_full
         chosen = chosen | eq
     chosen = chosen & valid
     return kh, kl, cr, chosen, valid
@@ -218,7 +225,11 @@ def seed_candidates_dev(codes_kh, codes_kl, canon_rev, chosen, valid,
 
     hs, he = lookup_ranges2(codes_kh, codes_kl, idx_hi, idx_lo, offsets)
     counts = jnp.where(chosen & valid, he - hs, 0)
-    keep = (counts > 0) & (counts <= hard_hit_cap)
+    # the device's effective hard cap is min(hard_hit_cap, Hd): a
+    # minimizer whose hits exceed the per-minimizer budget is DROPPED
+    # whole (like a stricter hard cap) rather than silently truncated
+    # to a partial cluster
+    keep = (counts > 0) & (counts <= min(hard_hit_cap, Hd))
     mscore = jnp.maximum(
         1.0 + jnp.log(float(hard_hit_cap))
         - jnp.log(jnp.maximum(counts, 1).astype(jnp.float32)), 1.0)
