@@ -85,3 +85,55 @@ def test_mapq_is_calibrated(z_mapper):
         lo_correct = res.correct - round(hi * n_hi)
         assert hi >= lo_correct / lo_n, res.to_dict()
     assert hi >= 0.99
+
+
+def test_reference_simulated_reads_accuracy(ref_test_dir):
+    """Map the reference project's OWN simulated truth reads
+    (test/small/x-l100-n1000-s10-e0.01-i0.01.gam: 1000x 100bp at 1% error
+    + 1% indel, refpos truth embedded by vg sim -a) and demand mapeval-
+    grade accuracy — a head-to-head on reference-generated inputs that
+    needs no vg binary."""
+    import numpy as np
+
+    from vg_tpu.construct.constructor import Constructor, ConstructorParams
+    from vg_tpu.index.haplotypes import thread_haplotypes
+    from vg_tpu.index.minimizer import MinimizerIndex
+    from vg_tpu.io.fasta import read_fasta
+    from vg_tpu.io.fastq import Read
+    from vg_tpu.io.gam import read_gam
+    from vg_tpu.io.vcf import read_vcf
+    from vg_tpu.map.giraffe import GiraffeMapper, GiraffeParams
+
+    ref = read_fasta(str(ref_test_dir / "small" / "x.fa"))
+    vcf = read_vcf(str(ref_test_dir / "small" / "x.vcf.gz"))
+    g, results = Constructor(ConstructorParams(max_node_size=32)
+                             ).construct_graph(ref, vcf)
+    haps = thread_haplotypes(g, results, vcf)
+    idx = MinimizerIndex.build(haps)
+    m = GiraffeMapper(haps, idx, GiraffeParams(batch_reads=512))
+
+    truth = list(read_gam(str(
+        ref_test_dir / "small" / "x-l100-n1000-s10-e0.01-i0.01.gam")))
+    reads = [Read(a.name, a.sequence, "") for a in truth]
+    alns = m.map_batch(reads)
+    ok = tot = 0
+    ok30 = tot30 = 0
+    for got, want in zip(alns, truth):
+        if not want.refpos:
+            continue
+        tot += 1
+        w = int(want.refpos[0].offset)
+        gpos = int(got.refpos[0].offset) if got.refpos else -10**9
+        # mapeval correctness: within a read length of truth; the sim
+        # fixture anchors reverse reads at the opposite end of the span,
+        # so normalize by +-L before comparing
+        hit = min(abs(gpos - w), abs(gpos - 100 - w),
+                  abs(gpos + 100 - w)) <= 100
+        ok += hit
+        if got.mapping_quality >= 30:
+            tot30 += 1
+            ok30 += hit
+    assert tot == 1000
+    assert ok / tot >= 0.97, f"overall {ok}/{tot}"
+    assert tot30 >= 850 and ok30 / tot30 >= 0.99, \
+        f"mapq30 {ok30}/{tot30}"

@@ -56,6 +56,9 @@ class GiraffeParams:
     # device-side seeding (ops/devseed.py): the whole dispatch takes
     # only packed reads; candidates never cross the tunnel
     device_seed: bool = False
+    # suffix-array MEM re-seeding for zero-candidate reads (dense-variant
+    # recombinants); SA built lazily, gated to texts <= 64 Mbp
+    mem_fallback: bool = True
     pad_quantum: int = 32
     batch_reads: int = 512            # device batch (pad to fixed shape)
     max_mapq: int = 60
@@ -622,6 +625,18 @@ class GiraffeMapper:
                     cand_rev[i, j] = c.is_rev
                     cand_valid[i, j] = True
 
+        # MEM re-seed fallback: a read whose every 29-mer spans an
+        # allele combination absent from the indexed haplotypes gets
+        # ZERO minimizer hits (dense-variant recombinants — reference
+        # giraffe re-seeds via its fallback stages). Such reads still
+        # have piecewise exact matches to some haplotype, so seed them
+        # from the suffix array instead (rare; host-side).
+        zero = ~cand_valid[:R].any(axis=1)
+        if (zero.any() and p.mem_fallback
+                and len(self.haps.text) <= (1 << 26)):
+            self._mem_reseed(np.nonzero(zero)[0], codes,
+                             (cand_start, cand_lo, cand_hi, cand_rev,
+                              cand_valid))
         # reference projection of the candidate READ START (diag): exact
         # where the anchor-based value was anchor-offset noisy, and —
         # crucially — recomputable on DEVICE from cand_start + resident
@@ -661,6 +676,63 @@ class GiraffeMapper:
         rp = np.where(cand_valid, self._node_ref_path[nidx], -1)
         ro = np.where(cand_valid, self._node_ref_off[nidx] + fwd_off, 0)
         return rp.astype(np.int32), ro
+
+    def _mem_reseed(self, rows: np.ndarray, codes: List[np.ndarray],
+                    cand_arrays) -> None:
+        """Seed the given zero-candidate reads from the haplotype-text
+        suffix array (MEMs >= 19bp) and write their candidate rows in
+        place. The suffix array is built lazily on first need."""
+        if getattr(self, "_mem_fallback_index", None) is None:
+            import sys as _sys
+            import time as _time
+
+            from .memmapper import MEMIndex
+
+            _t0 = _time.time()
+            self._mem_fallback_index = MEMIndex(self.haps)
+            _sys.stderr.write(
+                f"[vg_tpu] built MEM-fallback suffix array "
+                f"({len(self.haps.text)/1e6:.0f} Mbp) in "
+                f"{_time.time()-_t0:.1f}s\n")
+        mi = self._mem_fallback_index
+        C = self.params.max_candidates
+        n = len(rows)
+        sub = (np.zeros((n, C), np.int32), np.zeros((n, C), np.int32),
+               np.zeros((n, C), np.int32), np.zeros((n, C), bool),
+               np.zeros((n, C), bool), np.full((n, C), -1, np.int32),
+               np.zeros((n, C), np.int64))
+        sread: List[int] = []
+        strand: List[bool] = []
+        diag: List[int] = []
+        roff: List[int] = []
+        score: List[float] = []
+        for k, i in enumerate(rows):
+            cc = codes[int(i)]
+            for is_rev, oriented in ((False, cc),
+                                     (True, dna.revcomp_codes(cc))):
+                rs, ln, tp = mi.find_mems(oriented)
+                for q in range(len(rs)):
+                    sread.append(k)
+                    strand.append(is_rev)
+                    diag.append(int(tp[q]) - int(rs[q]))
+                    roff.append(int(rs[q]))
+                    score.append(float(ln[q]))
+        if not sread:
+            return
+        self._cluster_seeds_to_candidates(
+            np.array(sread, np.int64), np.array(strand, bool),
+            np.array(diag, np.int64), np.array(roff, np.int64),
+            np.array(score, np.float64), sub)
+        cs, cl, ch, cr, cv = cand_arrays
+        ii = np.asarray(rows, np.int64)
+        cs[ii] = sub[0]
+        cl[ii] = sub[1]
+        ch[ii] = sub[2]
+        cr[ii] = sub[3]
+        cv[ii] = sub[4]
+        if self.params.track_provenance:
+            self.funnel.filter("seed", "mem-reseed", n,
+                               int(sub[4].any(axis=1).sum()))
 
     def _resident_arrays(self):
         """Device-resident index arrays shared by the packed single and
