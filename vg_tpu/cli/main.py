@@ -180,6 +180,29 @@ def cmd_giraffe(args) -> int:
     from ..map.giraffe import GiraffeMapper, GiraffeParams
     from ..map.paired import PairedGiraffeMapper
 
+    if getattr(args, "gam_in", None):
+        # take input reads from a GAM (vg map -G role): dump to a temp
+        # fastq and fall through the normal streaming paths
+        import tempfile
+
+        from ..io.fastq import Read as _Read
+        from ..io.gam import read_gam
+
+        tf = tempfile.NamedTemporaryFile("w", suffix=".fq", delete=False)
+        for a in read_gam(args.gam_in):
+            q = (bytes(a.quality).decode("latin1")
+                 if a.quality else "I" * len(a.sequence))
+            qual = "".join(chr(min(ord(c) + 33, 126)) for c in q) \
+                if a.quality else q
+            tf.write(f"@{a.name}\n{a.sequence}\n+\n{qual}\n")
+        tf.close()
+        args.fastq = tf.name
+        args.gam_in = None
+    if not args.fastq:
+        print("error [vg_tpu giraffe]: provide -f FASTQ or -G GAM",
+              file=sys.stderr)
+        return 2
+
     if getattr(args, "sweep", None):
         # parameter grid sweep: one full mapping run per combination,
         # outputs suffixed with the grid point (reference: rangeable
@@ -1711,7 +1734,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     gme = sub.add_parser("giraffe", help="map reads")
     gme.add_argument("-Z", "--index-prefix", required=True)
-    gme.add_argument("-f", "--fastq", required=True)
+    gme.add_argument("-f", "--fastq")
+    gme.add_argument("-G", "--gam-in",
+                     help="take input reads from a GAM (vg map -G role)")
     gme.add_argument("-2", "--fastq-mate")
     gme.add_argument("-i", "--interleaved", action="store_true")
     gme.add_argument("-o", "--output-format", default="gam",
