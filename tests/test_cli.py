@@ -393,3 +393,40 @@ def test_cli_chains_dotplot(indexed, capsys):
     assert len(lines) > 10
     # self-dotplot has the identity diagonal
     assert any(l.split("\t")[0] == l.split("\t")[1] for l in lines[1:])
+
+
+def test_cli_full_length_bonus_golden(indexed, capsys, ref_test_dir):
+    """50_vg_giraffe.t goldens: score 73 with the full-length bonus,
+    63 with --full-l-bonus 0."""
+    d, prefix = indexed
+    fq = str(ref_test_dir / "reads" / "small.middle.ref.fq")
+    assert main(["giraffe", "-Z", prefix, "-f", fq, "-o", "json"]) == 0
+    assert json.loads(capsys.readouterr().out.splitlines()[0])["score"] == 73
+    assert main(["giraffe", "-Z", prefix, "-f", fq, "--full-l-bonus", "0",
+                 "-o", "json"]) == 0
+    assert json.loads(capsys.readouterr().out.splitlines()[0])["score"] == 63
+
+
+def test_cli_comments_as_tags(indexed, capsys, tmp_path):
+    """50_vg_giraffe.t role: FASTQ header comments ride into GAF columns,
+    SAM tags, and GAM annotation."""
+    d, prefix = indexed
+    fq = tmp_path / "tagged.fq"
+    seq = "CAAATAAGGCTTGGAAATTTTCTGGAGTTCTATTATATTCCAACTCTCTG"
+    fq.write_text(f"@read1\tT1:A:t T2:i:1\n{seq}\n+\n{'H' * len(seq)}\n")
+    assert main(["giraffe", "-Z", prefix, "-f", str(fq),
+                 "--comments-as-tags", "-o", "gaf"]) == 0
+    line = capsys.readouterr().out.splitlines()[0]
+    assert "T1:A:t" in line and "T2:i:1" in line
+    assert main(["giraffe", "-Z", prefix, "-f", str(fq),
+                 "--comments-as-tags", "-o", "sam"]) == 0
+    sam = [l for l in capsys.readouterr().out.splitlines()
+           if l and not l.startswith("@")][0]
+    assert "T1:A:t" in sam and "T2:i:1" in sam
+    gam = tmp_path / "tagged.gam"
+    assert main(["giraffe", "-Z", prefix, "-f", str(fq),
+                 "--comments-as-tags", "--output", str(gam)]) == 0
+    from vg_tpu.io.gam import read_gam
+
+    a = next(iter(read_gam(str(gam))))
+    assert a.annotation.get("tags") == "T1:A:t T2:i:1"

@@ -267,6 +267,8 @@ def cmd_giraffe(args) -> int:
             params.hard_hit_cap = 500
             params.score_fraction = 0.5
             params.max_candidates = min(params.max_candidates, 4)
+        if getattr(args, "full_l_bonus", None) is not None:
+            params.full_length_bonus = args.full_l_bonus
         for k, v in (getattr(args, "param_override", None) or {}).items():
             if not hasattr(params, k):
                 print(f"unknown parameter {k!r} in sweep", file=sys.stderr)
@@ -275,8 +277,19 @@ def cmd_giraffe(args) -> int:
         mapper = GiraffeMapper(haps, idx, params)
     out = sys.stdout
     alns_out: List = []
+    comments: dict = {}
+    tag_mode = getattr(args, "comments_as_tags", False)
+
+    def note_comment(r):
+        if tag_mode and r.comment:
+            comments[r.name] = r.comment
 
     def flush(alns):
+        if tag_mode:
+            for a in alns:
+                c = comments.get(a.name)
+                if c:
+                    a.annotation["tags"] = c
         if args.output_format == "json":
             for a in alns:
                 out.write(a.to_json_str() + "\n")
@@ -353,21 +366,37 @@ def cmd_giraffe(args) -> int:
             and not args.interleaved and hasattr(mapper, "map_stream_encoded")):
         from ..io.gam import write_messages
 
+        comment_q: List[List] = []
+
         def batches():
             batch = []
             for r in iter_fastq(args.fastq):
                 batch.append(r)
                 if len(batch) >= args.batch_size:
+                    if tag_mode:
+                        comment_q.append([x.comment for x in batch])
                     yield batch
                     batch = []
             if batch:
+                if tag_mode:
+                    comment_q.append([x.comment for x in batch])
                 yield batch
 
         from ..parallel.pipeline import map_stream_encoded_mt
 
+        def _tag_suffix(comment):
+            from ..io.gam import _encode_struct
+            from ..io.wire import field_bytes
+
+            return field_bytes(100, _encode_struct({"tags": comment}))
+
         sink = open(args.output, "wb") if args.output else sys.stdout.buffer
         n = 0
         for recs in map_stream_encoded_mt(mapper, batches()):
+            if tag_mode and comment_q:
+                cs = comment_q.pop(0)
+                recs = [bytes(r) + _tag_suffix(c) if c else r
+                        for r, c in zip(recs, cs)]
             write_messages(sink, recs)
             n += len(recs)
         if args.output:
@@ -382,6 +411,8 @@ def cmd_giraffe(args) -> int:
             it = iter_fastq_interleaved(args.fastq)
         batch = []
         for pair in it:
+            note_comment(pair[0])
+            note_comment(pair[1])
             batch.append(pair)
             if len(batch) >= args.batch_size:
                 flush(pm.map_pairs_flat(batch))
@@ -397,6 +428,7 @@ def cmd_giraffe(args) -> int:
     else:
         batch = []
         for r in iter_fastq(args.fastq):
+            note_comment(r)
             batch.append(r)
             if len(batch) >= args.batch_size:
                 flush(mapper.map_batch(batch))
@@ -425,6 +457,15 @@ def cmd_giraffe(args) -> int:
             recs = sj.surject_pairs(pairs)
         else:
             recs = sj.surject_batch(alns_out)
+        if tag_mode:
+            for rec in recs:
+                c = comments.get(rec.qname)
+                if c:
+                    for tok in str(c).split():
+                        parts = tok.split(":", 2)
+                        if len(parts) == 3:
+                            rec.tags.append((parts[0], parts[1],
+                                             parts[2]))
         write_sam(out, sj.header(), recs)
     print(f"mapped {n} reads", file=sys.stderr)
     return 0
@@ -1748,6 +1789,12 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=["default", "fast", "hifi", "r10", "lr"])
     gme.add_argument("--track-provenance", action="store_true",
                      help="funnel stage annotations + stderr report")
+    gme.add_argument("--comments-as-tags", action="store_true",
+                     help="carry FASTQ header comments into output "
+                          "tags (SAM/BAM columns, GAF columns, GAM "
+                          "annotation on object paths)")
+    gme.add_argument("--full-l-bonus", type=int,
+                     help="full-length end bonus override")
     gme.add_argument("--sweep", action="append",
                      help="parameter grid sweep key=start:end[:step] "
                           "(repeatable; one mapping run per combination, "

@@ -16,6 +16,7 @@ class Read:
     name: str
     sequence: str
     quality: Optional[str] = None  # ASCII phred+33, None for FASTA input
+    comment: Optional[str] = None  # header text after the first token
 
 
 def _open(path: str):
@@ -44,17 +45,22 @@ def iter_fastq(path: str) -> Iterator[Read]:
             yield Read(name, "".join(seq_chunks))
             return
         assert first == "@", f"not FASTQ/FASTA: {path}"
-        name = f.readline().strip().split()[0]
+        header = f.readline().strip()
+        parts = header.split(None, 1)
+        name = parts[0]
+        comment = parts[1] if len(parts) > 1 else None
         while True:
             seq = f.readline().strip()
             plus = f.readline()
             qual = f.readline().strip()
-            yield Read(name, seq, qual)
+            yield Read(name, seq, qual, comment)
             header = f.readline()
             if not header:
                 return
             assert header[0] == "@", "bad FASTQ record"
-            name = header[1:].strip().split()[0]
+            parts = header[1:].strip().split(None, 1)
+            name = parts[0]
+            comment = parts[1] if len(parts) > 1 else None
 
 
 def _strip_pair_suffix(name: str) -> str:

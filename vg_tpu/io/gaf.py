@@ -13,12 +13,19 @@ from typing import List, TextIO
 from .gam import Alignment
 
 
+def _tag_columns(aln: Alignment) -> str:
+    tags = (aln.annotation or {}).get("tags") if aln.annotation else None
+    if not tags:
+        return ""
+    return "\t" + "\t".join(str(tags).split())
+
+
 def alignment_to_gaf(aln: Alignment) -> str:
     qlen = len(aln.sequence)
     if aln.path is None or not aln.path.mappings:
         return "\t".join([
             aln.name or "*", str(qlen), "0", "0", "*", "*",
-            "0", "0", "0", "0", "0", "0"])
+            "0", "0", "0", "0", "0", "0"]) + _tag_columns(aln)
     mappings = aln.path.mappings
     # query interval: soft clips are 0-from_length edits at the ends
     qstart = 0
@@ -48,7 +55,8 @@ def alignment_to_gaf(aln: Alignment) -> str:
         "".join(path_parts), str(plen + pstart), str(pstart),
         str(pstart + plen), str(matches), str(block),
         str(aln.mapping_quality),
-        f"AS:i:{aln.score}", f"id:f:{aln.identity:.6g}"])
+        f"AS:i:{aln.score}", f"id:f:{aln.identity:.6g}"]) \
+        + _tag_columns(aln)
 
 
 def write_gaf(fileobj: TextIO, alns) -> None:
