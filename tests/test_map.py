@@ -340,3 +340,25 @@ def test_graph_fallback_recombinant_read():
     assert aln.score >= 150 - 10, aln.score
     tos = sum(e.to_length for mp in aln.path.mappings for e in mp.edits)
     assert tos == 150
+
+
+def test_softclip_does_not_loop(small_x, ref_test_dir):
+    """50_vg_giraffe.t: a read with a 48bp foreign prefix ahead of real
+    graph sequence must not emit a path that revisits its first node
+    (a softclip-looping artifact vg regression-tests against)."""
+    from vg_tpu.io.fastq import Read
+
+    with open(ref_test_dir / "small" / "x.fa") as f:
+        f.readline()
+        contig = f.readline().strip()
+    junk = "GATTACATTAGGAGATAGCCATACGACGTAGCATCTAGCTCAGCCACA"
+    read = Read("loopy", junk + contig, "")
+    mapper = small_x
+    aln = mapper.map_batch([read])[0]
+    assert aln.path is not None and len(aln.path.mappings) >= 2
+    m0 = aln.path.mappings[0].position.node_id
+    m1 = aln.path.mappings[1].position.node_id
+    assert m0 != m1, "softclipped read loops on its first node"
+    # read bases fully accounted (softclip included)
+    tl = sum(e.to_length for mp in aln.path.mappings for e in mp.edits)
+    assert tl == len(read.sequence)
