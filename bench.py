@@ -23,6 +23,116 @@ import numpy as np
 BASELINE_READS_PER_S = 56330.0
 
 
+def _chip_holder_diagnostics():
+    """List other live python processes (possible stale chip holders from
+    earlier runs) — diagnostic only, never kills anything."""
+    me = os.getpid()
+    out = []
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ").decode()[:160]
+            except OSError:
+                continue
+            if "python" in cmd and ("bench" in cmd or "pytest" in cmd
+                                    or "jax" in cmd or "vg_tpu" in cmd):
+                out.append(f"  pid {pid}: {cmd}")
+    except OSError:
+        pass
+    return out
+
+
+def _probe_backend_subprocess(timeout_s):
+    """First device contact in a THROWAWAY subprocess: backend init can
+    hang (not just raise), and a hung init in-process poisons jax's
+    backend lock for every later retry. A subprocess can be timed out
+    and leaves the parent clean. Returns (ok, diag)."""
+    import subprocess
+
+    code = ("import jax, numpy as np; "
+            "x = jax.device_put(np.arange(8, dtype=np.int32)); "
+            "print('PROBE_OK', jax.devices(), np.asarray(x + 1)[0])")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+        if r.returncode == 0 and "PROBE_OK" in r.stdout:
+            return True, r.stdout.strip()[:200]
+        return False, (r.stderr or r.stdout).strip()[-300:]
+    except subprocess.TimeoutExpired:
+        return False, f"probe hung > {timeout_s}s (killed)"
+    except OSError as e:
+        return False, f"probe spawn failed: {e}"
+
+
+def init_backend(max_attempts=4):
+    """First device contact, hardened (round-2 postmortem: the driver
+    bench died with 'Unable to initialize backend axon: UNAVAILABLE'
+    during its first device_put — a transient tunnel/init flake became
+    the official round record). Probe in a subprocess (hang-safe) with
+    retry/backoff; on success do the in-process init (tunnel now warm);
+    after max_attempts fail over to CPU with a shrunken workload so ONE
+    JSON line is always emitted. Returns (ok_on_tpu, note)."""
+    import jax
+
+    want_cpu = os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
+    if want_cpu:
+        # explicit CPU run (tests/dev): the axon sitecustomize re-pins
+        # JAX_PLATFORMS=axon at interpreter start, so force through config
+        jax.config.update("jax_platforms", "cpu")
+        return True, None
+    for attempt in range(max_attempts):
+        timeout_s = 420 if attempt == 0 else 240   # first init compiles
+        ok, diag = _probe_backend_subprocess(timeout_s)
+        if ok:
+            sys.stderr.write(f"[bench] backend probe ok: {diag}\n")
+            try:
+                jax.devices()
+                np.asarray(jax.device_put(np.arange(4)) + 1)
+                return True, None
+            except Exception as e:  # probe ok but in-process flaked
+                diag = f"in-process init failed after ok probe: {e}"
+                try:
+                    jax.extend.backend.clear_backends()
+                except Exception:
+                    pass
+        sys.stderr.write(
+            f"[bench] backend attempt {attempt + 1}/{max_attempts} "
+            f"failed: {diag[:300]}\n")
+        holders = _chip_holder_diagnostics()
+        if holders:
+            sys.stderr.write("[bench] other live python processes "
+                             "(possible chip holders, NOT killed):\n"
+                             + "\n".join(holders) + "\n")
+        if attempt < max_attempts - 1:
+            delay = min(15 * (2 ** attempt), 90)
+            sys.stderr.write(f"[bench] retrying in {delay}s\n")
+            time.sleep(delay)
+    # unrecoverable: CPU fallback — a slow honest number beats a crash
+    sys.stderr.write(
+        f"[bench] TPU backend unrecoverable after {max_attempts} attempts; "
+        "falling back to CPU with a reduced workload\n")
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.extend.backend.clear_backends()
+        except Exception:
+            pass
+        jax.devices()
+        return False, "cpu-fallback: axon backend unavailable"
+    except Exception as e:
+        # truly dead: emit the JSON here and exit 0 so the driver records
+        # a diagnosed datum instead of a stack trace
+        print(json.dumps({
+            "metric": "giraffe_sr_paired_reads_per_s_per_chip",
+            "value": 0.0, "unit": "reads/s", "vs_baseline": 0.0,
+            "error": f"backend init failed: {str(e)[:200]}"}))
+        sys.exit(0)
+
+
 def make_pangenome(rng, ref_len=1_000_000, snp_rate=0.001, indel_rate=0.0001):
     from vg_tpu.construct.constructor import Constructor, ConstructorParams
     from vg_tpu.io.vcf import VcfFile, VcfRecord
@@ -153,9 +263,16 @@ def simulate_pairs(rng, haps, n_pairs, read_len=150, err=0.01,
 
 
 def main():
+    on_tpu, note = init_backend()
+
     from vg_tpu.index.haplotypes import thread_haplotypes
     from vg_tpu.index.minimizer import MinimizerIndex
     from vg_tpu.map.giraffe import GiraffeMapper, GiraffeParams
+
+    if not on_tpu:
+        # CPU fallback: keep it honest but finishable
+        os.environ.setdefault("BENCH_BATCH", "2048")
+        os.environ.setdefault("BENCH_READS", "8192")
 
     rng = np.random.default_rng(42)
     t0 = time.time()
@@ -202,15 +319,27 @@ def main():
         out = _io.BytesIO()
         t0 = time.time()
         mapped = 0
+        ticks = [t0]            # per-batch completion times (median-of-N:
+        sizes = []              # round-2 verdict asked for median, not best)
         for recs in map_pairs_encoded_mt(
                 pm, (pairs[i : i + bs] for i in range(bs, len(pairs), bs))):
             mapped += len(recs)
+            ticks.append(time.time())
+            sizes.append(len(recs))
             write_messages(out, recs)
         dt = time.time() - t0
-        rps = mapped / dt
+        rps_overall = mapped / dt
+        batch_rps = [n / (b - a) for n, a, b in
+                     zip(sizes, ticks[:-1], ticks[1:]) if b > a]
+        # drop the first batch (pipeline ramp) when enough samples remain
+        steady = batch_rps[1:] if len(batch_rps) >= 5 else batch_rps
+        rps = float(np.median(steady)) if steady else rps_overall
         sys.stderr.write(
             f"[bench] paired: {mapped} reads in {dt:.2f}s -> "
-            f"{out.getbuffer().nbytes/1e6:.1f} MB GAM\n")
+            f"{out.getbuffer().nbytes/1e6:.1f} MB GAM; per-batch reads/s "
+            f"median={rps:.0f} overall={rps_overall:.0f} "
+            f"best={max(batch_rps):.0f} worst={min(batch_rps):.0f} "
+            f"(n={len(batch_rps)})\n")
         metric = "giraffe_sr_paired_reads_per_s_per_chip"
         # correctness ON THE BENCH WORKLOAD itself: decode a sample of
         # the emitted records and compare refpos to the held-out truth
@@ -312,12 +441,15 @@ def main():
                 f"{lr_dt:.2f}s = {len(recs)/lr_dt:.0f} reads/s\n")
     except Exception as e:
         sys.stderr.write(f"[bench] longread sidecar failed: {e}\n")
-    print(json.dumps({
+    result = {
         "metric": metric,
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_S, 4),
-    }))
+    }
+    if note:
+        result["note"] = note
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
