@@ -125,6 +125,7 @@ def test_seed_candidates_dev_matches_host():
         jnp.asarray(idx.offsets.astype(np.int32)),
         jnp.asarray(idx.pos_text.astype(np.int32)),
         jnp.asarray(idx.pos_rev.astype(np.uint8)),
+        jnp.asarray(m._score_table()),
         k=idx.k, hit_cap=p.hit_cap, hard_hit_cap=p.hard_hit_cap,
         score_fraction=p.score_fraction,
         max_candidates=p.max_candidates, band_radius=p.band_radius)

@@ -30,6 +30,21 @@ DEFAULT_K = 29
 DEFAULT_W = 11
 
 
+def minimizer_score_table(hard_hit_cap: int, n: int) -> np.ndarray:
+    """Quantized minimizer scores: score(c) = max(1, 1 + ln(hard_hit_cap)
+    - ln(c)) rounded to the nearest 1/256 (reference policy:
+    src/minimizer_mapper.cpp:3918-3931). Quantizing makes cluster-score
+    sums EXACT in float32 regardless of summation order, so the host f64
+    sequential accumulation, XLA scatter-add, and the Pallas segmented
+    reduce (ops/pallas_seed.py) agree bitwise and candidate tie-breaks
+    stay deterministic across engines. Entry 0 = 0 (no hits)."""
+    c = np.arange(n + 1, dtype=np.float64)
+    s = 1.0 + np.log(float(hard_hit_cap)) - np.log(np.maximum(c, 1.0))
+    s = np.maximum(s, 1.0)
+    s[0] = 0.0
+    return (np.round(s * 256.0) / 256.0).astype(np.float32)
+
+
 def wang_hash_64(x: np.ndarray) -> np.ndarray:
     """Thomas Wang's 64-bit integer hash (as used by gbwtgraph's Key64)."""
     x = x.astype(np.uint64)

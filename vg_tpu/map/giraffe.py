@@ -194,6 +194,7 @@ class GiraffeMapper:
         self.params = params or GiraffeParams()
         self.graph = haps.graph
         self.text_dev = jnp.asarray(haps.text)
+        self._score_tab = None   # lazy quantized minimizer-score table
         # Pallas DP path: packed text + hand-written kernel. Used on real
         # TPU backends ('auto'); the XLA scan remains the CPU/interpret
         # fallback (Pallas TPU kernels do not run on the CPU backend).
@@ -232,6 +233,17 @@ class GiraffeMapper:
 
     # ------------------------------------------------------------------ seeds
 
+    def _score_table(self) -> np.ndarray:
+        """Quantized minimizer scores (index/minimizer.py
+        minimizer_score_table): exact-in-f32 sums keep candidate
+        tie-breaks identical across the host, XLA and Pallas engines."""
+        if self._score_tab is None:
+            from ..index.minimizer import minimizer_score_table
+
+            self._score_tab = minimizer_score_table(
+                self.params.hard_hit_cap, self.params.hard_hit_cap)
+        return self._score_tab
+
     def _seed_read(self, codes: np.ndarray) -> List[_Candidate]:
         p = self.params
         L = len(codes)
@@ -246,8 +258,7 @@ class GiraffeMapper:
         if len(offs) == 0:
             return []
         # minimizer score & selection (hit caps)
-        mscore = 1.0 + np.log(p.hard_hit_cap) - np.log(np.maximum(counts, 1))
-        mscore = np.maximum(mscore, 1.0)
+        mscore = self._score_table()[np.minimum(counts, p.hard_hit_cap)]
         order = np.argsort(-mscore, kind="stable")
         total = mscore.sum()
         taken_score = 0.0
@@ -380,8 +391,7 @@ class GiraffeMapper:
             counts[keep])
         if len(ridx) == 0:
             return out
-        mscore = 1.0 + np.log(p.hard_hit_cap) - np.log(np.maximum(counts, 1))
-        mscore = np.maximum(mscore, 1.0)
+        mscore = self._score_table()[np.minimum(counts, p.hard_hit_cap)]
 
         # soft-cap selection, same policy as _seed_read (reference hit
         # caps, src/minimizer_mapper.cpp:4349-4360): in per-read descending
@@ -533,7 +543,8 @@ class GiraffeMapper:
                 put(np.asarray(ih)), put(np.asarray(il)),
                 put(np.asarray(self.index.offsets, np.int32)),
                 put(np.asarray(self.index.pos_text, np.int32)),
-                put(np.asarray(self.index.pos_rev, np.uint8)))
+                put(np.asarray(self.index.pos_rev, np.uint8)),
+                put(self._score_table()))
         return self._resident_seed_dev
 
     def prepare_light(self, reads: Sequence[Read]) -> dict:

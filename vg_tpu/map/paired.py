@@ -543,7 +543,7 @@ class PairedGiraffeMapper:
                            band_radius=B)
 
             def seeded_step(text, hb, stp, steps, nlen, nrp, nro,
-                            ih, il, ioff, ipos, irev,
+                            ih, il, ioff, ipos, irev, stab,
                             rp1, rl1, rp2, rl2, mu, sd):
                 def mate(rp, rl):
                     r = unpack_reads4_dev(rp)
@@ -552,7 +552,7 @@ class PairedGiraffeMapper:
                         r, rl, kk, ww)
                     ca, rev, cv = seed_candidates_dev(
                         kh, kl, cr, chosen, vld, rl,
-                        ih, il, ioff, ipos, irev, **seed_kw)
+                        ih, il, ioff, ipos, irev, stab, **seed_kw)
                     lo, hi, rpth, ro = derive_candidate_meta(
                         ca + B, hb, stp, steps, nlen, nrp, nro)
                     return r, rc, (ca, lo, hi, rev, cv, rpth, ro)

@@ -694,6 +694,11 @@ int64_t seed_batch(
                 mscore[i] = std::max(
                     1.0, 1.0 + std::log((double)hard_hit_cap)
                              - std::log(std::max<int64_t>(c, 1)));
+                // quantize to 1/256 (index/minimizer.py
+                // minimizer_score_table): cluster-score sums become
+                // exact in f32 in any order, so host / XLA / Pallas
+                // engines tie-break candidates identically
+                mscore[i] = std::nearbyint(mscore[i] * 256.0) / 256.0;
             }
             // soft-cap selection in descending score order (stable)
             sel_order.clear();

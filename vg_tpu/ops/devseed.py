@@ -100,37 +100,43 @@ def rolling_minimizers(codes2d, rlen, k: int, w: int):
     C kernel on each read's TRUE length: windows never extend into the
     pad (reads shorter than k+w-1 select nothing — the host would use a
     shrunken window there; gate device seeding on read length >= k+w-1).
+
+    Built from k unrolled shifted ORs — the rolling update is a scan on
+    CPU but a scan is ~14 ms/STEP at mapping batch shapes on this TPU
+    stack (ARCHITECTURE.md), so the kmer at each position is assembled
+    positionally instead: code[e-j] contributes 2 bits at shift 2j
+    (fwd) / 2(k-1-j) (rev-comp), pure vector ops.
     """
     R, L = codes2d.shape
     m = L - k + 1
-    mask_bits = 2 * k
-    mh = U32((1 << (mask_bits - 32)) - 1) if mask_bits > 32 else U32(0)
-    ml = U32(0xFFFFFFFF) if mask_bits >= 32 else U32((1 << mask_bits) - 1)
-    shift_top = 2 * (k - 1)
 
-    def scan_fn(carry, c):
-        fh, fl, rh, rl, run = carry
-        cc = jnp.where(c < 4, c, 0).astype(U32)
-        run = jnp.where(c >= 4, k, jnp.maximum(run - 1, 0))
-        # fwd = ((fwd << 2) | cc) & mask
-        fh, fl = _shl64(fh, fl, 2)
-        fl = fl | cc
-        fh, fl = fh & mh, fl & ml
-        # rev = (rev >> 2) | ((3 - cc) << shift_top)
-        rh, rl = _shr64(rh, rl, 2)
-        tc = (U32(3) - cc)
-        if shift_top >= 32:
-            rh = rh | (tc << (shift_top - 32))
+    cc = jnp.where(codes2d < 4, codes2d, 0).astype(U32)   # (R, L)
+    bad = codes2d >= 4
+    z = jnp.zeros((R, m), U32)
+    fh, fl, rh, rl = z, z, z, z
+    for j in range(k):
+        cj = cc[:, k - 1 - j : k - 1 - j + m]
+        s = 2 * j
+        if s >= 32:
+            fh = fh | (cj << (s - 32))
         else:
-            rl = rl | (tc << shift_top)
-        return (fh, fl, rh, rl, run), (fh, fl, rh, rl, run)
+            fl = fl | (cj << s)
+        tj = U32(3) - cj
+        s = 2 * (k - 1 - j)
+        if s >= 32:
+            rh = rh | (tj << (s - 32))
+        else:
+            rl = rl | (tj << s)
 
-    z = jnp.zeros(R, U32)
-    init = (z, z, z, z, jnp.zeros(R, jnp.int32))
-    _, outs = jax.lax.scan(scan_fn, init, codes2d.T.astype(U32))
-    fh, fl, rh, rl, run = (o.T for o in outs)   # (R, L)
-    fh, fl, rh, rl, run = (a[:, k - 1 :] for a in (fh, fl, rh, rl, run))
-    valid = run == 0
+    # windowed OR of bad over k positions (doubling)
+    acc = bad
+    size = 1
+    while size < k:
+        step = min(size, k - size)
+        acc = acc | jnp.concatenate(
+            [acc[:, step:], jnp.zeros((R, step), bool)], 1)
+        size += step
+    valid = ~acc[:, :m]
     cr = (rh < fh) | ((rh == fh) & (rl < fl))
     kh = jnp.where(cr, rh, fh)
     kl = jnp.where(cr, rl, fl)
@@ -206,6 +212,7 @@ def lookup_ranges2(key_hi, key_lo, idx_hi, idx_lo, offsets):
 def seed_candidates_dev(codes_kh, codes_kl, canon_rev, chosen, valid,
                         rlen,
                         idx_hi, idx_lo, offsets, pos_text, pos_rev,
+                        score_tab=None, *,
                         k: int, hit_cap: int, hard_hit_cap: int,
                         score_fraction: float, max_candidates: int,
                         band_radius: int, M: int = 64, Hd: int = 64,
@@ -213,11 +220,92 @@ def seed_candidates_dev(codes_kh, codes_kl, canon_rev, chosen, valid,
     """Minimizer hits -> soft-cap selection -> diagonal clustering ->
     top-C candidates, entirely on device (the jnp re-expression of
     GiraffeMapper._seed_batch). Static budgets: M minimizer slots per
-    read, Hd hits per minimizer, S seed slots per read — exact parity
-    with the host below those budgets, graceful truncation above.
+    read, Hd hits per minimizer (M*Hd must be a power of two) — exact
+    parity with the host below those budgets; a minimizer whose hits
+    exceed Hd is dropped whole (a stricter hard cap). S is kept for
+    API compatibility and ignored: the sort width is M*Hd.
+
+    score_tab: optional (hard_hit_cap+1,) f32 quantized score table
+    (index/minimizer.py minimizer_score_table) — pass the SAME array
+    the host engines use so tie-breaks agree bitwise; when None the
+    quantized scores are computed inline in f32.
+
+    The per-read sort/segment stages run as Pallas kernels
+    (ops/pallas_seed.py) — XLA's own sort/scan/scatter are pathological
+    at these shapes (ARCHITECTURE.md measurements).
 
     Returns (cand_start, cand_rev, cand_valid) with C = max_candidates.
     """
+    from .pallas_seed import I32MAX, cluster_topc, softcap_compact
+
+    R, m = codes_kh.shape
+    C = max_candidates
+    B = band_radius
+
+    hs, he = lookup_ranges2(codes_kh, codes_kl, idx_hi, idx_lo, offsets)
+    counts = jnp.where(chosen & valid, he - hs, 0)
+    # the device's effective hard cap is min(hard_hit_cap, Hd): a
+    # minimizer whose hits exceed the per-minimizer budget is DROPPED
+    # whole (like a stricter hard cap) rather than silently truncated
+    keep = (counts > 0) & (counts <= min(hard_hit_cap, Hd))
+    if score_tab is None:
+        raw = jnp.maximum(
+            1.0 + jnp.log(float(hard_hit_cap))
+            - jnp.log(jnp.maximum(counts, 1).astype(jnp.float32)), 1.0)
+        mscore = jnp.round(raw * 256.0) / 256.0
+    else:
+        mscore = score_tab[jnp.minimum(counts, score_tab.shape[0] - 1)]
+    mscore = jnp.where(keep, mscore, 0.0)
+    cheap = keep & (counts <= hit_cap)
+
+    pos_s, hs_s, cnt_s, cr_s, ms_s, take_s = softcap_compact(
+        mscore, keep, cheap, hs, counts.astype(jnp.int32),
+        canon_rev.astype(jnp.int32), score_fraction=score_fraction)
+    mo_pos = pos_s[:, :M]
+    mo_hs = hs_s[:, :M]
+    mo_cnt = cnt_s[:, :M]
+    mo_cr = cr_s[:, :M] != 0
+    mo_sc = ms_s[:, :M]
+    slot_valid = take_s[:, :M] != 0
+
+    # hit expansion: (R, M, Hd) gathers against the resident position
+    # table (XLA is good at this part)
+    hit_off = jnp.arange(Hd, dtype=jnp.int32)
+    hit_idx = mo_hs[:, :, None] + hit_off[None, None, :]
+    hit_ok = (hit_off[None, None, :] < mo_cnt[:, :, None]) \
+        & slot_valid[:, :, None]
+    np_ = pos_text.shape[0]
+    hclip = jnp.clip(hit_idx, 0, max(np_ - 1, 0))
+    pos = pos_text[hclip]
+    prev = pos_rev[hclip].astype(bool)
+    strand = prev != mo_cr[:, :, None]
+    o_f = mo_pos[:, :, None].astype(jnp.int32)
+    o_r = (rlen[:, None, None] - k - mo_pos[:, :, None]).astype(jnp.int32)
+    o = jnp.where(strand, o_r, o_f)
+    diag = pos - o
+
+    Sp = M * Hd
+    strandk = jnp.where(hit_ok, strand.astype(jnp.int32), 2).reshape(R, Sp)
+    diagk = jnp.where(hit_ok, diag, I32MAX).reshape(R, Sp)
+    okk = jnp.where(hit_ok, o, I32MAX).reshape(R, Sp)
+    scf = jnp.where(hit_ok, mo_sc[:, :, None], 0.0).reshape(R, Sp)
+
+    cdiag, crev, cvalid = cluster_topc(
+        strandk, diagk, okk, scf, band_radius=B, max_candidates=C)
+    cand_start = (cdiag - B).astype(jnp.int32)
+    return cand_start, crev.astype(bool), cvalid
+
+
+def _seed_candidates_dev_xla(codes_kh, codes_kl, canon_rev, chosen, valid,
+                             rlen,
+                             idx_hi, idx_lo, offsets, pos_text, pos_rev,
+                             k: int, hit_cap: int, hard_hit_cap: int,
+                             score_fraction: float, max_candidates: int,
+                             band_radius: int, M: int = 64, Hd: int = 64,
+                             S: int = 768):
+    """Retired pure-XLA twin of seed_candidates_dev (kept as the
+    reference implementation the Pallas version was validated against;
+    ~25x slower on this stack — see module docstring)."""
     R, m = codes_kh.shape
     C = max_candidates
     B = band_radius
