@@ -395,3 +395,326 @@ def sharded_paired_step(mesh: Mesh, text, mate1, mate2, mu, sd,
     with mesh:
         return fn(text, r1, r1rc, rl1, c1, r2, r2rc, rl2, c2,
                   jnp.float32(mu), jnp.float32(sd))
+
+
+# ---------------------------------------------------- sharded haplotype text
+
+def split_text_shards(text: np.ndarray, n_shards: int, halo: int):
+    """Host: split the haplotype text into contiguous shards with a
+    right-side `halo` so any DP window whose start lies in a shard's
+    owned range fits in its local slice. Coordinates on each shard are
+    int32 regardless of total length — the replicated design's 2.1 Gbp
+    global-int32 ceiling (README) becomes per-shard, so a D-way text
+    axis holds up to D x 2.1 Gbp (SURVEY.md §2.3 item 6, the reference's
+    `vg chunk` index-sharding answer re-expressed as a mesh axis).
+
+    Returns (own_len, shards (D, own+halo) uint8 sentinel-padded)."""
+    T = len(text)
+    D = n_shards
+    own = -(-T // D)
+    Ls = own + halo
+    shards = np.full((D, Ls), 6, np.uint8)
+    for d in range(D):
+        s = d * own
+        e = min(T, s + Ls)
+        if s < T:
+            shards[d, : e - s] = text[s:e]
+    return own, shards
+
+
+def localize_candidates(cand, own_len: int, n_shards: int, halo: int):
+    """Host: convert global candidate meta -> per-shard-local int32.
+
+    cand = (start, lo, hi, rev, valid, rp, ro) with start/lo/hi int64-
+    capable global text coordinates. Returns (start_l, owner, lo_l,
+    hi_l, hap, rev, valid, rp, ro): owner = shard owning the window
+    start, start_l/lo_l/hi_l local to that shard (clamped to its halo'd
+    slice), hap = dense haplotype id (factorized lo) for same-copy
+    pairing checks without global coordinates."""
+    start, lo, hi, rev, valid, rp, ro = (np.asarray(a) for a in cand)
+    start64 = start.astype(np.int64)
+    owner = np.clip(start64 // own_len, 0, n_shards - 1).astype(np.int32)
+    base = owner.astype(np.int64) * own_len
+    Ls = own_len + halo
+    start_l = (start64 - base).astype(np.int32)
+    lo_l = np.clip(lo.astype(np.int64) - base, -1, Ls).astype(np.int32)
+    hi_l = np.clip(hi.astype(np.int64) - base, 0, Ls).astype(np.int32)
+    _, hap = np.unique(lo.astype(np.int64), return_inverse=True)
+    return (start_l, owner, lo_l, hi_l,
+            hap.reshape(lo.shape).astype(np.int32),
+            rev, valid, rp.astype(np.int32), ro.astype(np.int32))
+
+
+def _mismatch_bits_all(text, B, reads, reads_rc, rlen,
+                       start, lo, hi, rev, valid):
+    """Gapless mismatch bitmaps for EVERY candidate against one local
+    text shard (winner_mismatch_bits, widened to (R, C) so the winner
+    can be chosen after the cross-shard combine)."""
+    R, RL = reads.shape
+    C = start.shape[1]
+    W = (RL + 31) // 32
+    diag = start.astype(jnp.int32) + B                     # (R, C)
+    pos = diag[:, :, None] + jnp.arange(RL, dtype=jnp.int32)
+    okm = ((pos >= lo[:, :, None]) & (pos < hi[:, :, None])
+           & (pos >= 0) & (pos < text.shape[0]))
+    tw = jnp.where(okm, text[jnp.clip(pos, 0, text.shape[0] - 1)],
+                   jnp.uint8(align_ops.SENTINEL))
+    oriented = jnp.where(rev[:, :, None], reads_rc[:, None, :],
+                         reads[:, None, :])
+    inread = jnp.arange(RL)[None, None, :] < rlen[:, None, None]
+    msk = ((tw != oriented) | (oriented >= 4)) & inread & valid[:, :, None]
+    mm = msk.sum(axis=2).astype(jnp.int32)                 # (R, C)
+    padded = jnp.pad(msk, ((0, 0), (0, 0), (0, W * 32 - RL)))
+    words = (padded.reshape(R, C, W, 32).astype(jnp.uint32)
+             << jnp.arange(32, dtype=jnp.uint32)[None, None, None, :]
+             ).sum(axis=3, dtype=jnp.uint32)
+    return mm, words.astype(jnp.int32)                     # (R,C), (R,C,W)
+
+
+def make_sharded_text_paired_step(
+        n_text_shards: int, own_len: int, halo: int,
+        band_radius: int = 16, match: int = 1, mismatch: int = 4,
+        gap_open: int = 6, gap_extend: int = 1, bonus: int = 5,
+        max_fragment_length: int = 2000, unpaired_penalty: float = 30.0,
+        max_mapq: int = 60, n_buckets: int = 1024,
+        text_fits_i32: bool = True):
+    """Full paired step against a TEXT-SHARDED haplotype index.
+
+    Each candidate window is scored exactly once, on the shard that owns
+    its start (valid masks route it), so DP scores — and therefore
+    winners, MAPQs and pair selection — are bit-identical to the
+    replicated-text step. Cross-shard combines are masked sums the
+    partitioner lowers to psums over the 'text' axis; fragment distances
+    between mates on different shards use a saturated (D, D) base-offset
+    table, exact within max_fragment_length even when global coordinates
+    exceed int32 (the point of sharding the text)."""
+    from ..map.mapq import log_base
+
+    lam = log_base(match, mismatch)
+    B = band_radius
+    D = n_text_shards
+
+    def score_on_shards(tshards, reads, reads_rc, rlen,
+                        start_l, owner, lo_l, hi_l, rev, valid):
+        d_ids = jnp.arange(D, dtype=jnp.int32)
+        valid_d = valid[None] & (owner[None] == d_ids[:, None, None])
+        sd_ = jax.vmap(
+            lambda t, v: align_ops.banded_scores(
+                t, reads, reads_rc, rlen,
+                jnp.where(v, start_l, 0), jnp.where(v, lo_l, 0),
+                jnp.where(v, hi_l, 0), rev, v,
+                band_radius=band_radius, match=match, mismatch=mismatch,
+                gap_open=gap_open, gap_extend=gap_extend, bonus=bonus)
+        )(tshards, valid_d)                                # (D, R, C)
+        s = jnp.where(valid_d, sd_, 0).sum(axis=0)         # psum on 'text'
+        s = jnp.where(valid, s, -1)
+        mmd, bitsd = jax.vmap(
+            lambda t, v: _mismatch_bits_all(
+                t, B, reads, reads_rc, rlen, start_l, lo_l, hi_l, rev, v)
+        )(tshards, valid_d)
+        mm = jnp.where(valid_d, mmd, 0).sum(axis=0)
+        bits = jnp.where(valid_d[..., None], bitsd, 0).sum(axis=0)
+        return s, mm, bits
+
+    def step(tshards, basediff, r1, r1rc, rl1, c1, r2, r2rc, rl2, c2,
+             mu, sd):
+        (s1_sl, s1_ow, s1_lo, s1_hi, s1_hap, s1_rev, s1_valid,
+         s1_rp, s1_ro) = c1
+        (s2_sl, s2_ow, s2_lo, s2_hi, s2_hap, s2_rev, s2_valid,
+         s2_rp, s2_ro) = c2
+        s1, mm1a, bits1a = score_on_shards(
+            tshards, r1, r1rc, rl1, s1_sl, s1_ow, s1_lo, s1_hi,
+            s1_rev, s1_valid)
+        s2, mm2a, bits2a = score_on_shards(
+            tshards, r2, r2rc, rl2, s2_sl, s2_ow, s2_lo, s2_hi,
+            s2_rev, s2_valid)
+        R, C = s1.shape
+        L1 = rl1[:, None].astype(jnp.float32)
+        L2 = rl2[:, None].astype(jnp.float32)
+        tol1 = jnp.maximum(rl1 // 2, 32)[:, None, None]
+        f1 = s1.astype(jnp.float32)
+        f2 = s2.astype(jnp.float32)
+        v1 = s1_valid & (s1 > 0)
+        v2 = s2_valid & (s2 > 0)
+        vd1 = v1 & _distinct_mask(s1, s1_rev, s1_rp, s1_ro, v1, tol1)
+        vd2 = v2 & _distinct_mask(s2, s2_rev, s2_rp, s2_ro, v2, tol1)
+
+        # fragment length in text space via the saturated base-offset
+        # table: d2g - d1g = basediff[ow1, ow2] + (l2 - l1), exact while
+        # |true distance| << the saturation bound
+        bd = basediff[s1_ow[:, :, None], s2_ow[:, None, :]].astype(
+            jnp.float32)
+        dl1 = (s1_sl + B).astype(jnp.float32)
+        dl2 = (s2_sl + B).astype(jnp.float32)
+        delta = bd + (dl2[:, None, :] - dl1[:, :, None])   # d2g - d1g
+        ff = delta + L2[:, :, None]
+        fr = -delta + L1[:, :, None]
+        frag_txt = jnp.where(s1_rev[:, :, None], fr, ff)
+        same_copy = s1_hap[:, :, None] == s2_hap[:, None, :]
+        on_ref = ((s1_rp[:, :, None] >= 0)
+                  & (s1_rp[:, :, None] == s2_rp[:, None, :]))
+        ro1 = s1_ro.astype(jnp.float32)
+        ro2 = s2_ro.astype(jnp.float32)
+        rff = (ro2[:, None, :] + L2[:, :, None]) - ro1[:, :, None]
+        rfr = (ro1[:, :, None] + L1[:, :, None]) - ro2[:, None, :]
+        frag_ref = jnp.where(s1_rev[:, :, None], rfr, rff)
+        frag = jnp.where(same_copy, frag_txt,
+                         jnp.where(on_ref, frag_ref, -1.0))
+        proper = ((s1_rev[:, :, None] != s2_rev[:, None, :])
+                  & (same_copy | on_ref)
+                  & (frag > 0) & (frag <= max_fragment_length)
+                  & vd1[:, :, None] & vd2[:, None, :])
+        ll = (-((frag - mu) ** 2) / (2 * sd * sd)
+              - jnp.log(sd * jnp.sqrt(2 * jnp.pi)))
+        NEGF = jnp.float32(-1e30)
+        pair_scaled = jnp.where(
+            proper, lam * (f1[:, :, None] + f2[:, None, :]) + ll, NEGF)
+        flat = pair_scaled.reshape(R, C * C)
+        best_combo = jnp.argmax(flat, axis=1)
+        best_pair = jnp.take_along_axis(flat, best_combo[:, None], 1)[:, 0]
+        j1p = best_combo // C
+        j2p = best_combo % C
+
+        b1 = jnp.argmax(jnp.where(vd1, f1, NEGF), axis=1)
+        b2 = jnp.argmax(jnp.where(vd2, f2, NEGF), axis=1)
+        s1b = jnp.where(vd1.any(1),
+                        jnp.take_along_axis(f1, b1[:, None], 1)[:, 0], 0.0)
+        s2b = jnp.where(vd2.any(1),
+                        jnp.take_along_axis(f2, b2[:, None], 1)[:, 0], 0.0)
+        indep = lam * (s1b + s2b) - lam * unpaired_penalty
+        use_pair = (best_pair > NEGF / 2) & (best_pair >= indep)
+
+        lsep = best_pair + jnp.log(jnp.sum(
+            jnp.exp(jnp.where(flat > NEGF / 2,
+                              flat - best_pair[:, None], NEGF)), axis=1))
+        deltap = best_pair - lsep
+        one_minus = jnp.where(deltap < -1e-12,
+                              jnp.log1p(-jnp.exp(jnp.minimum(deltap,
+                                                             -1e-12))),
+                              -50.0)
+        mq_pair = jnp.clip(-10.0 / jnp.log(10.0) * one_minus, 0, max_mapq)
+
+        def end_mapq(f, vd, chosen):
+            sc = jnp.where(vd, f * lam, NEGF)
+            mx = sc.max(axis=1)
+            lse = mx + jnp.log(jnp.exp(sc - mx[:, None]).sum(axis=1))
+            ch = jnp.take_along_axis(f, chosen[:, None], 1)[:, 0] * lam
+            dlt = ch - lse
+            om = jnp.where(dlt < -1e-12,
+                           jnp.log1p(-jnp.exp(jnp.minimum(dlt, -1e-12))),
+                           -50.0)
+            return jnp.clip(-10.0 / jnp.log(10.0) * om, 0, max_mapq)
+
+        j1 = jnp.where(use_pair, j1p, b1)
+        j2 = jnp.where(use_pair, j2p, b2)
+        takeC = lambda a, j: jnp.take_along_axis(a, j[:, None], 1)[:, 0]
+        mm1 = takeC(mm1a, j1)
+        mm2 = takeC(mm2a, j2)
+        bits1 = jnp.take_along_axis(
+            bits1a, j1[:, None, None], 1)[:, 0]
+        bits2 = jnp.take_along_axis(
+            bits2a, j2[:, None, None], 1)[:, 0]
+        mq1s = end_mapq(f1, vd1, j1)
+        mq2s = end_mapq(f2, vd2, j2)
+        mq1 = jnp.where(use_pair, jnp.minimum(mq_pair, mq1s + 25), mq1s)
+        mq2 = jnp.where(use_pair, jnp.minimum(mq_pair, mq2s + 25), mq2s)
+        frags = jnp.take_along_axis(frag.reshape(R, C * C),
+                                    best_combo[:, None], 1)[:, 0]
+        frags = jnp.where(use_pair, frags, 0.0)
+
+        sm2_1 = jnp.where(vd1, f1, NEGF)
+        top1 = jnp.sort(sm2_1, axis=1)[:, ::-1]
+        uniq1 = (s1b >= 0.8 * rl1) & (
+            (vd1.sum(1) <= 1) | (top1[:, 1] < top1[:, 0] - 5))
+        sm2_2 = jnp.where(vd2, f2, NEGF)
+        top2 = jnp.sort(sm2_2, axis=1)[:, ::-1]
+        uniq2 = (s2b >= 0.8 * rl2) & (
+            (vd2.sum(1) <= 1) | (top2[:, 1] < top2[:, 0] - 5))
+        obs = (use_pair & uniq1 & uniq2 & (frags > 0)
+               & (frags <= max_fragment_length))
+        stat_n = obs.sum().astype(jnp.float32)
+        stat_sum = jnp.where(obs, frags, 0.0).sum()
+        stat_sumsq = jnp.where(obs, frags * frags, 0.0).sum()
+
+        # coverage: exact global bucketing when the text fits int32,
+        # shard-local bucketing (n_buckets/D per shard) beyond that
+        cov = jnp.zeros((n_buckets,), jnp.int32)
+        if text_fits_i32:
+            T = D * own_len
+            bsz = max(T // n_buckets, 1)
+            g1 = takeC(s1_ow, j1) * own_len + takeC(s1_sl, j1)
+            g2 = takeC(s2_ow, j2) * own_len + takeC(s2_sl, j2)
+            cov = cov.at[jnp.clip(g1 // bsz, 0, n_buckets - 1)].add(
+                vd1.any(1).astype(jnp.int32))
+            cov = cov.at[jnp.clip(g2 // bsz, 0, n_buckets - 1)].add(
+                vd2.any(1).astype(jnp.int32))
+        else:
+            per = max(n_buckets // D, 1)
+            bsz = max(own_len // per, 1)
+            g1 = jnp.clip(takeC(s1_ow, j1), 0, D - 1) * per \
+                + jnp.clip(takeC(s1_sl, j1) // bsz, 0, per - 1)
+            g2 = jnp.clip(takeC(s2_ow, j2), 0, D - 1) * per \
+                + jnp.clip(takeC(s2_sl, j2) // bsz, 0, per - 1)
+            cov = cov.at[jnp.clip(g1, 0, n_buckets - 1)].add(
+                vd1.any(1).astype(jnp.int32))
+            cov = cov.at[jnp.clip(g2, 0, n_buckets - 1)].add(
+                vd2.any(1).astype(jnp.int32))
+        return (s1, s2, j1, j2,
+                jnp.clip(mq1, 0, max_mapq).astype(jnp.int32),
+                jnp.clip(mq2, 0, max_mapq).astype(jnp.int32),
+                use_pair, frags, mm1, mm2, bits1, bits2,
+                jnp.stack([stat_n, stat_sum, stat_sumsq]), cov)
+
+    return step
+
+
+def sharded_text_paired_step(mesh: Mesh, text, mate1, mate2, mu, sd,
+                             band_radius: int = 16, halo: Optional[int] = None,
+                             **kw):
+    """Run the full paired step with the haplotype TEXT sharded over the
+    mesh's 'text' axis and reads data-parallel over its 'data' axis (if
+    present). mate = (reads, reads_rc, rlen, cand) with GLOBAL candidate
+    meta (start, lo, hi, rev, valid, rp, ro); start/lo/hi may be int64.
+    The wrapper splits the text, localizes candidates to their owning
+    shards, and hands everything to make_sharded_text_paired_step —
+    per-shard coordinates stay int32 so total text capacity scales with
+    the text-axis size."""
+    names = mesh.axis_names
+    taxis = "text" if "text" in names else names[-1]
+    daxis = "data" if "data" in names and "text" in names else None
+    Dt = mesh.shape[taxis]
+    r1, r1rc, rl1, c1g = mate1
+    r2, r2rc, rl2, c2g = mate2
+    RL = r1.shape[1]
+    if halo is None:
+        halo = RL + 2 * band_radius + 16
+    own, shards = split_text_shards(np.asarray(text), Dt, halo)
+    c1 = localize_candidates(c1g, own, Dt, halo)
+    c2 = localize_candidates(c2g, own, Dt, halo)
+    bases = np.arange(Dt, dtype=np.int64) * own
+    basediff = np.clip(bases[None, :] - bases[:, None],
+                       -(2 ** 30), 2 ** 30).astype(np.int32)
+    text_fits = (Dt * own) < 2 ** 31
+
+    tsh = NamedSharding(mesh, P(taxis, None))
+    rsh = NamedSharding(mesh, P(daxis, None) if daxis else P())
+    vsh = NamedSharding(mesh, P(daxis) if daxis else P())
+    repl = NamedSharding(mesh, P())
+    put_r = lambda a: jax.device_put(np.asarray(a), rsh)
+    put_v = lambda a: jax.device_put(np.asarray(a), vsh)
+    c1d = tuple(put_r(a) for a in c1)
+    c2d = tuple(put_r(a) for a in c2)
+    step = make_sharded_text_paired_step(
+        Dt, own, halo, band_radius=band_radius,
+        text_fits_i32=text_fits, **kw)
+    out_shardings = (vsh,) * 12 + (repl, repl)
+    # per-read outputs shard over data; 2D (R, C) outputs use rsh
+    out_shardings = (rsh, rsh, vsh, vsh, vsh, vsh, vsh, vsh,
+                     vsh, vsh, rsh, rsh, repl, repl)
+    fn = jax.jit(step, out_shardings=out_shardings)
+    with mesh:
+        return fn(jax.device_put(shards, tsh),
+                  jax.device_put(basediff, repl),
+                  put_r(r1), put_r(r1rc), put_v(rl1), c1d,
+                  put_r(r2), put_r(r2rc), put_v(rl2), c2d,
+                  jnp.float32(mu), jnp.float32(sd))
