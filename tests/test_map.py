@@ -47,7 +47,12 @@ def test_perfect_read_score_73(small_x, ref_test_dir):
     (aln,) = small_x.map_batch(reads)
     assert aln.score == 73
     assert aln.identity == 1.0
-    assert aln.mapping_quality == 60
+    # the 63bp read carries q66 ('c') qualities and yields few minimizers,
+    # so the explored-minimizer cap (map/mapqcap.py, reference
+    # minimizer_mapper.cpp:1161-1172 faster_cap) binds below 60: the
+    # posterior alone said 60, the cap says the handful of seeds could be
+    # disrupted with ~10^-5.4 probability of base errors
+    assert aln.mapping_quality == 54
     assert _path_to_length(aln) == len(aln.sequence)
     assert aln.refpos and aln.refpos[0].name == "x"
     # the read is a perfect ref substring: path must spell the read

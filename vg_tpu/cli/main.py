@@ -255,7 +255,14 @@ def cmd_giraffe(args) -> int:
                 pass
         params = GiraffeParams(max_candidates=args.max_multimaps_internal,
                                batch_reads=args.batch_size,
-                               track_provenance=args.track_provenance)
+                               track_provenance=args.track_provenance,
+                               # vg map aligns quality-adjusted when the
+                               # input has qualities (QualAdjAligner,
+                               # reference src/aligner.hpp:218); the flag
+                               # activates per batch only when qualities
+                               # are present
+                               qual_adjusted=getattr(
+                                   args, "qual_adjust", False))
         mapper = MEMMapper(haps, mi, params)
     else:
         params = GiraffeParams(max_candidates=args.max_multimaps_internal,
@@ -1636,8 +1643,10 @@ def cmd_mpmap(args) -> int:
     from ..map.mpmap import MultipathMapper
 
     g, haps, idx = _load_bundle(args.index_prefix)
-    mm = MultipathMapper(GiraffeMapper(haps, idx,
-                                       GiraffeParams(batch_reads=args.batch_size)))
+    mm = MultipathMapper(GiraffeMapper(
+        haps, idx, GiraffeParams(
+            batch_reads=args.batch_size,
+            qual_adjusted=not getattr(args, "no_qual_adjust", False))))
     mps = []
     batch = []
     for r in iter_fastq(args.fastq):
@@ -2059,6 +2068,9 @@ def build_parser() -> argparse.ArgumentParser:
     mp.add_argument("--track-provenance", action="store_true")
     mp.add_argument("--engine", default="mem", choices=["mem", "giraffe"],
                     help="seeding engine (MEMs by default; vg map role)")
+    mp.add_argument("-A", "--qual-adjust", action="store_true",
+                    help="base-quality-adjusted alignment scores "
+                         "(reference map_main.cpp:100)")
     mp.set_defaults(func=cmd_giraffe)
 
 
@@ -2202,6 +2214,9 @@ def build_parser() -> argparse.ArgumentParser:
     mm.add_argument("-Z", "--index-prefix", required=True)
     mm.add_argument("-f", "--fastq", required=True)
     mm.add_argument("-B", "--batch-size", type=int, default=512)
+    mm.add_argument("-A", "--no-qual-adjust", action="store_true",
+                    help="disable base-quality-adjusted scores "
+                         "(on by default, reference mpmap_main.cpp:209)")
     mm.add_argument("--output")
     mm.set_defaults(func=cmd_mpmap)
 

@@ -289,9 +289,11 @@ class MinimizerIndex:
     def count(self, key) -> np.ndarray:
         """Occurrences per query key (vectorized)."""
         key = np.atleast_1d(np.asarray(key, np.uint64))
+        if len(self.keys) == 0:
+            return np.zeros(len(key), np.int64)
         i = np.searchsorted(self.keys, key)
-        i = np.minimum(i, max(len(self.keys) - 1, 0))
-        found = (len(self.keys) > 0) & (self.keys[i] == key)
+        i = np.minimum(i, len(self.keys) - 1)
+        found = self.keys[i] == key
         return np.where(found, self.offsets[i + 1] - self.offsets[i], 0)
 
     def lookup(self, key: int) -> Tuple[np.ndarray, np.ndarray]:

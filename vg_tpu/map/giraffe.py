@@ -68,6 +68,9 @@ class GiraffeParams:
     gap_extend: int = 1
     full_length_bonus: int = 5
     track_provenance: bool = False    # --track-provenance (funnel stats)
+    # base-quality-adjusted DP scoring (QualAdjAligner role, reference
+    # src/aligner.hpp:218): mpmap always, vg map when qualities present
+    qual_adjusted: bool = False
     use_pallas: str = "auto"          # 'auto' | 'always' | 'never'
     # graph-space POA fallback (the dozeu/GSSW-over-extracted-graph role,
     # reference src/minimizer_mapper.cpp:3319-3424): reads whose best
@@ -514,10 +517,14 @@ class GiraffeMapper:
         import time as _time
 
         _t0 = _time.time()
-        scores_dev = self._device_scores(
-            prep["reads_arr"], prep["reads_rc_arr"], prep["rlens"],
-            prep["cand_start"], prep["cand_lo"], prep["cand_hi"],
-            prep["cand_rev"], prep["cand_valid"], p.band_radius)[:R]
+        if p.qual_adjusted and R > 0 and all(
+                getattr(r, "quality", None) for r in reads):
+            scores_dev = self._device_scores_qual(prep, reads)[:R]
+        else:
+            scores_dev = self._device_scores(
+                prep["reads_arr"], prep["reads_rc_arr"], prep["rlens"],
+                prep["cand_start"], prep["cand_lo"], prep["cand_hi"],
+                prep["cand_rev"], prep["cand_valid"], p.band_radius)[:R]
         self.funnel.record("align_dispatch", _time.time() - _t0, items_in=R)
         return ScoredBatch(
             reads=list(reads), codes=prep["codes"],
@@ -919,6 +926,31 @@ class GiraffeMapper:
             gap_open=p.gap_open, gap_extend=p.gap_extend,
             bonus=p.full_length_bonus)
 
+    def _device_scores_qual(self, prep: dict, reads) -> "jnp.ndarray":
+        """Quality-adjusted DP dispatch (ops/align.banded_scores_qual with
+        tables from ops/qualadj; reference QualAdjAligner,
+        src/aligner.hpp:218). XLA scan path only — map/mpmap volume."""
+        import jax.numpy as jnp
+
+        from ..ops.align import banded_scores_qual
+        from ..ops.qualadj import parse_quality, qual_tables
+
+        p = self.params
+        mt, mm, bt = qual_tables(p.match, p.mismatch, p.full_length_bonus)
+        Rpad, RL = prep["reads_arr"].shape
+        quals = np.zeros((Rpad, RL), np.uint8)
+        for i, r in enumerate(reads):
+            q = parse_quality(r.quality)[:RL]
+            quals[i, : len(q)] = q
+        return banded_scores_qual(
+            self.text_dev, prep["reads_arr"], prep["reads_rc_arr"],
+            quals, prep["rlens"],
+            prep["cand_start"], prep["cand_lo"], prep["cand_hi"],
+            prep["cand_rev"], prep["cand_valid"],
+            jnp.asarray(mt), jnp.asarray(mm), jnp.asarray(bt),
+            band_radius=p.band_radius, gap_open=p.gap_open,
+            gap_extend=p.gap_extend)
+
     def rescore_candidates(self, sb: "ScoredBatch",
                            cand_start: np.ndarray, cand_lo: np.ndarray,
                            cand_hi: np.ndarray, cand_rev: np.ndarray,
@@ -1037,7 +1069,30 @@ class GiraffeMapper:
                                  -50.0)
         mapqs = np.clip(-10.0 / np.log(10.0) * one_minus, 0, p.max_mapq)
         mapqs = np.where(np.isfinite(mapqs), mapqs, p.max_mapq).astype(int)
+        mapqs = self.apply_mapq_caps(sb, mapqs)
         return self.emit_chosen(sb, best_j, mapqs, any_valid)
+
+    def apply_mapq_caps(self, sb: "ScoredBatch",
+                        mapqs: np.ndarray) -> np.ndarray:
+        """Explored-minimizer MAPQ cap for quality-carrying reads
+        (reference src/minimizer_mapper.cpp:1161-1172: mapq =
+        min(mapq, faster_cap(...)); infinite cap without qualities).
+        Host-side on winners only — reads without quality strings (the
+        bench path) pay nothing."""
+        from ..ops.qualadj import parse_quality
+        from .mapqcap import explored_cap
+
+        p = self.params
+        k, w = self.index.k, self.index.w
+        for i, r in enumerate(sb.reads):
+            q = getattr(r, "quality", None)
+            if not q:
+                continue
+            cap = explored_cap(sb.codes[i], parse_quality(q), k, w,
+                               count_fn=self.index.count)
+            if np.isfinite(cap) and cap < mapqs[i]:
+                mapqs[i] = max(int(round(cap)), 0)
+        return mapqs
 
     def _distinct_placements(self, sb: "ScoredBatch",
                              valid: np.ndarray) -> np.ndarray:
@@ -1102,8 +1157,29 @@ class GiraffeMapper:
         inread = col < L_arr[:, None]
         mism = ((tw != oriented) | (oriented >= 4)) & inread
         mm = mism.sum(axis=1)
-        gl_score = (L_arr - mm) * p.match - mm * p.mismatch \
-            + 2 * p.full_length_bonus
+        qual_mode = p.qual_adjusted and R > 0 and all(
+            getattr(r, "quality", None) for r in sb.reads)
+        if qual_mode:
+            # quality-adjusted gapless score so the fast-path equality
+            # check matches the qual-adjusted device DP
+            from ..ops.qualadj import parse_quality, qual_tables
+
+            mt_t, mm_t, b_t = qual_tables(p.match, p.mismatch,
+                                          p.full_length_bonus)
+            quals = np.zeros((R, RL), np.int64)
+            for i, r in enumerate(sb.reads):
+                q = parse_quality(r.quality)
+                if rev[i]:
+                    q = q[::-1]
+                quals[i, : min(len(q), RL)] = q[:RL]
+            quals = np.minimum(quals, len(mt_t) - 1)
+            per = np.where(mism, mm_t[quals], mt_t[quals]) * inread
+            gl_score = (per.sum(1) + b_t[quals[np.arange(R), 0]]
+                        + b_t[quals[np.arange(R),
+                                    np.maximum(L_arr - 1, 0)]])
+        else:
+            gl_score = (L_arr - mm) * p.match - mm * p.mismatch \
+                + 2 * p.full_length_bonus
         # winners must lie fully inside their haplotype range to take the
         # gapless fast path: an overhanging interval would walk off the
         # text / cross haplotype boundaries (out-of-range columns scored
@@ -1158,6 +1234,10 @@ class GiraffeMapper:
         from .mapq import log_base
 
         if native_lib() is None:
+            return None
+        if self.params.qual_adjusted:
+            # qual-adjusted scores break the native gapless-score check;
+            # route through the object emitter (map/mpmap volume)
             return None
         if getattr(sb, "_packed_single", None) is not None:
             # winner/mapq/bitmaps were computed on device in the packed
@@ -1416,7 +1496,7 @@ class GiraffeMapper:
         ta = self._gapless_check(oriented, window, device_score)
         if ta is None:
             ta = banded_traceback(oriented, window, p.band_radius, scoring)
-        if ta is not None:
+        if ta is not None and not p.qual_adjusted:
             assert ta.score == device_score, (
                 f"host/device DP disagreement: {ta.score} != {device_score}")
         # wide-band refinement: indels beyond the device band radius clip

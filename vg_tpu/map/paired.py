@@ -165,6 +165,8 @@ class PairedGiraffeMapper:
 
         sel = self._pair_select(sb1, sb2)
         j1, j2, mq1, mq2, any1, any2, use_pair, frags = sel
+        mq1 = m.apply_mapq_caps(sb1, mq1)
+        mq2 = m.apply_mapq_caps(sb2, mq2)
         alns1 = m.emit_chosen(sb1, j1, mq1, any1)
         alns2 = m.emit_chosen(sb2, j2, mq2, any2)
         proper = use_pair & any1 & any2
@@ -829,6 +831,8 @@ class PairedGiraffeMapper:
         if sel is None:
             sel = self._pair_select(sb1, sb2)
         j1, j2, mq1, mq2, any1, any2, use_pair, frags = sel
+        mq1 = m.apply_mapq_caps(sb1, mq1)
+        mq2 = m.apply_mapq_caps(sb2, mq2)
         recs1 = m.emit_chosen_encoded(sb1, j1, mq1, any1)
         recs2 = m.emit_chosen_encoded(sb2, j2, mq2, any2)
         if recs1 is None or recs2 is None:

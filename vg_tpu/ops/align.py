@@ -157,3 +157,99 @@ def gapless_mismatches(
     ok = (pos >= lo) & (pos < hi)
     t = np.where(ok, text[np.clip(pos, 0, len(text) - 1)], SENTINEL)
     return (t != read) | (read >= 4)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("band_radius", "gap_open", "gap_extend"))
+def banded_scores_qual(
+    text: jnp.ndarray, reads: jnp.ndarray, reads_rc: jnp.ndarray,
+    quals: jnp.ndarray,          # (R, RL) uint8 phred (forward orientation)
+    rlen: jnp.ndarray,
+    cand_start: jnp.ndarray, cand_lo: jnp.ndarray, cand_hi: jnp.ndarray,
+    cand_rev: jnp.ndarray, cand_valid: jnp.ndarray,
+    match_tab: jnp.ndarray,      # (Q+1,) int32 per-quality match score
+    mism_tab: jnp.ndarray,       # (Q+1,) int32 SIGNED mismatch score
+    bonus_tab: jnp.ndarray,      # (Q+1,) int32 full-length bonus
+    *,
+    band_radius: int = 16,
+    gap_open: int = 6,
+    gap_extend: int = 1,
+) -> jnp.ndarray:
+    """banded_scores with base-quality-adjusted match/mismatch scores and
+    full-length bonuses (the QualAdjAligner role, reference
+    src/aligner.hpp:218; tables from vg_tpu.ops.qualadj). A low-quality
+    base's mismatch costs little (an error was expected) and its match
+    earns little. Gap costs stay unadjusted, as in the reference."""
+    R, RL = reads.shape
+    C = cand_start.shape[1]
+    B = band_radius
+    W = 2 * B + 1
+    TW = RL + 2 * B
+
+    pos = cand_start[:, :, None] + jnp.arange(TW, dtype=jnp.int32)
+    in_range = (pos >= cand_lo[:, :, None]) & (pos < cand_hi[:, :, None])
+    in_range &= (pos >= 0) & (pos < text.shape[0])
+    win = jnp.where(in_range, text[jnp.clip(pos, 0, text.shape[0] - 1)],
+                    jnp.uint8(SENTINEL))                         # (R,C,TW)
+    rd = jnp.where(cand_rev[:, :, None], reads_rc[:, None, :],
+                   reads[:, None, :])                            # (R,C,RL)
+    # oriented per-base quality: reverse orientation flips the vector
+    # (pad columns beyond rlen read qual 0 -> scores 0, masked by rows)
+    ridx = jnp.arange(RL, dtype=jnp.int32)
+    qrev_idx = jnp.clip(rlen[:, None] - 1 - ridx[None, :], 0, RL - 1)
+    quals_rc = jnp.take_along_axis(quals, qrev_idx, axis=1)
+    qd = jnp.where(cand_rev[:, :, None], quals_rc[:, None, :],
+                   quals[:, None, :])                            # (R,C,RL)
+    q_i = jnp.clip(qd.astype(jnp.int32), 0, match_tab.shape[0] - 1)
+    mt = match_tab[q_i]                                          # (R,C,RL)
+    mm = mism_tab[q_i]
+
+    band_idx = jnp.arange(RL)[:, None] + jnp.arange(W)[None, :]
+    win_rows = jnp.moveaxis(win[:, :, band_idx], 2, 0)           # (RL,R,C,W)
+    rd_rows = jnp.moveaxis(rd, 2, 0)                             # (RL,R,C)
+    mt_rows = jnp.moveaxis(mt, 2, 0)
+    mm_rows = jnp.moveaxis(mm, 2, 0)
+
+    neg = jnp.int32(NEG)
+    # left full-length bonus at the first oriented base's quality
+    bfirst = bonus_tab[q_i[:, :, 0]]                             # (R,C)
+    qlast = jnp.take_along_axis(
+        q_i, jnp.clip(rlen[:, None, None] - 1, 0, RL - 1), axis=2)[:, :, 0]
+    blast = bonus_tab[qlast]                                     # (R,C)
+    H0 = jnp.broadcast_to(bfirst[:, :, None], (R, C, W)).astype(jnp.int32)
+    F0 = jnp.full((R, C, W), neg, jnp.int32)
+    best0 = jnp.zeros((R, C), jnp.int32)
+    ext_ramp = gap_extend * jnp.arange(W, dtype=jnp.int32)
+
+    def row(carry, xs):
+        H_prev, F_prev, best, i = carry
+        win_row, rd_row, mt_row, mm_row = xs
+        sub = jnp.where(win_row == rd_row[:, :, None],
+                        mt_row[:, :, None], mm_row[:, :, None])
+        sub = jnp.where(rd_row[:, :, None] >= 4, mm_row[:, :, None], sub)
+        diag = H_prev + sub
+        shift = jnp.concatenate(
+            [H_prev[:, :, 1:], jnp.full((R, C, 1), neg, jnp.int32)], axis=2)
+        fshift = jnp.concatenate(
+            [F_prev[:, :, 1:], jnp.full((R, C, 1), neg, jnp.int32)], axis=2)
+        F = jnp.maximum(shift - gap_open, fshift - gap_extend)
+        H_nodel = jnp.maximum(jnp.maximum(diag, F), 0)
+        G = H_nodel + ext_ramp
+        Gmax = jax.lax.associative_scan(jnp.maximum, G, axis=2)
+        Gmax_prev = jnp.concatenate(
+            [jnp.full((R, C, 1), neg, jnp.int32), Gmax[:, :, :-1]], axis=2)
+        E = Gmax_prev - gap_open - ext_ramp + gap_extend
+        H = jnp.maximum(H_nodel, E)
+        active = (i < rlen)[:, None, None]
+        H = jnp.where(active, H, H_prev)
+        F = jnp.where(active, F, F_prev)
+        row_max = jnp.max(H, axis=2)
+        best = jnp.maximum(best, jnp.where(i < rlen[:, None], row_max, best))
+        at_end = (i + 1 == rlen)[:, None]
+        best = jnp.maximum(best, jnp.where(at_end, row_max + blast, neg))
+        return (H, F, best, i + 1), None
+
+    (H, F, best, _), _ = jax.lax.scan(
+        row, (H0, F0, best0, jnp.int32(0)),
+        (win_rows, rd_rows, mt_rows, mm_rows), length=RL)
+    return jnp.where(cand_valid, best, jnp.int32(-1))
