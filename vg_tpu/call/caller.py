@@ -31,6 +31,9 @@ from .pack import Packer
 class CallParams:
     max_traversals: int = 32
     max_alleles: int = 6                  # genotyped alleles per site
+    # allele enumerator: 'flow' = support-guided k-widest paths (vg call
+    # default, FlowTraversalFinder); 'exhaustive' = capped DFS
+    traversal_finder: str = "flow"
     max_snarl_nodes: int = 400            # descend into children above this
     min_allele_support: float = 1.0
     baseline_error_small: float = 0.005   # reference snarl_caller.cpp:469-486
@@ -139,6 +142,17 @@ class SnarlCaller:
             from ..graph.snarls import haplotype_traversals
             travs = haplotype_traversals(self.haplotypes, sn,
                                          p.max_traversals)
+        elif p.traversal_finder == "flow":
+            # vg call default: support-guided k-widest-paths enumeration
+            # (FlowTraversalFinder, reference traversal_finder.hpp:588 +
+            # algorithms/k_widest_paths.cpp) — dense snarls surface the
+            # alleles the reads take instead of the first max_traversals
+            # walks the exhaustive finder happens to reach
+            from ..graph.flowtrav import flow_traversals
+            travs = flow_traversals(g, self.pack, sn, p.max_traversals,
+                                    navg=self.pack.node_avg_all())
+            if len(travs) < 2:   # no/flat coverage: exhaustive fallback
+                travs = snarl_traversals(g, sn, p.max_traversals)
         else:
             travs = snarl_traversals(g, sn, p.max_traversals)
         start_off = self.ref_offset.get(sn.start)
