@@ -17,10 +17,43 @@ from .wire import (field_bytes, field_str, field_varint, iter_fields,
 
 
 @dataclass(slots=True)
+class Connection:
+    """Non-contiguous subpath link (a splice junction): the reference's
+    multipath Connection edge (spliced alignment in multipath_mapper;
+    vg.proto Connection {next, score})."""
+    next: int = 0                      # field 1: target subpath index
+    score: int = 0                     # field 2: junction score
+
+    def encode(self) -> bytes:
+        out = bytearray()
+        if self.next:
+            out += field_varint(1, self.next)
+        if self.score:
+            out += field_varint(2, self.score & 0xFFFFFFFFFFFFFFFF
+                                if self.score >= 0 else
+                                self.score + (1 << 64))
+        return bytes(out)
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "Connection":
+        c = cls()
+        for f, wt, v in iter_fields(buf):
+            if f == 1:
+                c.next = v
+            elif f == 2:
+                c.score = signed64(v)
+        return c
+
+    def to_json(self) -> dict:
+        return {"next": self.next, "score": self.score}
+
+
+@dataclass(slots=True)
 class Subpath:
     path: Optional[Path] = None        # field 1
     next: List[int] = dfield(default_factory=list)   # field 2 (indices)
     score: int = 0                     # field 3
+    connection: List[Connection] = dfield(default_factory=list)  # field 4
 
     def encode(self) -> bytes:
         out = bytearray()
@@ -32,6 +65,8 @@ class Subpath:
             out += field_varint(3, self.score & 0xFFFFFFFFFFFFFFFF
                                 if self.score >= 0 else
                                 self.score + (1 << 64))
+        for c in self.connection:
+            out += field_bytes(4, c.encode())
         return bytes(out)
 
     @classmethod
@@ -44,6 +79,8 @@ class Subpath:
                 sp.next.append(v)
             elif f == 3:
                 sp.score = signed64(v)
+            elif f == 4:
+                sp.connection.append(Connection.decode(bytes(v)))
         return sp
 
     def to_json(self) -> dict:
@@ -54,6 +91,8 @@ class Subpath:
             d["next"] = self.next
         if self.score:
             d["score"] = self.score
+        if self.connection:
+            d["connection"] = [c.to_json() for c in self.connection]
         return d
 
 

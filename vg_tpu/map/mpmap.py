@@ -137,14 +137,73 @@ class MultipathMapper:
             mp.mapping_quality = mapq_exact(vs, which=which)
             paths: List[Path] = []
             pscores: List[int] = []
+            alns = []
             for j in js:
                 aln = m.emit(sb, i, j, 0)
                 if aln.path is None:
                     continue
+                alns.append((j, aln))
                 paths.append(aln.path)
                 pscores.append(aln.score)
+            # novel splice discovery on a softclipped winner (reference
+            # spliced alignment in multipath_mapper.cpp via splicing.cpp;
+            # min_softclip_length_for_splice=20): the spliced result
+            # becomes two subpaths joined by a Connection
+            if alns:
+                from ..io.gamp import Connection
+                from .splice import try_splice
+
+                j0, a0 = alns[0]
+                spl = try_splice(m.haps, sb, i, j0, a0,
+                                 band_radius=p.band_radius,
+                                 scoring=scoring)
+                if spl is not None:
+                    seg_paths, _gain, hit, _rev = spl
+                    s1 = _score_mappings(seg_paths[0].mappings, scoring)
+                    s2 = _score_mappings(seg_paths[1].mappings, scoring)
+                    mp.subpaths = [
+                        Subpath(path=seg_paths[0], score=s1,
+                                connection=[Connection(
+                                    next=1, score=hit.junction_score)]),
+                        Subpath(path=seg_paths[1], score=s2),
+                    ]
+                    mp.start = [0]
+                    out.append(mp)
+                    continue
             if paths:
                 mp.subpaths, mp.start = factor_alignments(
                     paths, pscores, scoring)
             out.append(mp)
         return out
+
+    def map_batch_gam(self, reads: Sequence[Read]):
+        """GAM-flavored output: one linear Alignment per read with
+        spliced winners stitched into a single path (the surjector
+        recognizes the reference-coordinate jump and emits N)."""
+        from .splice import stitch_paths, try_splice
+
+        m = self.mapper
+        p = m.params
+        from ..ops.align import Scoring
+
+        scoring = Scoring(p.match, p.mismatch, p.gap_open, p.gap_extend,
+                          p.full_length_bonus)
+        sb = m.score_reads(reads)
+        alns = m.emit_batch(sb)
+        for i, aln in enumerate(alns):
+            if aln.path is None or not aln.path.mappings:
+                continue
+            scores = sb.scores[i]
+            valid = sb.cand_valid[i] & (scores > 0)
+            if not valid.any():
+                continue
+            j = int(np.argmax(np.where(valid, scores, -1)))
+            spl = try_splice(m.haps, sb, i, j, aln,
+                             band_radius=p.band_radius, scoring=scoring)
+            if spl is None:
+                continue
+            seg_paths, gain, hit, _rev = spl
+            aln.path = stitch_paths(seg_paths)
+            aln.score = int(aln.score) + int(gain)
+            aln.annotation["splice_junction"] = float(hit.intron_len)
+        return alns

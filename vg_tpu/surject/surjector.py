@@ -86,6 +86,41 @@ class Surjector:
             walked += sum(e.from_length for e in mp.edits)
         return None
 
+    # min deletion/jump length surjected as N instead of D (reference
+    # Surjector::min_splice_length = 20, src/surjector.hpp:108)
+    min_splice_length = 20
+
+    def _split_components(self, aln: Alignment):
+        """Spliced-surject component analysis (reference spliced_surject,
+        src/surjector.cpp:369): consecutive mappings whose reference
+        projections jump by >= min_splice_length (a splice connection or
+        a stitched spliced path) split the alignment into colinear
+        components surjected independently and joined with N."""
+        mappings = aln.path.mappings
+        comps: List[List] = [[]]
+        prev_off = None
+        prev_rev = None
+        walked_since = 0
+        for mp in mappings:
+            p = mp.position
+            hits = self.ppi.positions_of(p.node_id, p.offset, p.is_reverse)
+            here = hits[0] if hits else None
+            if here is not None and prev_off is not None:
+                step = -walked_since if prev_rev else walked_since
+                gap = (int(here.offset) - (prev_off + step))
+                if prev_rev:
+                    gap = -gap
+                if abs(gap) >= self.min_splice_length and gap > 0:
+                    comps.append([])
+            comps[-1].append(mp)
+            if here is not None:
+                prev_off = int(here.offset)
+                prev_rev = bool(here.is_reverse)
+                walked_since = sum(e.from_length for e in mp.edits)
+            else:
+                walked_since += sum(e.from_length for e in mp.edits)
+        return comps
+
     def surject(self, aln: Alignment) -> SamRecord:
         rec = SamRecord(qname=aln.name or "*")
         seq = aln.sequence
@@ -97,6 +132,12 @@ class Surjector:
             rec.seq = seq or "*"
             rec.qual = qual
             return rec
+        if aln.path is not None and len(aln.path.mappings) > 1:
+            comps = self._split_components(aln)
+            if len(comps) > 1:
+                spliced = self._surject_spliced(aln, rec, comps, qual)
+                if spliced is not None:
+                    return spliced
         path_name, off, is_rev, clip_left, clip_right, walked = loc
         L = len(seq)
         codes = dna.encode(seq)
@@ -169,6 +210,116 @@ class Surjector:
         rec.tags.append(("NM", "i", int(nm)))
         return rec
 
+    def _surject_spliced(self, aln: Alignment, rec: SamRecord, comps,
+                         qual: str) -> Optional[SamRecord]:
+        """Surject each colinear component independently and join the
+        CIGARs with N gaps (reference spliced_surject,
+        src/surjector.cpp:369 + :2515 dist >= min_splice_length -> N).
+        Returns None to fall back to the unspliced flow."""
+        from ..io.gam import Alignment as GamAln
+        from ..io.gam import Mapping as GamMapping
+        from ..io.gam import Path as GamPath
+
+        seq = aln.sequence
+        first_m = comps[0][0]
+        last_m = comps[-1][-1]
+        lead = (first_m.edits[0].to_length
+                if first_m.edits and first_m.edits[0].from_length == 0
+                else 0)
+        tail = (last_m.edits[-1].to_length
+                if last_m.edits and last_m.edits[-1].from_length == 0
+                else 0)
+        minis = []
+        read_at = 0
+        for k, comp in enumerate(comps):
+            maps = []
+            r0 = read_at
+            for mi, m in enumerate(comp):
+                edits = list(m.edits)
+                if k == 0 and mi == 0 and lead:
+                    edits = edits[1:]
+                if k == len(comps) - 1 and mi == len(comp) - 1 and tail:
+                    edits = edits[:-1]
+                read_at += sum(e.to_length for e in m.edits)
+                maps.append(GamMapping(position=m.position, edits=edits,
+                                       rank=mi + 1))
+            if k == 0:
+                r0 += lead
+            r1 = read_at - (tail if k == len(comps) - 1 else 0)
+            if r1 <= r0:
+                return None
+            sub = GamAln(name=aln.name, sequence=seq[r0:r1],
+                         path=GamPath(mappings=maps))
+            srec = self.surject(sub)
+            if srec.flag & FLAG_UNMAPPED or not srec.cigar:
+                return None
+            minis.append(srec)
+        if len({m.rname for m in minis}) != 1:
+            return None
+        revs = {bool(m.flag & FLAG_REVERSE) for m in minis}
+        if len(revs) != 1:
+            return None
+        is_rev = revs.pop()
+        mlist = minis[::-1] if is_rev else minis
+        lead_ref, tail_ref = (tail, lead) if is_rev else (lead, tail)
+
+        ops: List[Tuple[str, int]] = []
+        if lead_ref:
+            ops.append(("S", lead_ref))
+        cur_end = None
+        nm = 0
+        as_sum = 0
+        for idx, srec in enumerate(mlist):
+            mops = _parse_cigar(srec.cigar)
+            # interior softclips become insertions (SAM allows S only at
+            # the read ends)
+            fixed = []
+            for oi, (op, n) in enumerate(mops):
+                interior = (op == "S"
+                            and not (idx == 0 and oi == 0)
+                            and not (idx == len(mlist) - 1
+                                     and oi == len(mops) - 1))
+                fixed.append(("I" if interior else op, n))
+            if idx > 0:
+                gap = srec.pos - cur_end
+                if gap < 1:
+                    return None
+                ops.append(("N", gap))
+            cur_end = srec.pos + _ref_span(srec.cigar)
+            ops.extend(fixed)
+            for t, ty, v in srec.tags:
+                if t == "NM":
+                    nm += int(v)
+                elif t == "AS":
+                    as_sum += int(v)
+        if tail_ref:
+            ops.append(("S", tail_ref))
+        # merge adjacent same ops (clip + mini leading S etc.)
+        merged: List[Tuple[str, int]] = []
+        for op, n in ops:
+            if merged and merged[-1][0] == op:
+                merged[-1] = (op, merged[-1][1] + n)
+            else:
+                merged.append((op, n))
+        consumed = sum(n for op, n in merged if op in ("S", "M", "I", "X",
+                                                       "="))
+        if consumed != len(seq):
+            return None
+        rec.rname = mlist[0].rname
+        rec.pos = mlist[0].pos
+        rec.mapq = int(aln.mapping_quality)
+        rec.cigar = cigar_str(merged)
+        if is_rev:
+            rec.flag |= FLAG_REVERSE
+            rec.seq = dna.revcomp_str(seq)
+            rec.qual = qual[::-1] if qual != "*" else "*"
+        else:
+            rec.seq = seq
+            rec.qual = qual
+        rec.tags.append(("AS", "i", as_sum))
+        rec.tags.append(("NM", "i", nm))
+        return rec
+
     # ------------------------------------------------------------- batched
 
     def surject_batch(self, alns: Sequence[Alignment]) -> List[SamRecord]:
@@ -219,3 +370,15 @@ def _ref_span(cigar: str) -> int:
                 total += n
             n = 0
     return total
+
+
+def _parse_cigar(cigar: str) -> List[Tuple[str, int]]:
+    ops: List[Tuple[str, int]] = []
+    n = 0
+    for ch in cigar:
+        if ch.isdigit():
+            n = n * 10 + int(ch)
+        else:
+            ops.append((ch, n))
+            n = 0
+    return ops
