@@ -412,6 +412,10 @@ def main():
             f"{a30:.4f}@mapq30 (n={n30}), wrong@60={res.wrong_mapq60}; "
             f"indel reads: {res_i.accuracy:.4f} overall, "
             f"{res_i.accuracy_at_mapq(30)[0]:.4f}@mapq30\n")
+        # ROC points (mapq threshold -> wrong/total), the reference CI's
+        # accuracy-vs-confidence curve (vgci/vgci.py mapeval)
+        roc = {str(t): [a, n] for t, a, n in res.roc}
+        sys.stderr.write(f"[bench] roc: {json.dumps(roc)}\n")
     except Exception as e:  # accuracy sidecar must never kill the bench
         sys.stderr.write(f"[bench] accuracy check failed: {e}\n")
     # long-read sidecar (stderr): fused native hifi-style pipeline

@@ -137,3 +137,113 @@ def test_reference_simulated_reads_accuracy(ref_test_dir):
     assert ok / tot >= 0.97, f"overall {ok}/{tot}"
     assert tot30 >= 850 and ok30 / tot30 >= 0.99, \
         f"mapq30 {ok30}/{tot30}"
+
+
+def test_accuracy_indel_size_strata(z_mapper):
+    """Indel-size-stratified gates (round-2 verdict item 8): reads with a
+    single planted indel per size class, including sizes well past the
+    16bp DP band radius (they ride the 4x wide-band retry). Measured
+    97-99% per stratum on 1mb1kgp; gate at 94%."""
+    from vg_tpu.io.fastq import Read
+    from vg_tpu.utils import dna
+
+    m = z_mapper
+    haps = m.haps
+    rng = np.random.default_rng(23)
+    T = len(haps.text)
+    L = 150
+    for size in (4, 16, 32, 48):
+        for kind in ("del", "ins"):
+            reads, truth = [], []
+            for i in range(96):
+                s = int(rng.integers(0, T - L - size - 10))
+                if kind == "del":
+                    c = np.concatenate(
+                        [haps.text[s : s + 75],
+                         haps.text[s + 75 + size : s + L + size]])[:L]
+                else:
+                    ins = rng.integers(0, 4, size).astype(np.uint8)
+                    c = np.concatenate(
+                        [haps.text[s : s + 75], ins,
+                         haps.text[s + 75 : s + L]])[:L]
+                reads.append(Read(f"{kind}{size}_{i}", dna.decode(c), None))
+                truth.append(s)
+            alns = m.map_batch(reads)
+            ok = wrong60 = n_eval = 0
+            for t, a in zip(truth, alns):
+                if not (a.path and a.path.mappings):
+                    n_eval += 1
+                    continue
+                # truth projection uses the mapper's own window convention
+                # (diag = start - band_radius, like bench.py's oracle);
+                # skip starts that project off every reference path
+                rp, ro = m._diag_refproj(
+                    np.array([[t - m.params.band_radius]]),
+                    np.array([[True]]))
+                if int(rp[0, 0]) < 0:
+                    continue
+                n_eval += 1
+                want = int(ro[0, 0])
+                got = int(a.refpos[0].offset) if a.refpos else -(10 ** 9)
+                if abs(got - want) <= 150 + size:
+                    ok += 1
+                elif a.mapping_quality >= 60:
+                    wrong60 += 1
+            frac = ok / max(n_eval, 1)
+            assert frac >= 0.94, f"{kind} size={size}: {frac:.3f}"
+            assert wrong60 <= 2, f"{kind} size={size}: wrong@60={wrong60}"
+
+
+def test_accuracy_low_complexity(z_mapper):
+    """Repeat/low-complexity stress (round-2 verdict item 8): reads from
+    the lowest-dinucleotide-entropy windows of 1mb1kgp. This gate FAILED
+    before the distinct-placement window was tightened (PLACEMENT_TOL:
+    75bp merged tandem-repeat aliases as 'one placement' and gave 6/256
+    wrong placements mapq 60; at 16bp it's 2)."""
+    from vg_tpu.io.fastq import Read
+    from vg_tpu.utils import dna
+
+    m = z_mapper
+    text = m.haps.text
+    rng = np.random.default_rng(11)
+    L = 150
+    starts = rng.integers(0, len(text) - L, 20000)
+    ent = np.zeros(len(starts))
+    for i, s in enumerate(starts):
+        w = text[s : s + L]
+        di = w[:-1].astype(int) * 4 + w[1:].astype(int)
+        c = np.bincount(di, minlength=16).astype(float)
+        p = c / c.sum()
+        p = p[p > 0]
+        ent[i] = -(p * np.log2(p)).sum()
+    low = starts[np.argsort(ent)[:256]]
+    reads, truth = [], []
+    for i, s in enumerate(low):
+        s = int(s)
+        c = text[s : s + L].copy()
+        err = rng.random(L) < 0.01
+        c[err] = (c[err] + rng.integers(1, 4, int(err.sum()))) % 4
+        reads.append(Read(f"lc{i}", dna.decode(c), None))
+        truth.append(s)
+    alns = m.map_batch(reads)
+    ok = wrong = wrong60 = n_eval = 0
+    for t, a in zip(truth, alns):
+        if not (a.path and a.path.mappings):
+            n_eval += 1
+            continue
+        rp, ro = m._diag_refproj(
+            np.array([[t - m.params.band_radius]]), np.array([[True]]))
+        if int(rp[0, 0]) < 0:
+            continue
+        n_eval += 1
+        want = int(ro[0, 0])
+        got = int(a.refpos[0].offset) if a.refpos else -(10 ** 9)
+        if abs(got - want) <= 150:
+            ok += 1
+        else:
+            wrong += 1
+            if a.mapping_quality >= 60:
+                wrong60 += 1
+    assert n_eval >= 230
+    assert ok >= n_eval - 15, (ok, n_eval, wrong)
+    assert wrong60 <= 2, f"wrong@60={wrong60} (mapq calibration on repeats)"

@@ -190,7 +190,8 @@ def make_single_step(band_radius: int = 16, match: int = 1,
         masked = jnp.where(valid, f, -1.0)
         best_j = jnp.argmax(masked, axis=1)
         best_s = jnp.take_along_axis(masked, best_j[:, None], 1)[:, 0]
-        tol = jnp.maximum(rlen // tol_div, 32)[:, None, None]
+        from ..map.giraffe import PLACEMENT_TOL
+        tol = jnp.full_like(rlen, PLACEMENT_TOL)[:, None, None]
         uniq = _distinct_mask(s, c_rev, c_rp, c_ro, valid, tol)
         sc = jnp.where(valid & uniq, f * lam, NEGF)
         mx = jnp.maximum(sc.max(axis=1), best_s * lam)
@@ -245,7 +246,8 @@ def make_paired_step(band_radius: int = 16, match: int = 1,
         B = band_radius
         L1 = rl1[:, None].astype(jnp.float32)
         L2 = rl2[:, None].astype(jnp.float32)
-        tol1 = jnp.maximum(rl1 // 2, 32)[:, None, None]
+        from ..map.giraffe import PLACEMENT_TOL
+        tol1 = jnp.full_like(rl1, PLACEMENT_TOL)[:, None, None]
         f1 = s1.astype(jnp.float32)
         f2 = s2.astype(jnp.float32)
         v1 = s1_valid & (s1 > 0)
@@ -531,7 +533,8 @@ def make_sharded_text_paired_step(
         R, C = s1.shape
         L1 = rl1[:, None].astype(jnp.float32)
         L2 = rl2[:, None].astype(jnp.float32)
-        tol1 = jnp.maximum(rl1 // 2, 32)[:, None, None]
+        from ..map.giraffe import PLACEMENT_TOL
+        tol1 = jnp.full_like(rl1, PLACEMENT_TOL)[:, None, None]
         f1 = s1.astype(jnp.float32)
         f2 = s2.astype(jnp.float32)
         v1 = s1_valid & (s1 > 0)
