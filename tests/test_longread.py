@@ -201,3 +201,42 @@ def test_repetitive_minimizer_flagging(long_setup):
     # a single isolated multi-hit minimizer shouldn't flip the state
     counts2 = np.array([1, 1, 9, 1, 1])
     assert not LongReadMapper._flag_repetitive(counts2).any()
+
+
+def test_xdrop_decoded_parity(long_setup):
+    """X-drop early exit (reference dozeu src/dozeu_interface.cpp:210-300)
+    is perf-only: decoded records with x_drop on must equal x_drop off,
+    including on reads with junk (chimeric) tails that the early exit
+    actually prunes."""
+    import numpy as np
+
+    from vg_tpu.io.fastq import Read
+    from vg_tpu.map.longread import LongReadMapper, LongReadParams
+    from vg_tpu.utils import dna
+
+    haps, lrm0, _ = long_setup
+    idx = lrm0.index
+    rng = np.random.default_rng(5)
+    T = len(haps.text)
+    reads = []
+    for i in range(24):
+        s = int(rng.integers(0, T - 2200))
+        c = haps.text[s : s + 2000].copy()
+        err = rng.random(len(c)) < 0.01
+        c[err] = (c[err] + rng.integers(1, 4, int(err.sum()))) % 4
+        if i % 3 == 0:     # junk tail: 400bp of random sequence
+            c = np.concatenate([c, rng.integers(0, 4, 400).astype(np.uint8)])
+        reads.append(Read(f"x{i}", dna.decode(c), ""))
+
+    def run(xd):
+        m = LongReadMapper(haps, idx, LongReadParams(x_drop=xd))
+        recs = m.map_batch_encoded(reads)
+        if recs is None:
+            return [a.encode() for a in m.map_batch(reads)]
+        return recs
+
+    a = run(0)
+    b = run(100)
+    assert len(a) == len(b)
+    same = sum(1 for x, y in zip(a, b) if bytes(x) == bytes(y))
+    assert same == len(a), f"{same}/{len(a)} identical"

@@ -47,6 +47,12 @@ class LongReadParams:
     downsample_window: int = 152       # ~ num-bp-per-min (hifi preset)
     tail_band: int = 64
     max_tail: int = 500                # tail/middle gap caps (hifi: 150/500)
+    # dozeu-style X-drop early exit in the tail DP (reference
+    # src/dozeu_interface.cpp:210-300): stop filling once the whole band
+    # falls this far below the running best. 0 disables. 100 > the
+    # worst legitimate dip under the error model (a band-wide gap costs
+    # gap_open + (tail_band-1)*gap_extend = 69 at defaults).
+    x_drop: int = 100
     max_link_len: int = 4000
     chain: ChainParams = None
     max_mapq: int = 60
@@ -418,7 +424,8 @@ class LongReadMapper:
         win = self.haps.text[wlo:t0][::-1].copy()
         win = np.concatenate([win, np.full(max(0, n + 2 * B - len(win)), 6,
                                            np.uint8)])[: n + 2 * B]
-        ta = banded_traceback(tail, win, B, self.scoring)
+        ta = banded_traceback(tail, win, B, self.scoring,
+                              x_drop=p.x_drop)
         if ta is None or ta.read_start != 0 or ta.text_start != 0:
             return None
         # reversed-space alignment of the reversed tail: flip back
@@ -450,7 +457,8 @@ class LongReadMapper:
         win = self.haps.text[cur_t : wend].copy()
         win = np.concatenate([win, np.full(max(0, n + 2 * B - len(win)), 6,
                                            np.uint8)])[: n + 2 * B]
-        ta = banded_traceback(tail, win, B, self.scoring)
+        ta = banded_traceback(tail, win, B, self.scoring,
+                              x_drop=p.x_drop)
         if ta is None or ta.read_start != 0 or ta.text_start != 0:
             return None
         score = ta.score - self.scoring.full_length_bonus

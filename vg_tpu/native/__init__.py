@@ -74,7 +74,7 @@ def lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
     _lib = L
     return _lib
 
@@ -97,9 +97,10 @@ def native_extract_minimizers(codes: np.ndarray, k: int, w: int):
 
 
 def native_banded_traceback(read: np.ndarray, window: np.ndarray,
-                            B: int, scoring):
+                            B: int, scoring, x_drop: int = 0):
     """C banded DP traceback; returns a TextAlignment or None (no native
-    lib / no alignment / edit overflow -> caller falls back)."""
+    lib / no alignment / edit overflow -> caller falls back). x_drop > 0
+    enables the dozeu-style early exit (long-read tails)."""
     L_ = lib()
     if L_ is None:
         return None
@@ -117,7 +118,7 @@ def native_banded_traceback(read: np.ndarray, window: np.ndarray,
         scoring.match, scoring.mismatch, scoring.gap_open,
         scoring.gap_extend, scoring.full_length_bonus,
         spans.ctypes.data, edits.ctypes.data, cap,
-        n_edits.ctypes.data, matches.ctypes.data)
+        n_edits.ctypes.data, matches.ctypes.data, int(x_drop))
     if score <= 0 or n_edits[0] < 0:
         return None if score <= 0 else False   # False = retry in python
     # edits arrive in reverse order as unit ops; merge into runs
@@ -493,7 +494,8 @@ def native_longread_stitch(codes_list, chain_read, chain_rev, anc_roff,
              ctypes.c_void_p, ctypes.c_int64,
              ctypes.c_void_p, ctypes.c_int64]
             + [ctypes.c_int32] * 5
-            + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int32]
+            + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+               ctypes.c_int32]
             + [ctypes.c_double] * 6
             + [ctypes.c_int64]
             + [ctypes.c_void_p] * 7
@@ -533,7 +535,7 @@ def native_longread_stitch(codes_list, chain_read, chain_rev, anc_roff,
             scoring.match, scoring.mismatch, scoring.gap_open,
             scoring.gap_extend, scoring.full_length_bonus,
             lr_params.max_link_len, lr_params.max_tail,
-            lr_params.tail_band,
+            lr_params.tail_band, getattr(lr_params, "x_drop", 0),
             lr_params.link_mismatch_base, lr_params.link_mismatch_per_base,
             float(lr_params.link_mismatch_cap),
             lr_params.link_gap_base, lr_params.link_gap_per_base,
@@ -631,7 +633,8 @@ def native_longread_map_batch(codes_list, index, lr_params, chain_params,
             + [ctypes.c_void_p, ctypes.c_int64,
                ctypes.c_void_p, ctypes.c_int64]
             + [ctypes.c_int32] * 5
-            + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int32]
+            + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+               ctypes.c_int32]
             + [ctypes.c_double] * 6
             + [ctypes.c_int64]
             + [ctypes.c_void_p] * 8
@@ -678,7 +681,7 @@ def native_longread_map_batch(codes_list, index, lr_params, chain_params,
             scoring.match, scoring.mismatch, scoring.gap_open,
             scoring.gap_extend, scoring.full_length_bonus,
             lr_params.max_link_len, lr_params.max_tail,
-            lr_params.tail_band,
+            lr_params.tail_band, getattr(lr_params, "x_drop", 0),
             lr_params.link_mismatch_base, lr_params.link_mismatch_per_base,
             float(lr_params.link_mismatch_cap),
             lr_params.link_gap_base, lr_params.link_gap_per_base,

@@ -113,7 +113,8 @@ int64_t banded_traceback(const uint8_t* read, int64_t L,
                          int32_t match, int32_t mismatch, int32_t gap_open,
                          int32_t gap_extend, int32_t bonus,
                          int64_t* spans, int32_t* edits, int64_t edit_cap,
-                         int64_t* n_edits, int64_t* matches_out) {
+                         int64_t* n_edits, int64_t* matches_out,
+                         int32_t x_drop) {
     const int64_t W = 2 * (int64_t)B + 1;
     const int64_t NEG = -(1LL << 40);
     std::vector<int64_t> H((L + 1) * W, NEG), F((L + 1) * W, NEG),
@@ -169,6 +170,11 @@ int64_t banded_traceback(const uint8_t* read, int64_t L,
         if (i == L && rowmax + bonus > best) {
             best = rowmax + bonus; bi = i; bk = rowarg;
         }
+        // X-drop early exit (dozeu role, reference
+        // src/dozeu_interface.cpp:210-300): once the whole band has
+        // fallen x_drop below the running best, stop filling — the
+        // traceback from (bi, bk) only needs rows already filled.
+        if (x_drop > 0 && best > 0 && rowmax < best - x_drop) break;
     }
     if (bi < 0 || best <= 0) { *n_edits = 0; *matches_out = 0; return 0; }
 
@@ -1126,6 +1132,7 @@ struct Scratch {
 
 struct Params {
     int32_t match, mismatch, gap_open, gap_extend, bonus, k, tail_band;
+    int32_t x_drop;    // tail DP early exit; 0 = fill the full band
     int64_t max_link_len, max_tail, max_cells;
     double lm_base, lm_per_base, lm_cap, lg_base, lg_per_base, lg_cap;
 };
@@ -1234,7 +1241,7 @@ void left_tail(const uint8_t* oriented, int64_t r0, const uint8_t* text,
     int64_t score = banded_traceback(
         sc.rc.data(), n, sc.win.data(), TW, (int32_t)B, p.match, p.mismatch,
         p.gap_open, p.gap_extend, p.bonus, spans, sc.edits.data(), cap,
-        &n_edits, &nmatch);
+        &n_edits, &nmatch, p.x_drop);
     if (score <= 0 || n_edits < 0 || spans[0] != 0 || spans[2] != 0) return;
     int64_t read_end = spans[1];                    // reversed space
     int64_t consumed = spans[3] - spans[2];
@@ -1276,7 +1283,7 @@ void right_tail(const uint8_t* oriented, int64_t L, int64_t cur_r,
     int64_t score = banded_traceback(
         oriented + cur_r, n, sc.win.data(), TW, (int32_t)B, p.match,
         p.mismatch, p.gap_open, p.gap_extend, p.bonus, spans,
-        sc.edits.data(), cap, &n_edits, &nmatch);
+        sc.edits.data(), cap, &n_edits, &nmatch, p.x_drop);
     if (score <= 0 || n_edits < 0 || spans[0] != 0 || spans[2] != 0) return;
     score -= p.bonus;
     if (spans[1] == n) score -= p.bonus;
@@ -1443,7 +1450,7 @@ int64_t longread_stitch_batch(
     const int64_t* hap_starts, int64_t n_haps,
     int32_t match, int32_t mismatch, int32_t gap_open, int32_t gap_extend,
     int32_t bonus, int64_t max_link_len, int64_t max_tail,
-    int32_t tail_band,
+    int32_t tail_band, int32_t x_drop,
     double lm_base, double lm_per_base, double lm_cap,
     double lg_base, double lg_per_base, double lg_cap,
     int64_t max_cells,
@@ -1453,7 +1460,7 @@ int64_t longread_stitch_batch(
     int32_t* runs, int64_t runs_cap, int64_t* runs_off) {
     using namespace lrstitch;
     Params p{match, mismatch, gap_open, gap_extend, bonus, k, tail_band,
-             max_link_len, max_tail, max_cells,
+             x_drop, max_link_len, max_tail, max_cells,
              lm_base, lm_per_base, lm_cap, lg_base, lg_per_base, lg_cap};
 
     // per-chain best-segment runs, assembled in parallel then laid out
@@ -1822,7 +1829,7 @@ int64_t longread_map_batch(
     const int64_t* hap_starts, int64_t n_haps,
     int32_t match, int32_t mismatch, int32_t gap_open, int32_t gap_extend,
     int32_t bonus, int64_t max_link_len, int64_t max_tail,
-    int32_t tail_band,
+    int32_t tail_band, int32_t x_drop,
     double lm_base, double lm_per_base, double lm_cap,
     double lg_base, double lg_per_base, double lg_cap,
     int64_t max_cells,
@@ -1834,7 +1841,7 @@ int64_t longread_map_batch(
     int32_t* runs, int64_t runs_cap, int64_t* runs_off) {
     using namespace lrstitch;
     Params p{match, mismatch, gap_open, gap_extend, bonus, k, tail_band,
-             max_link_len, max_tail, max_cells,
+             x_drop, max_link_len, max_tail, max_cells,
              lm_base, lm_per_base, lm_cap, lg_base, lg_per_base, lg_cap};
     const int64_t max_slots = (int64_t)max_chains;
     std::vector<std::vector<Run>> slot_runs(n_reads * max_slots);

@@ -37,16 +37,19 @@ def banded_traceback(
     window: np.ndarray,        # (TW,) uint8 codes, TW >= L + 2*B
     band_radius: int,
     scoring: Scoring = DEFAULT_SCORING,
+    x_drop: int = 0,
 ) -> Optional[TextAlignment]:
     """Dispatch: native C++ kernel when available (exact parity verified
-    by tests), numpy fallback otherwise."""
+    by tests), numpy fallback otherwise. x_drop > 0 enables the dozeu
+    early exit (long-read tails; reference src/dozeu_interface.cpp)."""
     from ..native import lib, native_banded_traceback
 
     if lib() is not None:
-        res = native_banded_traceback(read, window, band_radius, scoring)
+        res = native_banded_traceback(read, window, band_radius, scoring,
+                                      x_drop)
         if res is not False:          # False = edit overflow, retry here
             return res
-    return _banded_traceback_py(read, window, band_radius, scoring)
+    return _banded_traceback_py(read, window, band_radius, scoring, x_drop)
 
 
 def _banded_traceback_py(
@@ -54,6 +57,7 @@ def _banded_traceback_py(
     window: np.ndarray,
     band_radius: int,
     scoring: Scoring = DEFAULT_SCORING,
+    x_drop: int = 0,
 ) -> Optional[TextAlignment]:
     """Banded semiglobal alignment of read vs window, maximizing the same
     objective as the device kernel. Returns None if nothing scores > 0."""
@@ -116,6 +120,8 @@ def _banded_traceback_py(
         if i == L and rm + fb > best:
             best = rm + fb
             best_cell = (i, int(Hrow.argmax()), True)
+        if x_drop > 0 and best > 0 and rm < best - x_drop:
+            break     # dozeu X-drop: the band fell too far behind
     if best_cell is None or best <= 0:
         return None
 
