@@ -501,6 +501,13 @@ def cmd_surject(args) -> int:
         write_bam(out, header, sj.ref_lengths(), recs)
         if args.bam != "-":
             out.close()
+    elif getattr(args, "cram", None):
+        from ..io.cram import write_cram
+        out = (open(args.cram, "wb") if args.cram != "-"
+               else sys.stdout.buffer)
+        write_cram(out, header, [n for n, _ in sj.ref_lengths()], recs)
+        if args.cram != "-":
+            out.close()
     else:
         write_sam(sys.stdout, header, recs)
     return 0
@@ -1818,6 +1825,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--paired", action="store_true")
     s.add_argument("-b", "--bam", metavar="FILE",
                    help="write BAM to FILE ('-' for stdout) instead of SAM")
+    s.add_argument("-c", "--cram", metavar="FILE",
+                   help="write CRAM to FILE ('-' for stdout) "
+                        "(reference hts_alignment_emitter.hpp:131-289)")
     s.add_argument("--sample")
     s.add_argument("--read-group")
     s.set_defaults(func=cmd_surject)
