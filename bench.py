@@ -291,9 +291,40 @@ def main():
 
     mem_idx = MEMIndex(haps)
     mode = os.environ.get("BENCH_MODE", "paired")
-    params = GiraffeParams(
-        batch_reads=bs,
-        device_seed=os.environ.get("BENCH_DEVSEED", "0") == "1")
+    devseed_env = os.environ.get("BENCH_DEVSEED", "auto")
+    devseed = devseed_env == "1"
+    if devseed_env == "auto" and on_tpu and mode == "paired":
+        # pick the seeding engine empirically: time a few warm batches
+        # host-seeded vs device-seeded (Pallas sort/segment kernels) and
+        # keep the faster — chip generation and tunnel conditions decide
+        from vg_tpu.map.paired import PairedGiraffeMapper
+
+        probe_reads = simulate_pairs(rng, haps, 3 * bs // 2)
+        times = {}
+        for ds in (False, True):
+            try:
+                pm_p = PairedGiraffeMapper(GiraffeMapper(
+                    haps, idx, GiraffeParams(batch_reads=bs,
+                                             device_seed=ds)))
+                pm_p.map_pairs(probe_reads[:bs])      # warm + fragdist
+                pm_p.stage_emit(pm_p.stage_rescue(
+                    pm_p.stage_score(probe_reads[:bs])))
+                t0p = time.time()
+                for _ in range(2):
+                    pm_p.stage_emit(pm_p.stage_rescue(
+                        pm_p.stage_score(probe_reads[bs // 2 : 3 * bs // 2])))
+                times[ds] = time.time() - t0p
+            except Exception as e:  # noqa: BLE001 — probe only
+                sys.stderr.write(f"[bench] devseed={ds} probe failed: "
+                                 f"{str(e)[:150]}\n")
+                times[ds] = float("inf")
+        devseed = times.get(True, float("inf")) < times.get(False,
+                                                            float("inf"))
+        sys.stderr.write(
+            f"[bench] seeding probe: host={times.get(False, -1):.2f}s "
+            f"device={times.get(True, -1):.2f}s -> "
+            f"{'device' if devseed else 'host'} seeding\n")
+    params = GiraffeParams(batch_reads=bs, device_seed=devseed)
     mapper = GiraffeMapper(haps, idx, params)
     mapper._mem_fallback_index = mem_idx
     n_bench = int(os.environ.get("BENCH_READS", "131072"))
