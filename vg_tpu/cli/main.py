@@ -1302,6 +1302,121 @@ def cmd_dotplot(args) -> int:
     return 0
 
 
+def cmd_cluster(args) -> int:
+    """Seed-cluster dump for reads (vg cluster dev tool, reference
+    src/subcommand/cluster_main.cpp role): per read, the candidate
+    clusters the seeding stage produced — TSV of (read, slot, strand,
+    text start, ref path, ref offset)."""
+    from ..io.fastq import iter_fastq
+    from ..map.giraffe import GiraffeMapper, GiraffeParams
+    from ..utils import dna as _dna
+
+    g, haps, idx = _load_bundle(args.index_prefix)
+    m = GiraffeMapper(haps, idx, GiraffeParams(batch_reads=256))
+    reads = list(iter_fastq(args.fastq))
+    sink = open(args.output, "w") if args.output else sys.stdout
+    import numpy as _np
+
+    for i0 in range(0, len(reads), 256):
+        chunk = reads[i0 : i0 + 256]
+        L = max(len(r.sequence) for r in chunk)
+        codes2d = _np.full((len(chunk), L), 5, _np.uint8)
+        for i, r in enumerate(chunk):
+            c = _dna.encode(r.sequence)
+            codes2d[i, : len(c)] = c
+        cand = m._seed_batch(codes2d)
+        start, lo, hi, rev, valid, rp, ro = cand[:7]
+        for i, r in enumerate(chunk):
+            for j in range(start.shape[1]):
+                if not valid[i, j]:
+                    continue
+                sink.write(f"{r.name}\t{j}\t"
+                           f"{'-' if rev[i, j] else '+'}\t"
+                           f"{int(start[i, j])}\t{int(rp[i, j])}\t"
+                           f"{int(ro[i, j])}\n")
+    if args.output:
+        sink.close()
+    return 0
+
+
+def cmd_zipcode(args) -> int:
+    """Distance-oracle dump (vg zipcode dev tool, reference
+    src/subcommand/zipcode_main.cpp role): for random position pairs,
+    the text-position distance (this design's zipcode equivalent,
+    ARCHITECTURE.md) and, when a distance index is given, the
+    snarl-tree oracle's answer."""
+    import numpy as _np
+
+    g, haps, idx = _load_bundle(args.index_prefix)
+    di = None
+    if args.dist:
+        from ..graph.distindex import DistanceIndex
+
+        di = DistanceIndex.load(args.dist, g)
+    rng = _np.random.default_rng(args.seed)
+    T = haps.total_len
+    sink = open(args.output, "w") if args.output else sys.stdout
+    for _ in range(args.n):
+        a = int(rng.integers(0, T))
+        b = int(rng.integers(0, T))
+        # same-copy text distance (the production pairing metric —
+        # this design's zipcode equivalent, ARCHITECTURE.md)
+        txt_d = abs(b - a)
+        row = [str(a), str(b), str(txt_d)]
+        if di is not None:
+            na, oa, _ra = haps.text_pos_to_graph(a)
+            nb, ob, _rb = haps.text_pos_to_graph(b)
+            d = di.upper_bound((na, oa), (nb, ob))
+            row.append("inf" if d is None else str(d))
+        sink.write("\t".join(row) + "\n")
+    if args.output:
+        sink.close()
+    return 0
+
+
+def cmd_bench_dist_query(args) -> int:
+    """Distance-query microbenchmark (reference
+    src/subcommand/bench_dist_query_main.cpp role): random position
+    pairs against the distance oracle, reports queries/s."""
+    import time as _time
+
+    import numpy as _np
+
+    g = _load_graph_any(args.graph)
+    from ..graph.distindex import DistanceIndex
+
+    if args.dist:
+        di = DistanceIndex.load(args.dist, g)
+    else:
+        di = DistanceIndex.build(g)
+    rng = _np.random.default_rng(1)
+    n = g.node_count
+    pairs = [(int(rng.integers(0, n)), int(rng.integers(0, n)))
+             for _ in range(args.n)]
+    t0 = _time.time()
+    total = 0
+    for a, b in pairs:
+        d = di.upper_bound((int(g.node_id[a]), 0), (int(g.node_id[b]), 0))
+        total += 0 if d is None else 1
+    dt = _time.time() - t0
+    print(f"{args.n} queries in {dt:.3f}s = {args.n/max(dt,1e-9):.0f} "
+          f"queries/s ({total} finite)")
+    return 0
+
+
+def cmd_test(args) -> int:
+    """Run the unit test suite (the reference's hidden `vg test`
+    subcommand, src/subcommand/test_main.cpp, runs its Catch2 suite)."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cmd = [sys.executable, "-m", "pytest",
+           os.path.join(repo, "tests")] + (args.pytest_args or ["-q"])
+    return subprocess.call(cmd, cwd=repo)
+
+
 def cmd_benchmark(args) -> int:
     """Built-in micro-benchmark (vg benchmark role): construct + index +
     map a small synthetic pangenome and print stage timings."""
@@ -2169,6 +2284,32 @@ def build_parser() -> argparse.ArgumentParser:
     dp.add_argument("-w", "--window", type=int, default=8)
     dp.add_argument("--max-points", type=int, default=100000)
     dp.set_defaults(func=cmd_dotplot)
+
+    cl = sub.add_parser("cluster", help="dump seed clusters (dev tool)")
+    cl.add_argument("-Z", "--index-prefix", required=True)
+    cl.add_argument("-f", "--fastq", required=True)
+    cl.add_argument("--output")
+    cl.set_defaults(func=cmd_cluster)
+
+    zc = sub.add_parser("zipcode",
+                        help="dump position-pair distances (dev tool)")
+    zc.add_argument("-Z", "--index-prefix", required=True)
+    zc.add_argument("-d", "--dist", help="distance index file")
+    zc.add_argument("-n", type=int, default=100)
+    zc.add_argument("--seed", type=int, default=1)
+    zc.add_argument("--output")
+    zc.set_defaults(func=cmd_zipcode)
+
+    bq = sub.add_parser("bench_dist_query",
+                        help="distance-oracle microbenchmark (dev tool)")
+    bq.add_argument("graph")
+    bq.add_argument("-d", "--dist")
+    bq.add_argument("-n", type=int, default=1000)
+    bq.set_defaults(func=cmd_bench_dist_query)
+
+    ts = sub.add_parser("test", help="run the unit test suite")
+    ts.add_argument("pytest_args", nargs=argparse.REMAINDER)
+    ts.set_defaults(func=cmd_test)
 
     bm = sub.add_parser("benchmark", help="built-in micro-benchmark")
     bm.add_argument("--size", type=int, default=100_000)
