@@ -381,3 +381,38 @@ def translate_alignment(trans: Translation, g_new: ArrayGraph, aln):
     if aln.path is not None and aln.path.mappings:
         aln.path = translate_path(trans, g_new, aln.path)
     return aln
+
+
+def embed_alignment_paths(g: ArrayGraph, alns) -> ArrayGraph:
+    """`vg augment -i` include-paths role (reference augment.hpp:46-64
+    with include_paths=true): add each alignment's walk to the graph as
+    an embedded path named after the read. Only exact walks are
+    embedded (novel edits go through augment() proper); the reference's
+    alt-path GAMs (e.g. test/call/*_alts.gam) are pure-match walks."""
+    from .arraygraph import GraphBuilder
+
+    b = GraphBuilder()
+    for i in range(g.node_count):
+        nid = int(g.node_id[i])
+        b.add_node(g.node_seq_codes(nid), node_id=nid)
+    for f_id, f_rev, t_id, t_rev in g.iter_edges():
+        b.add_edge(f_id, t_id, f_rev, t_rev)
+    for pi, meta in enumerate(g.path_meta):
+        steps = [(int(g.node_id[h >> 1]), bool(h & 1))
+                 for h in g.path_handles(pi)]
+        b.add_path(meta.name, steps, sense=meta.sense, sample=meta.sample,
+                   locus=meta.locus, haplotype=meta.haplotype,
+                   is_circular=meta.is_circular)
+    for a in alns:
+        if a.path is None or not a.path.mappings or not a.name:
+            continue
+        for m in a.path.mappings:
+            for e in m.edits:
+                if e.from_length != e.to_length or e.sequence:
+                    raise ValueError(
+                        f"embed_alignment_paths: {a.name} has novel "
+                        "edits; run augment() first")
+        steps = [(m.position.node_id, m.position.is_reverse)
+                 for m in a.path.mappings]
+        b.add_path(a.name, steps)
+    return b.freeze()
