@@ -169,3 +169,49 @@ def test_mpmap_reverse_spliced_read(intron_pangenome):
     assert n_ops == [intron], rec.cigar
     assert rec.flag & 0x10     # reverse flag
     assert rec.pos == e1 - 70 + 1
+
+
+def test_mpmap_paired_with_spliced_end(intron_pangenome):
+    """Paired multipath mapping: pair selection drives the primary
+    candidate, mates cross-link via paired_read_name, and a spliced end
+    still gets its Connection subpaths."""
+    from vg_tpu.io.fastq import Read
+    from vg_tpu.io.gamp import MultipathAlignment
+    from vg_tpu.map.giraffe import GiraffeMapper, GiraffeParams
+    from vg_tpu.map.mpmap import MultipathMapper
+    from vg_tpu.utils import dna
+
+    haps, idx, text = intron_pangenome
+    e1, intron = 20000, 5000
+    rng = np.random.default_rng(3)
+    pairs = []
+    # ordinary pairs
+    for i in range(31):
+        s = int(rng.integers(0, len(text) - 500))
+        c1 = text[s : s + 150]
+        c2 = text[s + 300 : s + 450]
+        pairs.append((Read(f"n{i}/1", dna.decode(c1), None),
+                      Read(f"n{i}/2",
+                           dna.decode(dna.revcomp_codes(c2)), None)))
+    # one pair whose first end spans the novel junction
+    c1 = np.concatenate([text[e1 - 80 : e1],
+                         text[e1 + intron : e1 + intron + 70]])
+    c2 = text[e1 + intron + 220 : e1 + intron + 370]
+    pairs.append((Read("sp/1", dna.decode(c1), None),
+                  Read("sp/2", dna.decode(dna.revcomp_codes(c2)), None)))
+
+    m = GiraffeMapper(haps, idx, GiraffeParams(batch_reads=64,
+                                               graph_fallback=False))
+    out = MultipathMapper(m).map_pairs(pairs)
+    assert len(out) == 32
+    for mp1, mp2 in out:
+        assert mp1.paired_read_name == mp2.name
+        assert mp2.paired_read_name == mp1.name
+        # codec roundtrip keeps the linkage
+        assert MultipathAlignment.decode(
+            mp1.encode()).paired_read_name == mp2.name
+    sp1, sp2 = out[-1]
+    assert len(sp1.subpaths) == 2 and sp1.subpaths[0].connection
+    assert sp2.subpaths and not any(
+        s.connection for s in sp2.subpaths)
+    assert sp1.mapping_quality > 0

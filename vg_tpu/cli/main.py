@@ -1770,14 +1770,28 @@ def cmd_mpmap(args) -> int:
             batch_reads=args.batch_size,
             qual_adjusted=not getattr(args, "no_qual_adjust", False))))
     mps = []
-    batch = []
-    for r in iter_fastq(args.fastq):
-        batch.append(r)
-        if len(batch) >= args.batch_size:
+    if getattr(args, "fastq_mate", None):
+        from ..io.fastq import iter_fastq_paired
+
+        batch = []
+        for pair in iter_fastq_paired(args.fastq, args.fastq_mate):
+            batch.append(pair)
+            if len(batch) >= args.batch_size:
+                for a, b in mm.map_pairs(batch):
+                    mps.extend((a, b))
+                batch = []
+        if batch:
+            for a, b in mm.map_pairs(batch):
+                mps.extend((a, b))
+    else:
+        batch = []
+        for r in iter_fastq(args.fastq):
+            batch.append(r)
+            if len(batch) >= args.batch_size:
+                mps.extend(mm.map_batch(batch))
+                batch = []
+        if batch:
             mps.extend(mm.map_batch(batch))
-            batch = []
-    if batch:
-        mps.extend(mm.map_batch(batch))
     if args.output:
         with open(args.output, "wb") as f:
             write_gamp(f, mps)
@@ -2364,6 +2378,8 @@ def build_parser() -> argparse.ArgumentParser:
     mm = sub.add_parser("mpmap", help="multipath mapping (GAMP output)")
     mm.add_argument("-Z", "--index-prefix", required=True)
     mm.add_argument("-f", "--fastq", required=True)
+    mm.add_argument("-2", "--fastq-mate",
+                    help="second FASTQ: paired multipath mapping")
     mm.add_argument("-B", "--batch-size", type=int, default=512)
     mm.add_argument("-A", "--no-qual-adjust", action="store_true",
                     help="disable base-quality-adjusted scores "

@@ -106,6 +106,8 @@ class MultipathAlignment:
     subpaths: List[Subpath] = dfield(default_factory=list)  # field 6
     mapping_quality: int = 0           # field 7
     start: List[int] = dfield(default_factory=list)         # field 8
+    paired_read_name: str = ""         # field 9 (mate linkage,
+                                       # multipath_alignment.cpp:2376)
 
     def encode(self) -> bytes:
         out = bytearray()
@@ -125,6 +127,8 @@ class MultipathAlignment:
             out += field_varint(7, self.mapping_quality)
         for s in self.start:
             out += field_varint(8, s)
+        if self.paired_read_name:
+            out += field_str(9, self.paired_read_name)
         return bytes(out)
 
     @classmethod
@@ -147,6 +151,8 @@ class MultipathAlignment:
                 mp.mapping_quality = v
             elif f == 8:
                 mp.start.append(v)
+            elif f == 9:
+                mp.paired_read_name = bytes(v).decode()
         return mp
 
     def to_json(self) -> dict:

@@ -176,6 +176,91 @@ class MultipathMapper:
             out.append(mp)
         return out
 
+    def _build_one(self, sb, i: int, chosen_j: int, mapq: int,
+                   scoring) -> MultipathAlignment:
+        """Multipath record for read i with `chosen_j` as the primary
+        candidate (pairing may have picked a non-top candidate);
+        alternates factor into the subpath DAG, a softclipped primary
+        attempts novel splice discovery."""
+        from ..io.gamp import Connection
+        from .splice import try_splice
+
+        m = self.mapper
+        r = sb.reads[i]
+        scores = sb.scores[i]
+        valid = sb.cand_valid[i] & (scores > 0)
+        mp = MultipathAlignment(name=r.name, sequence=r.sequence,
+                                mapping_quality=int(mapq))
+        if not valid.any():
+            return mp
+        order = np.argsort(-np.where(valid, scores, -1))
+        js = [int(chosen_j)] + [int(j) for j in order
+                                if valid[j] and int(j) != int(chosen_j)]
+        js = js[: self.max_alternates]
+        paths: List[Path] = []
+        pscores: List[int] = []
+        first_aln = None
+        for j in js:
+            aln = m.emit(sb, i, j, 0)
+            if aln.path is None:
+                continue
+            if first_aln is None:
+                first_aln = (j, aln)
+            paths.append(aln.path)
+            pscores.append(aln.score)
+        if first_aln is not None:
+            j0, a0 = first_aln
+            spl = try_splice(m.haps, sb, i, j0, a0,
+                             band_radius=m.params.band_radius,
+                             scoring=scoring)
+            if spl is not None:
+                seg_paths, _gain, hit, _rev = spl
+                s1 = _score_mappings(seg_paths[0].mappings, scoring)
+                s2 = _score_mappings(seg_paths[1].mappings, scoring)
+                mp.subpaths = [
+                    Subpath(path=seg_paths[0], score=s1,
+                            connection=[Connection(
+                                next=1, score=hit.junction_score)]),
+                    Subpath(path=seg_paths[1], score=s2)]
+                mp.start = [0]
+                return mp
+        if paths:
+            mp.subpaths, mp.start = factor_alignments(paths, pscores,
+                                                      scoring)
+        return mp
+
+    def map_pairs(self, pairs) -> List[Tuple[MultipathAlignment,
+                                             MultipathAlignment]]:
+        """Paired multipath mapping (the reference mpmap's standard RNA
+        mode): pair selection + fragment model from the giraffe paired
+        machinery, multipath DAGs per end with the pair-selected
+        candidate primary, mates linked via paired_read_name
+        (reference multipath_alignment_emitter.cpp:109)."""
+        from ..ops.align import Scoring
+        from .paired import PairedGiraffeMapper
+
+        m = self.mapper
+        p = m.params
+        scoring = Scoring(p.match, p.mismatch, p.gap_open, p.gap_extend,
+                          p.full_length_bonus)
+        pm = PairedGiraffeMapper(m)
+        sb1, sb2 = pm.score_pairs(pairs)
+        if not pm.fragdist.finalized:
+            pm._observe_batch(sb1, sb2)
+            pm.fragdist.finalize()
+        pm._rescue(sb1, sb2)
+        pm._rescue(sb2, sb1)
+        j1, j2, mq1, mq2, any1, any2, use_pair, frags = \
+            pm._pair_select(sb1, sb2)
+        out = []
+        for i in range(len(pairs)):
+            mp1 = self._build_one(sb1, i, int(j1[i]), int(mq1[i]), scoring)
+            mp2 = self._build_one(sb2, i, int(j2[i]), int(mq2[i]), scoring)
+            mp1.paired_read_name = mp2.name
+            mp2.paired_read_name = mp1.name
+            out.append((mp1, mp2))
+        return out
+
     def map_batch_gam(self, reads: Sequence[Read]):
         """GAM-flavored output: one linear Alignment per read with
         spliced winners stitched into a single path (the surjector
