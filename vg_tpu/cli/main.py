@@ -1863,7 +1863,27 @@ def cmd_haplotypes(args) -> int:
     from ..io import native
     from ..io.fastq import iter_fastq
 
+    if not getattr(args, "kff", None) and not args.fastq:
+        print("haplotypes: need -f reads or -k counts.kff",
+              file=sys.stderr)
+        return 1
     g, haps, _ = _load_bundle(args.index_prefix)
+    if getattr(args, "kff", None):
+        # kmer-count-driven diploid sampling (reference vg haplotypes -k
+        # counts.kff --diploid-sampling, Recombinator select_diploid)
+        from ..index.sampling import recombine_haplotypes_diploid
+        from ..io.kff import read_kff
+
+        kk, kmers, counts = read_kff(args.kff)
+        sampled = recombine_haplotypes_diploid(
+            haps, kmers, counts, subchain_len=args.subchain_length, k=kk)
+        gp, hp, mp = _bundle_paths(args.output_prefix)
+        native.save_graph(gp, g)
+        native.save_haplotypes(hp, sampled)
+        native.save_minimizer(mp, MinimizerIndex.build(sampled))
+        print(f"sampled {sampled.count} haplotypes "
+              f"({sampled.total_len} bp text)", file=sys.stderr)
+        return 0
     reads = []
     for i, r in enumerate(iter_fastq(args.fastq)):
         reads.append(r)
@@ -2411,13 +2431,18 @@ def build_parser() -> argparse.ArgumentParser:
     hp = sub.add_parser("haplotypes",
                         help="sample haplotypes best supported by reads")
     hp.add_argument("-Z", "--index-prefix", required=True)
-    hp.add_argument("-f", "--fastq", required=True)
+    hp.add_argument("-f", "--fastq",
+                    help="sample reads (minimizer-support scoring); "
+                         "or give -k for kmer-count scoring")
     hp.add_argument("-n", "--num-haplotypes", type=int, default=4)
     hp.add_argument("-R", "--recombine", action="store_true",
                     help="stitch per-subchain best fragments into synthetic"
                          " haplotypes instead of whole-haplotype selection")
     hp.add_argument("--subchain-length", type=int, default=10000)
     hp.add_argument("--max-reads", type=int, default=20000)
+    hp.add_argument("-k", "--kff",
+                    help="sample kmer counts (KFF): kmer-classified "
+                         "diploid sampling (reference haplotypes -k)")
     hp.add_argument("-p", "--output-prefix", required=True)
     hp.set_defaults(func=cmd_haplotypes)
 
