@@ -109,3 +109,42 @@ def test_diploid_sampling_micb_kir3dl1(hg003_kff):
     idx = np.minimum(np.searchsorted(union, present), len(union) - 1)
     recall = float((union[idx] == present).mean())
     assert recall > 0.95, recall
+
+
+def test_sampled_graph_maps_hg003_reads(hg003_kff):
+    """The fixture README's closing check: mapping HG003's own reads to
+    the sampled graph works as well as to the full cohort graph, on a
+    42x smaller haplotype text (measured: perfect-identity fraction
+    0.76 sampled vs 0.74 full on the first 1500 reads)."""
+    from vg_tpu.index.minimizer import MinimizerIndex
+    from vg_tpu.io.fastq import Read
+    from vg_tpu.io.gfa import read_gfa
+    from vg_tpu.map.giraffe import GiraffeMapper, GiraffeParams
+
+    k, kmers, counts = hg003_kff
+    g = read_gfa(f"{FIX}/micb-kir3dl1.gfa")
+    haps = haplotypes_from_paths(g)
+    sampled = recombine_haplotypes_diploid(haps, kmers, counts,
+                                           subchain_len=300, k=k)
+    assert sampled.total_len < haps.total_len / 20
+
+    with gzip.open(f"{FIX}/HG003.fq.gz", "rt") as f:
+        lines = f.read().splitlines()
+    reads = [Read(lines[i][1:], lines[i + 1], lines[i + 3])
+             for i in range(0, 4 * 1500, 4)]
+
+    def run(hs):
+        idx = MinimizerIndex.build(hs)
+        m = GiraffeMapper(hs, idx, GiraffeParams(batch_reads=1024))
+        alns = []
+        for i in range(0, len(reads), 1024):
+            alns.extend(m.map_batch(reads[i : i + 1024]))
+        ids = [a.identity for a in alns if a.path and a.path.mappings]
+        return (len(ids), float(np.mean([i == 1.0 for i in ids])),
+                float(np.mean(ids)))
+
+    n_full, perf_full, mid_full = run(haps)
+    n_samp, perf_samp, mid_samp = run(sampled)
+    assert n_samp >= n_full - 10
+    assert perf_samp >= perf_full - 0.02
+    assert mid_samp >= mid_full - 0.03
