@@ -229,6 +229,21 @@ def cmd_giraffe(args) -> int:
         return 0
 
     g, haps, idx = _load_bundle(args.index_prefix)
+    if getattr(args, "kff_name", None):
+        # giraffe-integrated haplotype sampling (reference
+        # giraffe --haplotype-name/--kff-name, haplotype-sampling
+        # README "Giraffe integration"): sample a diploid personal
+        # pangenome from the kmer counts, then map against it
+        from ..index.minimizer import MinimizerIndex as _MI
+        from ..index.sampling import recombine_haplotypes_diploid
+        from ..io.kff import read_kff
+
+        kk, kmers, counts = read_kff(args.kff_name)
+        haps = recombine_haplotypes_diploid(haps, kmers, counts, k=kk)
+        idx = _MI.build(haps)
+        print(f"[giraffe] sampled {haps.count} haplotypes "
+              f"({haps.total_len} bp text) from {args.kff_name}",
+              file=sys.stderr)
     if args.parameter_preset in ("hifi", "r10", "lr"):
         from ..map.longread import LongReadMapper
 
@@ -1947,6 +1962,9 @@ def build_parser() -> argparse.ArgumentParser:
     gme.add_argument("-i", "--interleaved", action="store_true")
     gme.add_argument("-o", "--output-format", default="gam",
                      choices=["gam", "gaf", "json", "sam"])
+    gme.add_argument("--kff-name",
+                     help="sample haplotypes with these kmer counts "
+                          "before mapping (giraffe-integrated sampling)")
     gme.add_argument("-B", "--batch-size", type=int, default=512)
     gme.add_argument("-M", "--max-multimaps-internal", type=int, default=8)
     gme.add_argument("--output")
