@@ -30,7 +30,7 @@ extern "C" int64_t longread_map_batch(
     int32_t, int64_t, int64_t, double, double, double, int32_t, double,
     const uint8_t*, int64_t, const int64_t*, int64_t,
     int32_t, int32_t, int32_t, int32_t, int32_t,
-    int64_t, int64_t, int32_t,
+    int64_t, int64_t, int32_t, int32_t,
     double, double, double, double, double, double, int64_t,
     int32_t*, uint8_t*, int32_t*, int64_t*, int64_t*, int64_t*,
     int64_t*, int64_t*, int32_t*, int64_t, int64_t*);
@@ -101,7 +101,7 @@ int main() {
             64, 20000, 5000, 0.1, 1.0, 40.0, MC, 0.7,
             text.data(), T, hap_starts, 1,
             1, 4, 6, 1, 5,
-            4000, 500, 64,
+            4000, 500, 64, 100,
             2.0, 0.05, 15.0, 33.0, 0.195722, 240.0, 4000000,
             n_out.data(), orev.data(), oscore.data(), omat.data(),
             ors.data(), ore.data(), ot0.data(), ot1.data(),
