@@ -1892,6 +1892,13 @@ def cmd_haplotypes(args) -> int:
         kk, kmers, counts = read_kff(args.kff)
         sampled = recombine_haplotypes_diploid(
             haps, kmers, counts, subchain_len=args.subchain_length, k=kk)
+        if getattr(args, "gbz_out", None):
+            # emit the sampled personal pangenome as a real GBZ (the
+            # reference's haplotypes -g: the artifact giraffe consumes)
+            from ..io.gbz_write import write_gbz
+
+            write_gbz(args.gbz_out, g, sampled)
+            print(f"wrote sampled GBZ {args.gbz_out}", file=sys.stderr)
         gp, hp, mp = _bundle_paths(args.output_prefix)
         native.save_graph(gp, g)
         native.save_haplotypes(hp, sampled)
@@ -2461,6 +2468,9 @@ def build_parser() -> argparse.ArgumentParser:
     hp.add_argument("-k", "--kff",
                     help="sample kmer counts (KFF): kmer-classified "
                          "diploid sampling (reference haplotypes -k)")
+    hp.add_argument("-g", "--gbz-out",
+                    help="also write the sampled graph as GBZ "
+                         "(reference haplotypes -g)")
     hp.add_argument("-p", "--output-prefix", required=True)
     hp.set_defaults(func=cmd_haplotypes)
 
