@@ -148,3 +148,52 @@ def test_cluster_topc_empty_and_single():
     assert cv[2, 0] and cd[2, 0] == 9000 and cr[2, 0] == 1
     assert cv[2, 1] and cd[2, 1] in (100, 105) and cr[2, 1] == 0
     assert not cv[2, 2:].any()
+
+
+def test_seed_candidates_fuzz_vs_xla_twin():
+    """The Pallas-kernel seed_candidates_dev must match the retired
+    pure-XLA twin (_seed_candidates_dev_xla, the implementation the
+    byte-parity tests validated against host seeding) across random
+    index/read configurations and budget edges."""
+    import jax.numpy as jnp
+
+    from vg_tpu.ops import devseed
+
+    rng = np.random.default_rng(42)
+    for trial, (R, L, n_keys, max_hits) in enumerate(
+            [(16, 150, 400, 3), (32, 100, 50, 12),
+             (8, 150, 1000, 1), (24, 200, 200, 6)]):
+        k, w = 29, 11
+        codes = rng.integers(0, 4, (R, L)).astype(np.uint8)
+        rlen = np.full(R, L, np.int32)
+        kh, kl, cr, chosen, valid = devseed.rolling_minimizers(
+            codes, rlen, k, w)
+        # synthetic sorted index: take some real read keys + noise
+        real = (np.asarray(kh).astype(np.uint64) << np.uint64(32)) \
+            | np.asarray(kl).astype(np.uint64)
+        real = np.unique(real[np.asarray(chosen)])
+        noise = rng.integers(0, 1 << 58, n_keys, dtype=np.uint64)
+        keys = np.unique(np.concatenate([real[: n_keys // 2], noise]))
+        counts = rng.integers(1, max_hits + 1, len(keys))
+        offsets = np.zeros(len(keys) + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        npos = int(offsets[-1])
+        pos_text = rng.integers(0, 1 << 20, npos).astype(np.int64)
+        pos_rev = rng.integers(0, 2, npos).astype(np.uint8)
+        ih, il = devseed.split_keys(keys)
+        args = (kh, kl, cr, chosen, valid, jnp.asarray(rlen),
+                jnp.asarray(ih), jnp.asarray(il),
+                jnp.asarray(offsets.astype(np.int32)),
+                jnp.asarray(pos_text.astype(np.int32)),
+                jnp.asarray(pos_rev), None)
+        kw = dict(k=k, hit_cap=10, hard_hit_cap=500, score_fraction=0.9,
+                  max_candidates=8, band_radius=16)
+        got = devseed.seed_candidates_dev(*args, **kw)
+        want = devseed._seed_candidates_dev_xla(*args[:11], **kw)
+        gs, gr, gv = (np.asarray(a) for a in got)
+        ws, wr, wv = (np.asarray(a) for a in want)
+        np.testing.assert_array_equal(gv, wv, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(gs[wv], ws[wv],
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(gr[wv], wr[wv],
+                                      err_msg=f"trial {trial}")
