@@ -240,3 +240,26 @@ def test_xdrop_decoded_parity(long_setup):
     assert len(a) == len(b)
     same = sum(1 for x, y in zip(a, b) if bytes(x) == bytes(y))
     assert same == len(a), f"{same}/{len(a)} identical"
+
+
+def test_preset_mapq_calibration(long_setup):
+    """hifi/r10 preset mapq knobs (reference giraffe_main.cpp:957-1072):
+    the hifi scale compresses confidence, r10's min-mapq0-score floors
+    weak winners at 0."""
+    from vg_tpu.map.mapq import mapq_exact
+
+    assert mapq_exact([5000, 4000], 0) == 60
+    hifi = mapq_exact([5000, 4000], 0, score_scale=0.001)
+    assert 0 < hifi < 60
+    assert mapq_exact([60, 50], 0, min_mapq0_score=67.0) == 0
+    # window: a far-behind third candidate no longer dilutes nothing —
+    # it was already negligible — but a window larger than the gap keeps
+    # the close competitor
+    close = mapq_exact([100, 95, 10], 0, score_window=150.0)
+    assert close == mapq_exact([100, 95, 10], 0)
+
+    from vg_tpu.map.longread import LongReadParams
+
+    assert LongReadParams.preset("hifi").mapq_score_scale == 0.001
+    r10 = LongReadParams.preset("r10")
+    assert r10.mapq_score_window == 150.0 and r10.min_mapq0_score == 67.0

@@ -245,9 +245,10 @@ def cmd_giraffe(args) -> int:
               f"({haps.total_len} bp text) from {args.kff_name}",
               file=sys.stderr)
     if args.parameter_preset in ("hifi", "r10", "lr"):
-        from ..map.longread import LongReadMapper
+        from ..map.longread import LongReadMapper, LongReadParams
 
-        mapper = LongReadMapper(haps, idx)
+        mapper = LongReadMapper(
+            haps, idx, LongReadParams.preset(args.parameter_preset))
     elif getattr(args, "engine", "giraffe") == "mem":
         # honest `vg map`: MEM seeding over a suffix array of the
         # haplotype text (reference src/mapper.cpp:4484, src/mem.cpp),

@@ -56,6 +56,20 @@ class LongReadParams:
     max_link_len: int = 4000
     chain: ChainParams = None
     max_mapq: int = 60
+    # preset mapq calibration (reference giraffe_main.cpp:957-1072:
+    # hifi mapq-score-scale 0.001; r10 scale 1 + window 150 +
+    # min-mapq0-score 67)
+    mapq_score_scale: float = 1.0
+    mapq_score_window: float = 0.0
+    min_mapq0_score: float = 0.0
+
+    @classmethod
+    def preset(cls, name: str) -> "LongReadParams":
+        if name == "hifi":
+            return cls(mapq_score_scale=0.001)
+        if name == "r10":
+            return cls(mapq_score_window=150.0, min_mapq0_score=67.0)
+        return cls()
     # WFA ErrorModel caps on links (reference hifi preset,
     # minimizer_mapper_from_chains.cpp:2562-2574 / giraffe_main.cpp:957+:
     # mismatches 2 + 0.05/base <= 15; distance 33 + 0.195722/base <= 240).
@@ -518,7 +532,10 @@ class LongReadMapper:
         ta_factory, wstart, ch = results[0][:3]
         ta = ta_factory()
         aln.mapping_quality = mapq_exact(
-            [r[3] for r in results], which=0, max_mapq=p.max_mapq)
+            [r[3] for r in results], which=0, max_mapq=p.max_mapq,
+            score_scale=p.mapq_score_scale,
+            score_window=p.mapq_score_window,
+            min_mapq0_score=p.min_mapq0_score)
         oriented = codes_rc if ch.is_rev else codes
         path = text_alignment_to_path(self.haps, ta, wstart, oriented,
                                       ch.is_rev)
@@ -672,7 +689,10 @@ class LongReadMapper:
                 continue
             win, deduped = dw
             mq = mapq_exact([d["score"] for d in deduped], which=0,
-                            max_mapq=p.max_mapq)
+                            max_mapq=p.max_mapq,
+                            score_scale=p.mapq_score_scale,
+                            score_window=p.mapq_score_window,
+                            min_mapq0_score=p.min_mapq0_score)
             winners.append((ri, win, mq))
         if winners:
             Nw = len(winners)

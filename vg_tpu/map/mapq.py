@@ -44,12 +44,28 @@ QUAL_SCALE = 10.0 / math.log(10.0)
 
 def mapq_exact(scores: Sequence[float], which: int = 0,
                match: int = 1, mismatch: int = 4,
-               max_mapq: int = 60) -> int:
-    """Phred-scaled probability that candidate `which` is wrong."""
+               max_mapq: int = 60,
+               score_scale: float = 1.0,
+               score_window: float = 0.0,
+               min_mapq0_score: float = 0.0) -> int:
+    """Phred-scaled probability that candidate `which` is wrong.
+
+    The long-read preset knobs (reference giraffe_main.cpp:957-1072 /
+    minimizer_mapper.hpp:397-404): score_scale multiplies the scaled
+    scores (hifi: 0.001), score_window restricts the posterior to
+    scores within the window of the best (r10: 150; 0 = all), and a
+    winner below min_mapq0_score gets mapq 0 (r10: 67)."""
     s = np.asarray(scores, dtype=np.float64)
     if len(s) == 0:
         return 0
-    lam = log_base(match, mismatch)
+    if min_mapq0_score > 0 and s[which] < min_mapq0_score:
+        return 0
+    if score_window > 0:
+        keep = (s >= s.max() - score_window) | (
+            np.arange(len(s)) == which)
+        s = s[keep]
+        which = int(np.searchsorted(np.nonzero(keep)[0], which))
+    lam = log_base(match, mismatch) * score_scale
     scaled = s * lam
     m = scaled.max()
     lse = m + math.log(np.exp(scaled - m).sum())
