@@ -167,3 +167,35 @@ def test_device_seeded_pipeline_byte_parity():
     assert len(a) == len(b) == 2 * bs
     same = sum(1 for x, y in zip(a, b) if bytes(x) == bytes(y))
     assert same == len(a), f"{same}/{len(a)}"
+
+
+def test_device_seeded_single_end_byte_parity():
+    """The fused single-end device-seeded dispatch must emit
+    byte-identical GAM records to the host-seeded packed path."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import bench
+    from vg_tpu.index.haplotypes import thread_haplotypes
+    from vg_tpu.map.giraffe import GiraffeMapper, GiraffeParams
+
+    rng = np.random.default_rng(13)
+    g, results, vcf = bench.make_pangenome(rng, ref_len=120_000)
+    haps = thread_haplotypes(g, results, vcf)
+    idx = MinimizerIndex.build(haps)
+    reads = bench.simulate_reads(rng, haps, 256)
+
+    def run(devseed):
+        m = GiraffeMapper(haps, idx, GiraffeParams(batch_reads=256,
+                                                   device_seed=devseed))
+        sb = m.score_reads_packed(reads)
+        recs = m.emit_batch_encoded(sb)
+        if recs is None:
+            recs = [a.encode() for a in m.emit_batch(sb)]
+        return recs
+
+    a = run(True)
+    b = run(False)
+    assert len(a) == len(b) == 256
+    same = sum(1 for x, y in zip(a, b) if bytes(x) == bytes(y))
+    assert same == len(a), f"{same}/{len(a)}"

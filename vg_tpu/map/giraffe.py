@@ -855,12 +855,118 @@ class GiraffeMapper:
                                  self._resident_arrays())
         return self._single_step
 
+    def _get_single_step_seeded(self):
+        """Fully-fused single-end dispatch: DEVICE seeding
+        (ops/devseed.py via the Pallas sort/segment kernels) + DP +
+        winner + MAPQ + mismatch payload — input is just the 4-bit
+        packed reads, output one winner-only int16 buffer (the
+        single-end twin of PairedGiraffeMapper._get_pair_step_seeded)."""
+        if getattr(self, "_single_step_seeded_fn", None) is None:
+            import jax
+            import jax.numpy as jnp
+            from jax import lax
+
+            from ..ops.devseed import (rolling_minimizers,
+                                       seed_candidates_dev)
+            from ..ops.xfer import (bits_to_pos8_dev, revcomp_dev,
+                                    unpack_reads4_dev)
+            from ..parallel.mesh import (derive_candidate_meta,
+                                         make_single_step)
+
+            p = self.params
+            if self.text_packed_dev is not None:
+                from ..ops.pallas_align import banded_scores_packed
+
+                T = len(self.haps.text)
+
+                def score_fn(text, reads, rc, rlen, cand):
+                    return banded_scores_packed(
+                        text, T, reads, rc, rlen, *cand[:5],
+                        band_radius=p.band_radius, match=p.match,
+                        mismatch=p.mismatch, gap_open=p.gap_open,
+                        gap_extend=p.gap_extend,
+                        bonus=p.full_length_bonus)
+
+                text_arg = self.text_packed_dev
+            else:
+                score_fn = None
+                text_arg = self.text_dev
+            step = make_single_step(
+                band_radius=p.band_radius, match=p.match,
+                mismatch=p.mismatch, gap_open=p.gap_open,
+                gap_extend=p.gap_extend, bonus=p.full_length_bonus,
+                max_mapq=p.max_mapq, score_fn=score_fn,
+                text_packed=self.text_packed_dev is not None,
+                text_len=len(self.haps.text))
+            B = p.band_radius
+            kk, ww = self.index.k, self.index.w
+            seed_kw = dict(k=kk, hit_cap=p.hit_cap,
+                           hard_hit_cap=p.hard_hit_cap,
+                           score_fraction=p.score_fraction,
+                           max_candidates=p.max_candidates,
+                           band_radius=B)
+
+            def seeded_single(text, hb, stp, steps, nlen, nrp, nro,
+                              ih, il, ioff, ipos, irev, stab, rp, rl):
+                r = unpack_reads4_dev(rp)
+                rc = revcomp_dev(r, rl)
+                kh, kl, cr, chosen, vld = rolling_minimizers(r, rl, kk, ww)
+                ca, rev, cv = seed_candidates_dev(
+                    kh, kl, cr, chosen, vld, rl,
+                    ih, il, ioff, ipos, irev, stab, **seed_kw)
+                lo, hi, rpth, ro = derive_candidate_meta(
+                    ca + B, hb, stp, steps, nlen, nrp, nro)
+                s, j, mapq, anyv, mm, bits = step(
+                    text, r, rc, rl, (ca, lo, hi, rev, cv, rpth, ro), 2)
+                i16 = lambda a: jnp.clip(a, -32768,
+                                         32767).astype(jnp.int16)
+                take = lambda a: jnp.take_along_axis(a, j[:, None],
+                                                     1)[:, 0]
+                R_ = s.shape[0]
+                ws = take(s)
+                wstart = take(ca)
+                wrev = take(rev)
+                wv = take(cv) & (ws > 0) & anyv
+                flags = (wv.astype(jnp.int16)
+                         | (wrev.astype(jnp.int16) << 1))
+                return jnp.concatenate([
+                    i16(ws),
+                    lax.bitcast_convert_type(
+                        wstart.reshape(R_, 1), jnp.int16).reshape(R_ * 2),
+                    flags, i16(mapq), i16(mm),
+                    lax.bitcast_convert_type(
+                        bits_to_pos8_dev(bits).reshape(R_, 4, 2),
+                        jnp.int16).reshape(R_ * 4)])
+
+            self._single_step_seeded_fn = (
+                jax.jit(seeded_single), text_arg,
+                self._resident_arrays(), self._resident_seed_arrays())
+        return self._single_step_seeded_fn
+
     def score_reads_packed(self, reads: Sequence[Read]) -> "ScoredBatch":
         """score_reads variant where winner selection + MAPQ + mismatch
         bitmaps also run on device and everything returns as ONE int16
         buffer (fetched lazily by emit_batch_encoded)."""
         from ..ops.xfer import pack_reads4
 
+        if self.params.device_seed:
+            prep = self.prepare_light(reads)
+            if prep["reads_arr"].shape[1] <= 255:     # pos8 wire limit
+                step, text_arg, resident, seed_res =                     self._get_single_step_seeded()
+                rp = pack_reads4(prep["reads_arr"])
+                packed = step(text_arg, *resident, *seed_res,
+                              rp, prep["rlens"])
+                R = len(reads)
+                sb = ScoredBatch(
+                    reads=list(reads), codes=prep["codes"],
+                    codes_rc=prep["codes_rc"],
+                    cand_start=None, cand_lo=None, cand_hi=None,
+                    cand_rev=None, cand_valid=None, scores_raw=None,
+                    codes2d=prep["reads_arr"],
+                    codes_rc2d=prep["reads_rc_arr"])
+                sb._packed_single = ("seeded", packed,
+                                     prep["rlens"].shape[0])
+                return sb
         prep = self.prepare_batch(reads)
         step, text_arg, resident = self._get_single_step()
         flags = (prep["cand_valid"].astype(np.int8)
@@ -882,13 +988,15 @@ class GiraffeMapper:
         s_i8 = (rp.shape[1] * 8 + 2 * self.params.full_length_bonus <= 191
                 and C % 2 == 0)
         pos_mode = rp.shape[1] * 8 <= 255
-        sb._packed_single = (packed, Rpad, C, s_i8, pos_mode)
+        sb._packed_single = ("host", packed, Rpad, C, s_i8, pos_mode)
         return sb
 
     def _force_single_sel(self, sb: "ScoredBatch"):
         """Fetch + unpack the single-step buffer into the ScoredBatch;
         returns (best_j, mapq, any_valid)."""
-        packed, Rpad, C, s_i8, pos_mode = sb._packed_single
+        if sb._packed_single[0] == "seeded":
+            return self._force_seeded_single(sb)
+        _, packed, Rpad, C, s_i8, pos_mode = sb._packed_single
         sb._packed_single = None
         R = len(sb.reads)
         buf = np.asarray(packed)
@@ -911,6 +1019,42 @@ class GiraffeMapper:
         payload = raw.view(np.uint8) if pos_mode else raw.view(np.int32)
         sb.winner_mism = (j.copy(), mm[:R], payload[:R])
         return j, mapq, anyv
+
+    def _force_seeded_single(self, sb: "ScoredBatch"):
+        """Fetch the device-seeded winner-only buffer and synthesize
+        C=1 candidate tables so the host emit stages run unchanged
+        (the single-end twin of PairedGiraffeMapper._force_seeded_sel)."""
+        _, packed, Rpad = sb._packed_single
+        sb._packed_single = None
+        R = len(sb.reads)
+        buf = np.asarray(packed)
+        ws = buf[:Rpad].astype(np.int32)
+        start = np.ascontiguousarray(
+            buf[Rpad : 3 * Rpad]).view(np.int32)
+        flags = buf[3 * Rpad : 4 * Rpad]
+        mq = buf[4 * Rpad : 5 * Rpad].astype(np.int32)
+        mm = buf[5 * Rpad : 6 * Rpad].astype(np.int32)
+        pos8 = np.ascontiguousarray(
+            buf[6 * Rpad : 10 * Rpad].reshape(Rpad, 4)).view(np.uint8)
+        wv = (flags & 1).astype(bool)
+        wrev = ((flags >> 1) & 1).astype(bool)
+        diag = start.astype(np.int64) + self.params.band_radius
+        hap = np.searchsorted(self.haps.text_start[1:],
+                              np.clip(diag, 0, len(self.haps.text) - 1),
+                              side="right")
+        sb.cand_start = start[:R, None].copy()
+        sb.cand_lo = self.haps.text_start[hap][:R, None].astype(np.int32)
+        sb.cand_hi = self.haps.text_start[hap + 1][:R, None].astype(
+            np.int32)
+        sb.cand_rev = wrev[:R, None].copy()
+        sb.cand_valid = wv[:R, None].copy()
+        sb.scores_raw = np.where(wv, ws, -1)[:R, None].copy()
+        rp, ro = self._diag_refproj(sb.cand_start, sb.cand_valid)
+        sb.cand_refpath = rp
+        sb.cand_refoff = ro
+        sb.winner_mism = (np.zeros(R, np.int64), mm[:R], pos8[:R].copy())
+        return (np.zeros(R, np.int64), mq[:R],
+                wv[:R] & (ws[:R] > 0))
 
     def _device_scores(self, reads_arr, reads_rc_arr, rlens, cand_start,
                        cand_lo, cand_hi, cand_rev, cand_valid,
