@@ -215,3 +215,37 @@ def test_mpmap_paired_with_spliced_end(intron_pangenome):
     assert sp2.subpaths and not any(
         s.connection for s in sp2.subpaths)
     assert sp1.mapping_quality > 0
+
+
+def test_spliced_paired_surjection(intron_pangenome):
+    """A spliced read surjected as part of a PAIR keeps its N CIGAR and
+    gets sane pair flags/TLEN (N counts toward the reference span)."""
+    from vg_tpu.io.fastq import Read
+    from vg_tpu.map.giraffe import GiraffeMapper, GiraffeParams
+    from vg_tpu.map.mpmap import MultipathMapper
+    from vg_tpu.surject.surjector import Surjector
+    from vg_tpu.utils import dna
+
+    haps, idx, text = intron_pangenome
+    e1, intron = 20000, 5000
+    c1 = np.concatenate([text[e1 - 80 : e1],
+                         text[e1 + intron : e1 + intron + 70]])
+    c2 = text[e1 + intron + 200 : e1 + intron + 350]
+    r1 = Read("pp/1", dna.decode(c1), None)
+    r2 = Read("pp/2", dna.decode(dna.revcomp_codes(c2)), None)
+    m = GiraffeMapper(haps, idx, GiraffeParams(batch_reads=64,
+                                               graph_fallback=False))
+    mm = MultipathMapper(m)
+    (a1,) = mm.map_batch_gam([r1])
+    (a2,) = mm.map_batch_gam([r2])
+    surj = Surjector(haps.graph)
+    recs = surj.surject_pairs([(a1, a2)])
+    s1, s2 = recs
+    import re
+
+    assert [int(x) for x in re.findall(r"(\d+)N", s1.cigar)] == [intron]
+    assert s1.flag & 0x1 and s2.flag & 0x1          # paired
+    assert s1.rnext in ("=", s2.rname)
+    # TLEN spans from the spliced read's start to the mate's end,
+    # crossing the intron
+    assert abs(s1.tlen) > intron
