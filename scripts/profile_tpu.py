@@ -38,7 +38,7 @@ def main():
     from vg_tpu.map.giraffe import GiraffeMapper, GiraffeParams
     from vg_tpu.map.paired import PairedGiraffeMapper
 
-    bs = 16384
+    bs = 2048 if quick else 16384
 
     # ---- experiment 1: gather locality ---------------------------------
     sizes = [(1.0, 2)] + ([] if quick else [(20.0, 10)])
@@ -66,18 +66,42 @@ def main():
         print(f"[locality] text={haps.total_len/1e6:.0f}Mbp: "
               f"{2*bs/dt:.0f} reads/s "
               f"({dt*1000:.0f} ms / {2*bs} reads)", flush=True)
-        # candidate-sorted variant: order reads by top candidate position
-        sb1, sb2, sel = (pm.score_pairs_device(pairs[:bs])
-                         if hasattr(pm, "score_pairs_device")
-                         else (None, None, None))
-        del sb1, sb2, sel
+        # gather-locality A/B: the DP window gather with candidate
+        # starts as-is vs sorted by text position. If sorted wins big at
+        # the large text, productionize a batch locality sort (candidates
+        # permuted for the device call, unpermuted at fetch).
+        import jax
+        import jax.numpy as jnp
+
+        rng2 = np.random.default_rng(3)
+        T = haps.total_len
+        N, TW = bs * 8, 182
+        starts = rng2.integers(0, T - TW, N).astype(np.int32)
+        text_dev = jax.device_put(jnp.asarray(haps.text))
+
+        @jax.jit
+        def gather(starts_d):
+            pos = starts_d[:, None] + jnp.arange(TW, dtype=jnp.int32)
+            return text_dev[pos].sum()
+
+        for tag2, arr in (("unsorted", starts), ("sorted",
+                                                 np.sort(starts))):
+            arr_d = jax.device_put(jnp.asarray(arr))
+            gather(arr_d).block_until_ready()
+            t0 = time.time()
+            for _ in range(8):
+                gather(arr_d).block_until_ready()
+            dt = (time.time() - t0) / 8
+            gbps = N * TW / dt / 1e9
+            print(f"[gather {haps.total_len/1e6:.0f}Mbp {tag2}] "
+                  f"{dt*1000:.1f} ms = {gbps:.1f} GB/s", flush=True)
 
     # ---- experiments 2+3: seeding engines x batch sizes -----------------
     rng = np.random.default_rng(7)
     g, results, vcf = B.make_pangenome(rng)
     haps = thread_haplotypes(g, results, vcf)
     idx = MinimizerIndex.build(haps)
-    for bs2 in ([16384] if quick else [8192, 16384, 32768]):
+    for bs2 in ([2048] if quick else [8192, 16384, 32768]):
         for ds in (False, True):
             pm = PairedGiraffeMapper(GiraffeMapper(
                 haps, idx, GiraffeParams(batch_reads=bs2, device_seed=ds)))
