@@ -68,6 +68,11 @@ class GiraffeParams:
     # suffix-array MEM re-seeding for zero-candidate reads (dense-variant
     # recombinants); SA built lazily, gated to texts <= 64 Mbp
     mem_fallback: bool = True
+    # sort each batch's reads by their best candidate's text position
+    # before the device dispatch (unsorted at fetch): the DP window
+    # gather then walks HBM near-sequentially instead of randomly —
+    # a pure permutation round-trip, bit-identical records
+    locality_sort: bool = True
     pad_quantum: int = 32
     batch_reads: int = 512            # device batch (pad to fixed shape)
     max_mapq: int = 60
@@ -969,11 +974,19 @@ class GiraffeMapper:
                 return sb
         prep = self.prepare_batch(reads)
         step, text_arg, resident = self._get_single_step()
-        flags = (prep["cand_valid"].astype(np.int8)
-                 | (prep["cand_rev"].astype(np.int8) << 1))
-        rp = pack_reads4(prep["reads_arr"])
-        packed = step(text_arg, *resident, rp, prep["rlens"],
-                      prep["cand_start"], flags)
+        perm = None
+        if self.params.locality_sort:
+            key = np.where(prep["cand_valid"][:, 0],
+                           prep["cand_start"][:, 0], np.int32(2**31 - 1))
+            perm = np.argsort(key, kind="stable")
+            srt = lambda a: a[perm]
+        else:
+            srt = lambda a: a
+        flags = srt(prep["cand_valid"].astype(np.int8)
+                    | (prep["cand_rev"].astype(np.int8) << 1))
+        rp = pack_reads4(srt(prep["reads_arr"]))
+        packed = step(text_arg, *resident, rp, srt(prep["rlens"]),
+                      srt(prep["cand_start"]), flags)
         R = len(reads)
         sb = ScoredBatch(
             reads=list(reads), codes=prep["codes"],
@@ -988,7 +1001,8 @@ class GiraffeMapper:
         s_i8 = (rp.shape[1] * 8 + 2 * self.params.full_length_bonus <= 191
                 and C % 2 == 0)
         pos_mode = rp.shape[1] * 8 <= 255
-        sb._packed_single = ("host", packed, Rpad, C, s_i8, pos_mode)
+        sb._packed_single = ("host", packed, Rpad, C, s_i8, pos_mode,
+                             perm)
         return sb
 
     def _force_single_sel(self, sb: "ScoredBatch"):
@@ -996,26 +1010,33 @@ class GiraffeMapper:
         returns (best_j, mapq, any_valid)."""
         if sb._packed_single[0] == "seeded":
             return self._force_seeded_single(sb)
-        _, packed, Rpad, C, s_i8, pos_mode = sb._packed_single
+        _, packed, Rpad, C, s_i8, pos_mode, perm = sb._packed_single
         sb._packed_single = None
         R = len(sb.reads)
         buf = np.asarray(packed)
+        if perm is not None:              # undo the locality sort
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            up = lambda rows: rows[inv]
+        else:
+            up = lambda rows: rows
         if s_i8:
             n = Rpad * C // 2
-            sb.scores_raw = (np.ascontiguousarray(buf[:n]).view(np.int8)
-                             .reshape(Rpad, C)[:R].astype(np.int32) + 64)
+            sb.scores_raw = up(np.ascontiguousarray(buf[:n]).view(np.int8)
+                               .reshape(Rpad, C))[:R].astype(np.int32) + 64
         else:
             n = Rpad * C
-            sb.scores_raw = buf[:n].reshape(Rpad, C)[:R].astype(np.int32)
+            sb.scores_raw = up(buf[:n].reshape(Rpad, C))[:R].astype(
+                np.int32)
         off = n
-        j = buf[off : off + Rpad][:R].astype(np.int64)
-        mapq = buf[off + Rpad : off + 2 * Rpad][:R].astype(np.int32)
-        anyv = buf[off + 2 * Rpad : off + 3 * Rpad][:R].astype(bool)
+        j = up(buf[off : off + Rpad])[:R].astype(np.int64)
+        mapq = up(buf[off + Rpad : off + 2 * Rpad])[:R].astype(np.int32)
+        anyv = up(buf[off + 2 * Rpad : off + 3 * Rpad])[:R].astype(bool)
         off += 3 * Rpad
-        mm = buf[off : off + Rpad].astype(np.int32)
+        mm = up(buf[off : off + Rpad]).astype(np.int32)
         off += Rpad
         W2 = (len(buf) - off) // Rpad
-        raw = np.ascontiguousarray(buf[off:].reshape(Rpad, W2))
+        raw = np.ascontiguousarray(up(buf[off:].reshape(Rpad, W2)))
         payload = raw.view(np.uint8) if pos_mode else raw.view(np.int32)
         sb.winner_mism = (j.copy(), mm[:R], payload[:R])
         return j, mapq, anyv

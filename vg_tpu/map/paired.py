@@ -705,8 +705,27 @@ class PairedGiraffeMapper:
             return (pack_reads4(pr["reads_arr"]), pr["rlens"],
                     pr["cand_start"], flags)
 
-        w1 = wire(p1)
-        w2 = wire(p2)
+        perm = None
+        if m.params.locality_sort:
+            # order reads by mate-1's top candidate position: the DP
+            # window gather then sweeps the text near-sequentially
+            # (profile_tpu gather A/B). Rows are independent in the
+            # device step, so unpermuting the fetched buffer restores
+            # bit-identical records.
+            key = np.where(p1["cand_valid"][:, 0],
+                           p1["cand_start"][:, 0], np.int32(2**31 - 1))
+            perm = np.argsort(key, kind="stable")
+            for pr in (p1, p2):
+                for name in ("reads_arr", "rlens", "cand_start",
+                             "cand_valid", "cand_rev"):
+                    pr["w_" + name] = pr[name][perm]
+            wire_src = lambda pr: {k[2:]: v for k, v in pr.items()
+                                   if k.startswith("w_")}
+            w1 = wire(wire_src(p1))
+            w2 = wire(wire_src(p2))
+        else:
+            w1 = wire(p1)
+            w2 = wire(p2)
         packed = step(text_arg, *resident, *w1, *w2,
                       jnp.float32(self.fragdist.mean),
                       jnp.float32(max(self.fragdist.stdev, 1e-3)))
@@ -735,7 +754,7 @@ class PairedGiraffeMapper:
             cand_valid=p2["cand_valid"][:R], scores_raw=None,
             cand_refpath=p2["cand_refpath"], cand_refoff=p2["cand_refoff"])
         sel = ("packed", packed, Rpad, C, sb1, sb2, s_i8, pos_mode,
-               pw1, pw2)
+               pw1, pw2, perm)
         return sb1, sb2, sel
 
     def _force_device_sel(self, sel, R: int):
@@ -744,32 +763,40 @@ class PairedGiraffeMapper:
         selection arrays."""
         if sel[0] == "seeded":
             return self._force_seeded_sel(sel, R)
-        (_, packed, Rpad, C, sb1, sb2, s_i8, pos_mode, pw1, pw2) = sel
+        (_, packed, Rpad, C, sb1, sb2, s_i8, pos_mode, pw1, pw2,
+         perm) = sel
         buf = np.asarray(packed)          # int16 wire buffer
+        if perm is not None:              # undo the locality sort
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            up = lambda rows: rows[inv]
+        else:
+            up = lambda rows: rows
         if s_i8:
             # biased-int8 score pairs inside int16 units
             n = Rpad * C // 2
-            unpack_s = lambda a: (np.ascontiguousarray(a)
-                                  .view(np.int8).reshape(Rpad, C)[:R]
-                                  .astype(np.int32) + 64)
+            unpack_s = lambda a: up(np.ascontiguousarray(a)
+                                    .view(np.int8).reshape(Rpad, C)
+                                    )[:R].astype(np.int32) + 64
         else:
             n = Rpad * C
-            unpack_s = lambda a: a.reshape(Rpad, C)[:R].astype(np.int32)
+            unpack_s = lambda a: up(a.reshape(Rpad, C))[:R].astype(
+                np.int32)
         sb1.scores_raw = unpack_s(buf[:n])
         sb2.scores_raw = unpack_s(buf[n : 2 * n])
         off = 2 * n
-        rest = buf[off : off + 6 * Rpad].reshape(6, Rpad)
+        rest = up(buf[off : off + 6 * Rpad].reshape(6, Rpad).T).T
         off += 6 * Rpad
-        mm1 = buf[off : off + Rpad].astype(np.int32)
-        mm2 = buf[off + Rpad : off + 2 * Rpad].astype(np.int32)
+        mm1 = up(buf[off : off + Rpad]).astype(np.int32)
+        mm2 = up(buf[off + Rpad : off + 2 * Rpad]).astype(np.int32)
         off += 2 * Rpad
         # mismatch payload: 8 uint8 positions (pos_mode) or bitmap words,
         # both traveling as int16 halves (lax.bitcast little-endian);
         # widths are per mate
         raw1 = np.ascontiguousarray(
-            buf[off : off + Rpad * pw1].reshape(Rpad, pw1))
+            up(buf[off : off + Rpad * pw1].reshape(Rpad, pw1)))
         raw2 = np.ascontiguousarray(
-            buf[off + Rpad * pw1 :].reshape(Rpad, pw2))
+            up(buf[off + Rpad * pw1 :].reshape(Rpad, pw2)))
         conv = (lambda a: a.view(np.uint8)) if pos_mode else \
             (lambda a: a.view(np.int32))
         sb1.winner_mism = (rest[0, :R].astype(np.int64), mm1[:R],
