@@ -421,13 +421,16 @@ class CramWriter:
         self.counter += len(recs)
         self.f.write(bytes(out))
 
+    # the spec's canonical 38-byte v3 EOF container (CRAMv3 §9; the
+    # constant every reader byte-compares against): an empty container
+    # at ref -1, start 0x454F46 ("EOF"), holding one empty
+    # COMPRESSION_HEADER block, with the blessed CRC32s
+    EOF_V3 = bytes.fromhex(
+        "0f000000ffffffff0fe045" "4f4600000000010005bdd94f"
+        "0001000606010001000100" "ee63014b")
+
     def close(self) -> None:
-        # EOF container (spec: special empty container marker)
-        out = bytearray()
-        eof = bytearray()
-        _write_block(eof, CT_COMPRESSION_HEADER, 0, b"", compress=False)
-        _write_container(out, -1, 0x454F46, 0, 0, 0, 0, [bytes(eof)])
-        self.f.write(bytes(out))
+        self.f.write(self.EOF_V3)
 
 
 # --------------------------------------------------------------- reader
@@ -449,6 +452,8 @@ def read_cram(data: bytes, ref_names: Optional[List[str]] = None
                 for ln in header_lines if ln.startswith("@SQ")]
     records: List[SamRecord] = []
     while pos < len(buf):
+        if bytes(buf[pos:]) == CramWriter.EOF_V3:
+            break
         (ref_id, start, span, n_rec, blocks), pos = _read_container(buf, pos)
         if n_rec == 0:
             if start == 0x454F46:
