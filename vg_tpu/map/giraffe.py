@@ -921,8 +921,22 @@ class GiraffeMapper:
                     ih, il, ioff, ipos, irev, stab, **seed_kw)
                 lo, hi, rpth, ro = derive_candidate_meta(
                     ca + B, hb, stp, steps, nlen, nrp, nro)
-                s, j, mapq, anyv, mm, bits = step(
-                    text, r, rc, rl, (ca, lo, hi, rev, cv, rpth, ro), 2)
+                cand = (ca, lo, hi, rev, cv, rpth, ro)
+                if p.locality_sort:
+                    from ..ops.pallas_seed import argsort_i32
+
+                    key = jnp.where(cv[:, 0], ca[:, 0],
+                                    jnp.int32(2**31 - 1))
+                    perm = argsort_i32(key)
+                    inv = argsort_i32(perm)
+                    P = lambda a: jnp.take(a, perm, axis=0)
+                    U = lambda a: jnp.take(a, inv, axis=0)
+                    out = step(text, P(r), P(rc), P(rl),
+                               tuple(P(a) for a in cand), 2)
+                    s, j, mapq, anyv, mm, bits = (U(a) for a in out)
+                else:
+                    s, j, mapq, anyv, mm, bits = step(text, r, rc, rl,
+                                                      cand, 2)
                 i16 = lambda a: jnp.clip(a, -32768,
                                          32767).astype(jnp.int16)
                 take = lambda a: jnp.take_along_axis(a, j[:, None],

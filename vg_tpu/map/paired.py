@@ -561,9 +561,30 @@ class PairedGiraffeMapper:
 
                 r1, r1rc, c1 = mate(rp1, rl1)
                 r2, r2rc, c2 = mate(rp2, rl2)
-                (s1, s2, j1, j2, mq1, mq2, use_pair, frags,
-                 mm1, mm2, bits1, bits2, _stats, _cov) = step(
-                    text, r1, r1rc, rl1, c1, r2, r2rc, rl2, c2, mu, sd)
+                if p.locality_sort:
+                    # device-side locality sort: rows ordered by mate-1's
+                    # top candidate position for the DP window gather,
+                    # outputs inverse-permuted back (bit-identical)
+                    from ..ops.pallas_seed import argsort_i32
+
+                    key = jnp.where(c1[4][:, 0], c1[0][:, 0],
+                                    jnp.int32(2**31 - 1))
+                    perm = argsort_i32(key)
+                    inv = argsort_i32(perm)
+                    P = lambda a: jnp.take(a, perm, axis=0)
+                    U = lambda a: jnp.take(a, inv, axis=0)
+                    out = step(text, P(r1), P(r1rc), P(rl1),
+                               tuple(P(a) for a in c1),
+                               P(r2), P(r2rc), P(rl2),
+                               tuple(P(a) for a in c2), mu, sd)
+                    (s1, s2, j1, j2, mq1, mq2, use_pair, frags,
+                     mm1, mm2, bits1, bits2, _stats, _cov) = (
+                        [U(a) for a in out[:12]] + list(out[12:]))
+                else:
+                    (s1, s2, j1, j2, mq1, mq2, use_pair, frags,
+                     mm1, mm2, bits1, bits2, _stats, _cov) = step(
+                        text, r1, r1rc, rl1, c1, r2, r2rc, rl2, c2,
+                        mu, sd)
                 i16 = lambda a: jnp.clip(a, -32768,
                                          32767).astype(jnp.int16)
                 take = lambda a, j: jnp.take_along_axis(

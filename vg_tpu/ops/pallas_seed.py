@@ -376,3 +376,33 @@ def cluster_topc(strandk, diagk, ok, score, *, band_radius: int,
     )(pad(strandk, 2, jnp.int32), pad(diagk, I32MAX, jnp.int32),
       pad(ok, I32MAX, jnp.int32), pad(score, 0.0, jnp.float32))
     return cdiag[:R, :C], crev[:R, :C], cvalid[:R, :C] != 0
+
+
+# --------------------------------------------------------- 1-D argsort
+
+def _argsort_kernel(S: int):
+    def kernel(key_ref, perm_o):
+        col = _cols(key_ref[:].shape)
+        (_k,), (p,) = _bitonic([key_ref[:]], [col])
+        perm_o[:] = p
+
+    return kernel
+
+
+@jax.jit
+def argsort_i32(keys):
+    """Ascending argsort of a 1-D int32 vector via the row bitonic
+    (XLA's own 1-D sort is pathological at these sizes on this stack).
+    Ties broken by index; returns int32 permutation."""
+    n = keys.shape[0]
+    S = _pow2_ge(max(n, 128))
+    pad = jnp.full((1, S), I32MAX, jnp.int32)
+    padded = pad.at[0, :n].set(keys.astype(jnp.int32))
+    perm = pl.pallas_call(
+        _argsort_kernel(S),
+        out_shape=jax.ShapeDtypeStruct((1, S), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_interp(),
+    )(padded)
+    return perm[0, :n]
