@@ -239,9 +239,14 @@ class GiraffeMapper:
         self._node_ref_path = np.full(n, -1, np.int32)
         self._node_ref_off = np.zeros(n, np.int64)
         self._node_ref_rev = np.zeros(n, bool)
+        # occ stores GLOBAL path_meta ids; the emit path indexes the
+        # LOCAL path_pos.path_names blob (they differ when the reference
+        # path isn't id 0, e.g. GBZ graphs listing haplotypes first)
+        local_of = {self.graph.path_index(nm): li
+                    for li, nm in enumerate(self.path_pos.path_names)}
         for idx, occs in self.path_pos.occ.items():
             pi, step_off, step_rev = occs[0]
-            self._node_ref_path[idx] = pi
+            self._node_ref_path[idx] = local_of[pi]
             self._node_ref_off[idx] = step_off
             self._node_ref_rev[idx] = step_rev
         from ..utils.funnel import Funnel

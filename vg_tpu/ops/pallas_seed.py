@@ -61,21 +61,36 @@ def _cols(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
 
 
+def _sel(c, a, b):
+    """where(c, a, b) that survives Mosaic on the axon backend: vector
+    select with i1 (bool) value operands fails tpu_compile there, so
+    boolean selects lower to logical ops instead."""
+    if jnp.result_type(a, b) == jnp.bool_:
+        a = jnp.broadcast_to(jnp.asarray(a, bool), c.shape)
+        b = jnp.broadcast_to(jnp.asarray(b, bool), c.shape)
+        return (c & a) | ((~c) & b)
+    return jnp.where(c, a, b)
+
+
 def _roll(x, s: int):
-    """result[p] = x[(p - s) mod S] along axis 1."""
+    """result[p] = x[(p - s) mod S] along axis 1. Bool vectors ride as
+    int32: pltpu.roll on i1 operands fails tpu_compile on the axon
+    backend (same Mosaic gap as i1 selects — see _sel)."""
     S = x.shape[1]
+    if x.dtype == jnp.bool_:
+        return pltpu.roll(x.astype(jnp.int32), s % S, 1) != 0
     return pltpu.roll(x, s % S, 1)
 
 
 def _shift_down(x, d: int, fill):
     """result[p] = x[p-d], positions p<d get fill."""
-    return jnp.where(_cols(x.shape) >= d, _roll(x, d), fill)
+    return _sel(_cols(x.shape) >= d, _roll(x, d), fill)
 
 
 def _shift_up(x, d: int, fill):
     """result[p] = x[p+d], positions p>=S-d get fill."""
     S = x.shape[1]
-    return jnp.where(_cols(x.shape) < S - d, _roll(x, -d), fill)
+    return _sel(_cols(x.shape) < S - d, _roll(x, -d), fill)
 
 
 def _prefix_sum(x):
@@ -161,14 +176,14 @@ def _bitonic(keys, payloads):
         j = k // 2
         while j >= 1:
             is_lower = (col & j) == 0
-            partner = [jnp.where(is_lower, _roll(a, -j), _roll(a, j))
+            partner = [_sel(is_lower, _roll(a, -j), _roll(a, j))
                        for a in arrays]
             asc = (col & k) == 0
             want_lo = is_lower == asc
             plt, peq = _lex_lt(partner[:nk], arrays[:nk])
             pgt = (~plt) & (~peq)
-            take = jnp.where(want_lo, plt, pgt)
-            arrays = [jnp.where(take, pa, a)
+            take = (want_lo & plt) | ((~want_lo) & pgt)
+            arrays = [_sel(take, pa, a)
                       for pa, a in zip(partner, arrays)]
             j //= 2
         k *= 2
@@ -391,10 +406,18 @@ def _argsort_kernel(S: int):
 
 @jax.jit
 def argsort_i32(keys):
-    """Ascending argsort of a 1-D int32 vector via the row bitonic
-    (XLA's own 1-D sort is pathological at these sizes on this stack).
-    Ties broken by index; returns int32 permutation."""
+    """Ascending argsort of a 1-D int32 vector. Ties broken by index;
+    returns int32 permutation.
+
+    Two regimes (measured on the real v5e through the axon tunnel):
+    above 4096 lanes the fully-unrolled bitonic ((log2 n)(log2 n + 1)/2
+    compare-exchange stages) blows up the Mosaic compile helper, while
+    XLA's own 1-D variadic sort runs in the dispatch-latency floor
+    (~30 ms at n=16384, i.e. free inside a fused program) — so large n
+    routes to lax.sort and only small rows use the Pallas bitonic."""
     n = keys.shape[0]
+    if n > 4096:
+        return jnp.argsort(keys, stable=True).astype(jnp.int32)
     S = _pow2_ge(max(n, 128))
     pad = jnp.full((1, S), I32MAX, jnp.int32)
     padded = pad.at[0, :n].set(keys.astype(jnp.int32))
