@@ -973,6 +973,21 @@ class GiraffeMapper:
         buffer (fetched lazily by emit_batch_encoded)."""
         from ..ops.xfer import pack_reads4
 
+        true_n = len(reads)
+        if 0 < true_n < self.params.batch_reads:
+            # pad a short (final) batch to the compiled batch shape:
+            # a fresh jit shape costs a ~12 s XLA recompile (measured on
+            # the v5e), padding wastes <0.5 s of device compute
+            reads = list(reads) + [reads[-1]] * (self.params.batch_reads
+                                                 - true_n)
+        sb = self._score_reads_packed_inner(reads)
+        sb._emit_true_n = true_n
+        return sb
+
+    def _score_reads_packed_inner(self, reads: Sequence[Read]
+                                  ) -> "ScoredBatch":
+        from ..ops.xfer import pack_reads4  # noqa: F811
+
         if self.params.device_seed:
             prep = self.prepare_light(reads)
             if prep["reads_arr"].shape[1] <= 255:     # pos8 wire limit
@@ -1234,6 +1249,11 @@ class GiraffeMapper:
     def emit_batch(self, sb: "ScoredBatch") -> List[Alignment]:
         """Vectorized winner selection, MAPQ, and gapless-path emission;
         only indel winners fall back to the per-read DP traceback."""
+        out = self._emit_batch_inner(sb)
+        tn = getattr(sb, "_emit_true_n", None)
+        return out if tn is None else out[:tn]
+
+    def _emit_batch_inner(self, sb: "ScoredBatch") -> List[Alignment]:
         from .mapq import log_base
 
         if getattr(sb, "_packed_single", None) is not None:
@@ -1422,6 +1442,13 @@ class GiraffeMapper:
         (the production output path: no per-read Python objects).
         Returns a list of bytes-like protobuf messages in read order, or
         None when the native library is unavailable."""
+        recs = self._emit_batch_encoded_inner(sb)
+        tn = getattr(sb, "_emit_true_n", None)
+        if recs is not None and tn is not None:
+            recs = recs[:tn]
+        return recs
+
+    def _emit_batch_encoded_inner(self, sb: "ScoredBatch"):
         from ..native import lib as native_lib
         from .mapq import log_base
 

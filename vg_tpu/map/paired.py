@@ -87,6 +87,13 @@ class FragmentLengthDistribution:
                 - math.log(sd * math.sqrt(2 * math.pi)))
 
 
+class _PaddedBatch(list):
+    """A pair batch padded up to the compiled batch shape; true_len is
+    the number of real pairs (records past 2*true_len are dropped)."""
+
+    true_len: int = 0
+
+
 @dataclass
 class PairedParams:
     max_fragment_length: int = 2000      # reference minimizer_mapper.hpp:479
@@ -887,16 +894,27 @@ class PairedGiraffeMapper:
             return None
         from ..io.wire import field_bytes, field_str
 
+        improper = _annotation_suffix(False, 0)
         out = []
         for i in range(len(pairs)):
-            # fragment_next (12) on read1, fragment_prev (11) on read2
-            nm1 = field_bytes(12, field_str(3, pairs[i][1].name))
-            nm2 = field_bytes(11, field_str(3, pairs[i][0].name))
-            suffix = b""
+            # fragment_next (12) on read1, fragment_prev (11) on read2:
+            # inline single-byte-varint wire building (tag 98/90, inner
+            # name field tag 26) — the generic field_bytes/field_str
+            # call chain was ~30% of emit time at production batch sizes
+            nb1 = pairs[i][1].name.encode()
+            nb2 = pairs[i][0].name.encode()
+            if len(nb1) < 124 and len(nb2) < 124:
+                nm1 = bytes((98, len(nb1) + 2, 26, len(nb1))) + nb1
+                nm2 = bytes((90, len(nb2) + 2, 26, len(nb2))) + nb2
+            else:
+                nm1 = field_bytes(12, field_str(3, pairs[i][1].name))
+                nm2 = field_bytes(11, field_str(3, pairs[i][0].name))
             if use_pair[i]:
                 suffix = _annotation_suffix(True, int(frags[i]))
             elif any1[i] or any2[i]:
-                suffix = _annotation_suffix(False, 0)
+                suffix = improper
+            else:
+                suffix = b""
             out.append(bytes(recs1[i]) + nm1 + suffix)
             out.append(bytes(recs2[i]) + nm2 + suffix)
         return out
@@ -909,6 +927,17 @@ class PairedGiraffeMapper:
         selection + MAPQ on device (score_pairs_device); during warmup
         the host observes pairs itself."""
         if self.fragdist.finalized:
+            bs = self.mapper.params.batch_reads
+            if 0 < len(batch) < bs:
+                # pad a short (final) batch up to the compiled batch
+                # shape: reusing the hot executable wastes <0.5 s of
+                # device compute; a fresh shape costs a ~12 s XLA
+                # recompile (measured) — the dominant stall in any
+                # streaming run whose read count isn't a batch multiple
+                padded = _PaddedBatch(batch)
+                padded.extend([batch[-1]] * (bs - len(batch)))
+                padded.true_len = len(batch)
+                batch = padded
             if self.mapper.params.device_seed:
                 return ("dev", batch,
                         self.score_pairs_device_seeded(batch))
@@ -941,6 +970,13 @@ class PairedGiraffeMapper:
 
     def stage_emit(self, item):
         """Final pipeline stage: finish rescues, pair, emit encoded."""
+        out = self._stage_emit_inner(item)
+        batch = item[1]
+        if isinstance(batch, _PaddedBatch) and out is not None:
+            out = out[: 2 * batch.true_len]
+        return out
+
+    def _stage_emit_inner(self, item):
         if item[0] == "warmup":
             _, batch, scored = item
             recs = self.map_pairs_encoded(batch, scored=scored)

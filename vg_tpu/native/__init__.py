@@ -695,3 +695,72 @@ def native_longread_map_batch(codes_list, index, lr_params, chain_params,
             return (n_out, rev, score, matches, rs, re_, t0, t1,
                     runs, runs_off)
         cap *= 2
+
+
+def native_dag_align(dag, read: np.ndarray, scoring, mode: str):
+    """POA fill + traceback over a flattened base-level DAG in C++
+    (ops/graph_align.py _align_dag twin; reference gssw role,
+    src/aligner.cpp:30-300). Returns (score, matches, sv, sf, st, slo,
+    shi) step arrays in reverse-traceback order, None for no alignment,
+    or NotImplemented when the native lib is absent."""
+    L_ = lib()
+    if L_ is None:
+        return NotImplemented
+    if not hasattr(L_, "_dag_align_registered"):
+        L_.dag_align.restype = ctypes.c_int64
+        L_.dag_align.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,               # codes, V
+            ctypes.c_void_p, ctypes.c_void_p,              # pred_off, preds
+            ctypes.c_void_p,                               # is_sink
+            ctypes.c_void_p, ctypes.c_int64,               # read, L
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,              # sv sf st slo shi
+            ctypes.c_int64, ctypes.c_void_p,               # cap, n_steps
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        L_._dag_align_registered = True
+    csr = getattr(dag, "_csr", None)
+    if csr is None:
+        V = len(dag.codes)
+        pred_off = np.zeros(V + 1, np.int64)
+        np.cumsum([len(p) for p in dag.preds], out=pred_off[1:])
+        flat = np.fromiter((q for p in dag.preds for q in p),
+                           np.int32, count=int(pred_off[-1]))
+        csr = (pred_off, flat,
+               np.ascontiguousarray(dag.is_sink, np.uint8),
+               np.ascontiguousarray(dag.codes, np.uint8))
+        dag._csr = csr
+    pred_off, flat, sink_u8, codes_u8 = csr
+    V = len(codes_u8)
+    read = np.ascontiguousarray(read, np.uint8)
+    L = len(read)
+    cap = V + 2 * L + 8
+    sv = np.empty(cap, np.int32)
+    sf = np.empty(cap, np.int32)
+    st = np.empty(cap, np.int32)
+    slo = np.empty(cap, np.int32)
+    shi = np.empty(cap, np.int32)
+    n_steps = np.zeros(1, np.int64)
+    matches = np.zeros(1, np.int64)
+    best_v = np.zeros(1, np.int32)
+    best_i = np.zeros(1, np.int32)
+    NEG = -100000000
+    score = L_.dag_align(
+        codes_u8.ctypes.data, V,
+        pred_off.ctypes.data, flat.ctypes.data, sink_u8.ctypes.data,
+        read.ctypes.data, L,
+        scoring.match, scoring.mismatch, scoring.gap_open,
+        scoring.gap_extend, scoring.full_length_bonus,
+        1 if mode == "local" else 0,
+        sv.ctypes.data, sf.ctypes.data, st.ctypes.data,
+        slo.ctypes.data, shi.ctypes.data,
+        cap, n_steps.ctypes.data, matches.ctypes.data,
+        best_v.ctypes.data, best_i.ctypes.data)
+    if score == NEG:
+        return None
+    if score == NEG - 1:   # steps overflow: impossible by construction,
+        return NotImplemented   # but fall back rather than truncate
+    n = int(n_steps[0])
+    return (int(score), int(matches[0]),
+            sv[:n], sf[:n], st[:n], slo[:n], shi[:n])

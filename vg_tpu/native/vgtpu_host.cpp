@@ -2084,3 +2084,201 @@ int64_t longread_map_batch(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// dag_align: base-level POA of a read against a flattened DAG (the gssw /
+// GSSWAligner role, reference src/aligner.cpp:30-300). Exact port of the
+// numpy _align_dag/_traceback in ops/graph_align.py: affine gaps, per-cell
+// backpointers, local (free clips + full-length bonuses) or global mode.
+// Emits the per-base traceback step list; Python groups steps into Mappings.
+// ---------------------------------------------------------------------------
+extern "C" {
+
+int64_t dag_align(
+    const uint8_t* codes, int64_t V,
+    const int64_t* pred_off, const int32_t* preds,
+    const uint8_t* is_sink,
+    const uint8_t* read, int64_t L,
+    int32_t m, int32_t x, int32_t go, int32_t ge, int32_t fb_in,
+    int32_t local_i,
+    // outputs: steps in EMIT (reverse-traceback) order
+    int32_t* sv, int32_t* sf, int32_t* st, int32_t* slo, int32_t* shi,
+    int64_t steps_cap, int64_t* n_steps,
+    int64_t* out_matches, int32_t* out_best_v, int32_t* out_best_i) {
+    const int32_t NEG = -100000000;
+    const bool local = local_i != 0;
+    const int32_t fb = local ? fb_in : 0;
+    if (V == 0 || L == 0) return NEG;
+    const int64_t W = L + 1;
+
+    std::vector<int32_t> H((size_t)V * W), E((size_t)V * W);
+    std::vector<uint8_t> hmove((size_t)V * W);
+    std::vector<int32_t> hpred((size_t)V * W), epred((size_t)V * W);
+    std::vector<uint8_t> eopen((size_t)V * W), fopen((size_t)V * W);
+
+    std::vector<int32_t> Hb(W), Eb(W, NEG);
+    if (local) {
+        std::fill(Hb.begin(), Hb.end(), NEG);
+        Hb[0] = fb;
+    } else {
+        Hb[0] = 0;
+        for (int64_t i = 1; i < W; i++) Hb[i] = -(go + ge * (int32_t)(i - 1));
+    }
+
+    int32_t best_s = local ? 0 : NEG;
+    int32_t best_v = -1, best_i = 0;
+    std::vector<int32_t> Hp(W), Ep(W), HpSrc(W), EpSrc(W);
+    std::vector<int32_t> diag(W), Ev(W), Hn(W), Fv(W), Hv(W);
+
+    for (int64_t v = 0; v < V; v++) {
+        const int64_t p0 = pred_off[v], p1 = pred_off[v + 1];
+        if (p1 > p0) {
+            const int32_t f = preds[p0];
+            const int32_t* Hf = &H[(size_t)f * W];
+            const int32_t* Ef = &E[(size_t)f * W];
+            for (int64_t i = 0; i < W; i++) {
+                Hp[i] = Hf[i]; HpSrc[i] = f;
+                Ep[i] = Ef[i]; EpSrc[i] = f;
+            }
+            for (int64_t pk = p0 + 1; pk < p1; pk++) {
+                const int32_t p = preds[pk];
+                const int32_t* Hq = &H[(size_t)p * W];
+                const int32_t* Eq = &E[(size_t)p * W];
+                for (int64_t i = 0; i < W; i++) {
+                    if (Hq[i] > Hp[i]) { Hp[i] = Hq[i]; HpSrc[i] = p; }
+                    if (Eq[i] > Ep[i]) { Ep[i] = Eq[i]; EpSrc[i] = p; }
+                }
+            }
+        } else {
+            for (int64_t i = 0; i < W; i++) {
+                Hp[i] = Hb[i]; HpSrc[i] = -1;
+                Ep[i] = Eb[i]; EpSrc[i] = -1;
+            }
+        }
+        const uint8_t cb = codes[v];
+        diag[0] = NEG;
+        for (int64_t i = 1; i < W; i++) {
+            const uint8_t rb = read[i - 1];
+            const int32_t sub = (rb == cb && rb < 4) ? m : -x;
+            diag[i] = Hp[i - 1] + sub;
+        }
+        uint8_t* eo = &eopen[(size_t)v * W];
+        int32_t* ep = &epred[(size_t)v * W];
+        int32_t* Erow = &E[(size_t)v * W];
+        for (int64_t i = 0; i < W; i++) {
+            const int32_t eo_s = Hp[i] - go, ee_s = Ep[i] - ge;
+            const bool opn = eo_s >= ee_s;
+            Ev[i] = opn ? eo_s : ee_s;
+            eo[i] = opn ? 1 : 0;
+            ep[i] = opn ? HpSrc[i] : EpSrc[i];
+            Erow[i] = Ev[i];
+        }
+        uint8_t* mv = &hmove[(size_t)v * W];
+        for (int64_t i = 0; i < W; i++) {
+            Hn[i] = diag[i] >= Ev[i] ? diag[i] : Ev[i];
+            mv[i] = diag[i] >= Ev[i] ? 0 : 1;
+        }
+        if (local) {
+            for (int64_t i = 0; i < W; i++) {
+                const int32_t floor_i = (i == 0) ? fb : 0;
+                if (Hn[i] < floor_i) { Hn[i] = floor_i; mv[i] = 3; }
+            }
+        }
+        // F within the column: prefix-max trick (exact for affine)
+        int32_t gmax = NEG;
+        uint8_t* fo = &fopen[(size_t)v * W];
+        Fv[0] = NEG;
+        fo[0] = 1;
+        for (int64_t i = 1; i < W; i++) {
+            const int32_t gk = Hn[i - 1] + ge * (int32_t)(i - 1);
+            if (gk > gmax) gmax = gk;
+            Fv[i] = gmax - go - ge * (int32_t)(i - 1);
+            fo[i] = (Hn[i - 1] - go) >= (Fv[i - 1] - ge) ? 1 : 0;
+        }
+        int32_t* Hrow = &H[(size_t)v * W];
+        int32_t* hp = &hpred[(size_t)v * W];
+        for (int64_t i = 0; i < W; i++) {
+            Hv[i] = Fv[i] > Hn[i] ? Fv[i] : Hn[i];
+            if (Fv[i] > Hn[i]) mv[i] = 2;
+            Hrow[i] = Hv[i];
+            hp[i] = HpSrc[i];
+        }
+        if (local) {
+            int64_t cell = 0;
+            for (int64_t i = 1; i < W; i++)
+                if (Hv[i] > Hv[cell]) cell = i;   // first max (argmax)
+            if (Hv[cell] > best_s) {
+                best_s = Hv[cell]; best_v = (int32_t)v;
+                best_i = (int32_t)cell;
+            }
+            const int32_t endsc = Hv[L] + fb;
+            if (endsc > best_s) {
+                best_s = endsc; best_v = (int32_t)v; best_i = (int32_t)L;
+            }
+        } else if (is_sink[v] && Hv[L] > best_s) {
+            best_s = Hv[L]; best_v = (int32_t)v; best_i = (int32_t)L;
+        }
+    }
+
+    *out_best_v = best_v;
+    *out_best_i = best_i;
+    if (best_v < 0 || (local && best_s <= 0)) return NEG;
+
+    // ---- traceback (mirror of ops/graph_align.py _traceback)
+    int64_t ns = 0;
+    int64_t matches = 0;
+    int32_t v = best_v;
+    int64_t i = best_i;
+#define DAG_STEP(vv, f_, t_, lo_, hi_) do { \
+        if (ns >= steps_cap) return NEG - 1; \
+        sv[ns] = (int32_t)(vv); sf[ns] = (f_); st[ns] = (t_); \
+        slo[ns] = (int32_t)(lo_); shi[ns] = (int32_t)(hi_); ns++; } while (0)
+    if (i < L) DAG_STEP(v, 0, (int32_t)(L - i), i, L);
+    int state = 0;  // 0 H, 1 E, 2 F
+    while (v >= 0) {
+        if (state == 0) {
+            const uint8_t mv = hmove[(size_t)v * W + i];
+            if (mv == 3 || (i == 0 && local)) break;
+            if (mv == 0) {
+                const uint8_t rb = read[i - 1];
+                if (rb == codes[v] && rb < 4) {
+                    DAG_STEP(v, 1, 1, 0, 0);
+                    matches++;
+                } else {
+                    DAG_STEP(v, 1, 1, i - 1, i);
+                }
+                const int32_t nv = hpred[(size_t)v * W + (i - 1)];
+                i -= 1;
+                v = nv;
+                if (v < 0) break;
+            } else if (mv == 1) {
+                state = 1;
+            } else {
+                state = 2;
+            }
+        } else if (state == 1) {
+            DAG_STEP(v, 1, 0, 0, 0);
+            const bool opn = eopen[(size_t)v * W + i] != 0;
+            const int32_t nv = epred[(size_t)v * W + i];
+            v = nv;
+            state = opn ? 0 : 1;
+            if (v < 0) break;
+        } else {
+            DAG_STEP(v, 0, 1, i - 1, i);
+            const bool opn = fopen[(size_t)v * W + i] != 0;
+            i -= 1;
+            state = opn ? 0 : 2;
+        }
+        if (state == 0 && i == 0 && !local) {
+            if (v >= 0 && hmove[(size_t)v * W] == 3) break;
+            if (v >= 0 && pred_off[v + 1] == pred_off[v]) break;
+        }
+    }
+    if (i > 0) DAG_STEP(v >= 0 ? v : 0, 0, (int32_t)i, 0, i);
+#undef DAG_STEP
+    *n_steps = ns;
+    *out_matches = matches;
+    return best_s;
+}
+
+}  // extern "C"

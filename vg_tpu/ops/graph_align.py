@@ -269,6 +269,46 @@ def align_to_graph(g: ArrayGraph, read: np.ndarray,
 def _align_dag(dag: _BaseDag, g: ArrayGraph, read: np.ndarray,
                scoring: Scoring = DEFAULT_SCORING,
                mode: str = "local") -> Optional[Alignment]:
+    res = _align_dag_native(dag, g, read, scoring, mode)
+    if res is not NotImplemented:
+        return res
+    return _align_dag_numpy(dag, g, read, scoring, mode)
+
+
+def _align_dag_native(dag: _BaseDag, g: ArrayGraph, read: np.ndarray,
+                      scoring: Scoring, mode: str):
+    """C++ fill+traceback (native dag_align); NotImplemented when the
+    native lib is absent so callers use the numpy twin. ~200x the numpy
+    per-vertex loop — this is the giraffe emit path's graph-fallback
+    cost, so it is perf-critical (profiled at 40 ms/read in numpy)."""
+    from ..native import native_dag_align
+
+    V = len(dag.codes)
+    L = len(read)
+    if V == 0 or L == 0:
+        return None
+    out = native_dag_align(dag, read, scoring, mode)
+    if out is NotImplemented:
+        return NotImplemented
+    if out is None:
+        return None
+    score, matches, sv, sf, st, slo, shi = out
+    steps = []
+    for k in range(len(sv)):
+        seq = dna.decode(read[slo[k] : shi[k]]) if shi[k] > slo[k] else ""
+        steps.append((int(sv[k]), Edit(from_length=int(sf[k]),
+                                       to_length=int(st[k]),
+                                       sequence=seq)))
+    path = _group_steps(dag, g, steps)
+    aln = Alignment(sequence=dna.decode(read), score=int(score))
+    aln.path = path
+    aln.identity = matches / L if L else 0.0
+    return aln
+
+
+def _align_dag_numpy(dag: _BaseDag, g: ArrayGraph, read: np.ndarray,
+                     scoring: Scoring = DEFAULT_SCORING,
+                     mode: str = "local") -> Optional[Alignment]:
     V = len(dag.codes)
     L = len(read)
     if V == 0 or L == 0:
@@ -425,7 +465,10 @@ def _traceback(dag, g, read, H, E, hmove, hpred, eopen, epred, fopen,
         steps.append((v if v >= 0 else 0,
                       Edit(from_length=0, to_length=i,
                            sequence=dna.decode(read[:i]))))
+    return _group_steps(dag, g, steps), matches
 
+
+def _group_steps(dag, g, steps) -> Path:
     # group reversed steps into mappings per handle run; a run breaks on
     # handle change OR on a graph-offset discontinuity (dagified copies of
     # one handle collapse back to the same original handle, so a loop
@@ -455,7 +498,7 @@ def _traceback(dag, g, read, H, E, hmove, hpred, eopen, epred, fopen,
         path.mappings.append(_mk_mapping(g, cur_h, cur_start, cur_edits))
     for rank, mp in enumerate(path.mappings, 1):
         mp.rank = rank
-    return path, matches
+    return path
 
 
 def _mk_mapping(g, h, start, edits) -> Mapping:
