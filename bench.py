@@ -294,9 +294,19 @@ def main():
 
     mem_idx = MEMIndex(haps)
     mode = os.environ.get("BENCH_MODE", "paired")
-    devseed_env = os.environ.get("BENCH_DEVSEED", "auto")
+    # Device seeding is RETIRED as the production default (round-4
+    # measurement, v5e via tunnel, 12288 reads/batch: rolling_minimizers
+    # ~0 ms, lookup_ranges2 701 ms [19-step composite-key binary search =
+    # ~230 MB of random HBM gathers], full seed_candidates_dev 1572 ms —
+    # vs 117 ms for the ENTIRE fused DP+pair-selection step. Seeding on
+    # device adds >10x the chip's DP time to the chip, the scarce
+    # resource, to save host CPU that overlaps with the device anyway;
+    # even a hash-table lookup [~5x fewer gathers] could not close a
+    # 13x gap). BENCH_DEVSEED=probe restores the empirical probe,
+    # BENCH_DEVSEED=1 forces device seeding.
+    devseed_env = os.environ.get("BENCH_DEVSEED", "host")
     devseed = devseed_env == "1"
-    if devseed_env == "auto" and on_tpu and mode == "paired":
+    if devseed_env == "probe" and on_tpu and mode == "paired":
         # pick the seeding engine empirically: time a few warm batches
         # host-seeded vs device-seeded (Pallas sort/segment kernels) and
         # keep the faster — chip generation and tunnel conditions decide
@@ -348,6 +358,9 @@ def main():
         # warm the finalized-path device step too (device pair selection
         # compiles lazily on its first use)
         pm.stage_emit(pm.stage_rescue(pm.stage_score(pairs[:bs])))
+        # stage timers exclude warmup (compile time would swamp them)
+        pm.stage_seconds = {k: 0.0 for k in pm.stage_seconds}
+        pm.stage_reads = 0
         from vg_tpu.parallel.pipeline import map_pairs_encoded_mt
 
         out = _io.BytesIO()
@@ -382,6 +395,20 @@ def main():
             f"worst={min(batch_rps):.0f} "
             f"median={float(np.median(batch_rps)):.0f} "
             f"(n={len(batch_rps)})\n")
+        # per-stage time split — the TPU analogue of the reference's
+        # M-instructions/read canary (giraffe_main.cpp:2116-2137,2552):
+        # stage threads run concurrently, so the per-read numbers say
+        # which stage bounds the pipeline, and dev_wait says how much of
+        # stage R is blocked on the chip rather than host compute.
+        st = pm.stage_seconds
+        nr = max(pm.stage_reads, 1)
+        host_s = st["score"] + st["rescue"] + st["emit"] - st["dev_wait"]
+        sys.stderr.write(
+            f"[bench] stage split (us/read): score={1e6*st['score']/nr:.1f} "
+            f"rescue={1e6*st['rescue']/nr:.1f} "
+            f"emit={1e6*st['emit']/nr:.1f} "
+            f"dev_wait={1e6*st['dev_wait']/nr:.1f} | "
+            f"host={1e6*host_s/nr:.1f} us/read over {nr} reads\n")
         metric = "giraffe_sr_paired_reads_per_s_per_chip"
         # correctness ON THE BENCH WORKLOAD itself: decode a sample of
         # the emitted records and compare refpos to the held-out truth
@@ -445,19 +472,25 @@ def main():
     try:
         from vg_tpu.eval.mapeval import run_mapeval
 
-        res = run_mapeval(mapper, n_reads=1000, error_rate=0.01, seed=17)
+        # quality-carrying reads: errors drawn from synthetic per-base
+        # phred qualities, and the quality string rides into mapping so
+        # the explored-minimizer MAPQ cap engages (reference faster_cap,
+        # minimizer_mapper.cpp:2940 — infinite cap without qualities);
+        # this is what de-saturates the ROC below
+        res = run_mapeval(mapper, n_reads=1000, with_quality=True, seed=17)
         res_i = run_mapeval(mapper, n_reads=500, error_rate=0.005,
                             indel_rate=0.01, seed=19)
         a30, n30 = res.accuracy_at_mapq(30)
         sys.stderr.write(
-            f"[bench] accuracy: {res.accuracy:.4f} overall, "
+            f"[bench] accuracy (qual reads): {res.accuracy:.4f} overall, "
             f"{a30:.4f}@mapq30 (n={n30}), wrong@60={res.wrong_mapq60}; "
             f"indel reads: {res_i.accuracy:.4f} overall, "
             f"{res_i.accuracy_at_mapq(30)[0]:.4f}@mapq30\n")
         # ROC points (mapq threshold -> wrong/total), the reference CI's
         # accuracy-vs-confidence curve (vgci/vgci.py mapeval)
         roc = {str(t): [a, n] for t, a, n in res.roc}
-        sys.stderr.write(f"[bench] roc: {json.dumps(roc)}\n")
+        sys.stderr.write(f"[bench] roc ({len(res.roc)} strata): "
+                         f"{json.dumps(roc)}\n")
     except Exception as e:  # accuracy sidecar must never kill the bench
         sys.stderr.write(f"[bench] accuracy check failed: {e}\n")
     # long-read sidecar (stderr): fused native hifi-style pipeline

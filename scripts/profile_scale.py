@@ -58,7 +58,8 @@ def main():
             t0 = time.time()
             it = pm.stage_score(b)
             t1 = time.time()
-            jax.block_until_ready(it[2][2][1])   # packed device buffer
+            if it[0] == "dev":                   # fragment model finalized
+                jax.block_until_ready(it[2][2][1])   # packed device buffer
             t2 = time.time()
             it = pm.stage_rescue(it)
             t3 = time.time()

@@ -247,3 +247,20 @@ def test_accuracy_low_complexity(z_mapper):
     assert n_eval >= 230
     assert ok >= n_eval - 15, (ok, n_eval, wrong)
     assert wrong60 <= 2, f"wrong@60={wrong60} (mapq calibration on repeats)"
+
+
+def test_quality_roc_desaturated(z_mapper):
+    """Quality-carrying reads must populate multiple ROC strata: the
+    explored-minimizer cap (reference faster_cap,
+    src/minimizer_mapper.cpp:2940) engages only when base qualities
+    exist, pulling reads whose winning seeds sit on low-quality bases
+    below mapq 60 — a flat {60: everything} ROC cannot distinguish a
+    calibrated mapper from an overconfident one (round-3 verdict)."""
+    res = run_mapeval(z_mapper, n_reads=400, with_quality=True, seed=23)
+    assert res.wrong_mapq60 == 0, res.to_dict()
+    assert res.accuracy >= 0.98, res.to_dict()
+    # >= 3 populated mapq strata (round-3 verdict item 6 'done' bar)
+    assert len(res.roc) >= 3, res.roc
+    # the cap must actually have lowered someone below 60
+    n60 = [n for t, _, n in res.roc if t == 60]
+    assert n60 and n60[0] < res.total, res.roc

@@ -82,24 +82,34 @@ def run_mapeval(mapper, n_reads: int = 1000, read_length: int = 150,
                 paired: bool = False, seed: int = 7,
                 range_bp: int = 100,
                 fragment_mean: float = 450.0,
-                fragment_stdev: float = 50.0) -> MapevalResult:
+                fragment_stdev: float = 50.0,
+                with_quality: bool = False) -> MapevalResult:
     """Simulate truth-annotated reads from the mapper's own haplotype set,
-    map them, and score gamcompare-style correctness."""
+    map them, and score gamcompare-style correctness. with_quality draws
+    errors from synthetic per-base qualities and carries the quality
+    string into mapping, so the explored-minimizer MAPQ cap engages
+    (reference faster_cap, src/minimizer_mapper.cpp:2940)."""
     sim = ReadSimulator(mapper.haps, seed=seed, read_length=read_length,
                         error_rate=error_rate, indel_rate=indel_rate,
-                        ref_path_names=mapper.path_pos.path_names)
+                        ref_path_names=mapper.path_pos.path_names,
+                        with_quality=with_quality)
     truth = sim.simulate(n_reads, annotate_truth=True, paired=paired,
                          fragment_mean=fragment_mean,
                          fragment_stdev=fragment_stdev)
+
+    def as_read(a: Alignment) -> Read:
+        q = None
+        if a.quality:
+            q = "".join(chr(33 + b) for b in a.quality)
+        return Read(a.name, a.sequence, q)
+
     if paired:
         from ..map.paired import PairedGiraffeMapper
 
         pm = PairedGiraffeMapper(mapper)
         pairs = []
         for i in range(0, len(truth), 2):
-            a, b = truth[i], truth[i + 1]
-            pairs.append((Read(a.name, a.sequence, None),
-                          Read(b.name, b.sequence, None)))
+            pairs.append((as_read(truth[i]), as_read(truth[i + 1])))
         mapped_pairs = pm.map_pairs(pairs)
         mapped_pairs += pm.finish()
         mapped: List[Alignment] = []
@@ -107,7 +117,7 @@ def run_mapeval(mapper, n_reads: int = 1000, read_length: int = 150,
             mapped.append(a)
             mapped.append(b)
     else:
-        reads = [Read(a.name, a.sequence, None) for a in truth]
+        reads = [as_read(a) for a in truth]
         bs = max(mapper.params.batch_reads, 64)
         mapped = []
         for i in range(0, len(reads), bs):

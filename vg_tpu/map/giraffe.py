@@ -66,8 +66,13 @@ class GiraffeParams:
     # only packed reads; candidates never cross the tunnel
     device_seed: bool = False
     # suffix-array MEM re-seeding for zero-candidate reads (dense-variant
-    # recombinants); SA built lazily, gated to texts <= 64 Mbp
+    # recombinants; reference giraffe has no scale cliff here —
+    # src/mapper.hpp:210, src/mem.cpp). The SA is built lazily by native
+    # SA-IS (linear: ~17 s / 100 Mbp), capped only by the int32 SA
+    # position limit; the reference's GCSA2 MEM source works at any
+    # scale the same way.
     mem_fallback: bool = True
+    mem_fallback_max_text: int = (1 << 31) - 1
     # sort each batch's reads by their best candidate's text position
     # before the device dispatch (unsorted at fetch): the DP window
     # gather then walks HBM near-sequentially instead of randomly —
@@ -670,7 +675,7 @@ class GiraffeMapper:
         # from the suffix array instead (rare; host-side).
         zero = ~cand_valid[:R].any(axis=1)
         if (zero.any() and p.mem_fallback
-                and len(self.haps.text) <= (1 << 26)):
+                and len(self.haps.text) <= p.mem_fallback_max_text):
             self._mem_reseed(np.nonzero(zero)[0], codes,
                              (cand_start, cand_lo, cand_hi, cand_rev,
                               cand_valid))
@@ -726,7 +731,13 @@ class GiraffeMapper:
             from .memmapper import MEMIndex
 
             _t0 = _time.time()
-            self._mem_fallback_index = MEMIndex(self.haps)
+            # hit cap scales with cohort size: the SA counts text
+            # positions, so one graph placement costs ~haps.count hits
+            # (the reference's GCSA2 counts graph positions, already
+            # deduplicated across haplotypes — src/mem.cpp)
+            self._mem_fallback_index = MEMIndex(
+                self.haps,
+                max_mem_hits=max(64, 4 * self.haps.count))
             _sys.stderr.write(
                 f"[vg_tpu] built MEM-fallback suffix array "
                 f"({len(self.haps.text)/1e6:.0f} Mbp) in "

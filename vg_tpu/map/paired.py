@@ -23,6 +23,7 @@ the reverse-strand mate.
 from __future__ import annotations
 
 import math
+import time as _time
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
@@ -115,6 +116,14 @@ class PairedGiraffeMapper:
         # pairs deferred until the fragment model finalizes (the
         # reference's ambiguous_pair_buffer, src/minimizer_mapper.cpp:1298)
         self._ambiguous_buffer: List[Tuple[Read, Read]] = []
+        # cumulative per-stage wall seconds + reads, the TPU analogue of
+        # the reference's M-instructions/read canary
+        # (src/subcommand/giraffe_main.cpp:2116-2137): dev_wait is time
+        # blocked on the device fetch inside stage_rescue, so
+        # host-s/read = (score+rescue+emit-dev_wait)/reads.
+        self.stage_seconds = {"score": 0.0, "rescue": 0.0, "emit": 0.0,
+                              "dev_wait": 0.0}
+        self.stage_reads = 0
 
     # ------------------------------------------------------------ warmup
 
@@ -379,11 +388,17 @@ class PairedGiraffeMapper:
 
     # ------------------------------------------- device pair selection
 
-    def _get_pair_step(self):
+    def _get_pair_step(self, layout):
         """Jitted single-chip paired step: per-mate DP + pair selection +
         MAPQ on device in ONE dispatch (parallel/mesh.make_paired_step
-        math with the production Pallas scorer). Built lazily."""
-        if getattr(self, "_pair_step", None) is None:
+        math with the production Pallas scorer). Built lazily, cached
+        per wire layout (Rpad, C, RW1, RW2); the whole input travels as
+        ONE flat int32 buffer (ops/xfer.pack_wire) because every jit
+        argument is a separate tunnel transfer with ~5-30 ms latency."""
+        cache = getattr(self, "_pair_steps", None)
+        if cache is None:
+            cache = self._pair_steps = {}
+        if layout not in cache:
             import jax
 
             from ..parallel.mesh import make_paired_step
@@ -420,21 +435,41 @@ class PairedGiraffeMapper:
             import jax.numpy as jnp
             from jax import lax
 
-            from ..ops.xfer import revcomp_dev, unpack_reads4_dev
+            from ..ops.xfer import (revcomp_dev, unpack_i8_dev,
+                                    unpack_reads4_dev)
             from ..parallel.mesh import derive_candidate_meta
 
             B = p.band_radius
             step_bonus = p.full_length_bonus
+            Rpad, C, RW1, RW2 = layout
+            Cw = -(-C // 4)
 
-            def packed_step(text, hb, stp, steps, nlen, nrp, nro,
-                            rp1, rl1, ca1, cf1, rp2, rl2, ca2, cf2,
-                            mu, sd):
+            def packed_step(text, hb, stp, steps, nlen, nrp, nro, wirebuf):
                 """Transfer-compressed paired step (see ops/xfer.py): the
                 tunnel runs at ~10 MB/s, so reads arrive 4-bit packed
                 (reverse complements derived here), candidates as just
                 (start, rev|valid) — lo/hi/refpath/refoff are derived
-                from the resident index arrays — and ALL outputs leave as
-                ONE int16 buffer (each separate fetch pays ~50 ms)."""
+                from the resident index arrays — the whole input is ONE
+                int32 buffer and ALL outputs leave as ONE int16 buffer
+                (each separate transfer pays ~5-30 ms)."""
+                off = [0]
+
+                def take(n, shape=None):
+                    v = lax.slice(wirebuf, (off[0],), (off[0] + n,))
+                    off[0] += n
+                    return v.reshape(shape) if shape else v
+
+                rp1 = take(Rpad * RW1, (Rpad, RW1))
+                rl1 = take(Rpad)
+                ca1 = take(Rpad * C, (Rpad, C))
+                cf1 = unpack_i8_dev(take(Rpad * Cw, (Rpad, Cw)), C)
+                rp2 = take(Rpad * RW2, (Rpad, RW2))
+                rl2 = take(Rpad)
+                ca2 = take(Rpad * C, (Rpad, C))
+                cf2 = unpack_i8_dev(take(Rpad * Cw, (Rpad, Cw)), C)
+                musd = lax.bitcast_convert_type(take(2), jnp.float32)
+                mu, sd = musd[0], musd[1]
+
                 def mate(rp, rl, ca, cf):
                     r = unpack_reads4_dev(rp)
                     rc = revcomp_dev(r, rl)
@@ -485,17 +520,20 @@ class PairedGiraffeMapper:
                     i16(mm1), i16(mm2),
                     pack_b(bits1), pack_b(bits2)])
 
-            dev32 = lambda a: jax.device_put(np.asarray(a, np.int32))
-            g = m.graph
-            resident = (jax.device_put(
-                            np.asarray(m.haps.text_start, np.int32)),
-                        dev32(m.haps.step_text_pos),
-                        dev32(m.haps.steps),
-                        dev32(g.seq_start[1:] - g.seq_start[:-1]),
-                        dev32(m._node_ref_path),
-                        dev32(m._node_ref_off))
-            self._pair_step = (jax.jit(packed_step), text_arg, resident)
-        return self._pair_step
+            common = getattr(self, "_pair_step_common", None)
+            if common is None:
+                dev32 = lambda a: jax.device_put(np.asarray(a, np.int32))
+                g = m.graph
+                resident = (jax.device_put(
+                                np.asarray(m.haps.text_start, np.int32)),
+                            dev32(m.haps.step_text_pos),
+                            dev32(m.haps.steps),
+                            dev32(g.seq_start[1:] - g.seq_start[:-1]),
+                            dev32(m._node_ref_path),
+                            dev32(m._node_ref_off))
+                common = self._pair_step_common = (text_arg, resident)
+            cache[layout] = (jax.jit(packed_step),) + common
+        return cache[layout]
 
     def _get_pair_step_seeded(self):
         """Jitted FULLY-fused paired dispatch: device-side minimizer
@@ -667,7 +705,9 @@ class PairedGiraffeMapper:
         tables (winner per mate) so all host stages run unchanged."""
         _, packed, Rpad, sb1, sb2 = sel
         m = self.mapper
+        _t0 = _time.time()
         buf = np.asarray(packed)
+        self.stage_seconds["dev_wait"] += _time.time() - _t0
         blk = 10 * Rpad
 
         def mate(sb, off):
@@ -714,9 +754,7 @@ class PairedGiraffeMapper:
         where sel_lazy holds the un-fetched device outputs. Falls back to
         score_pairs when the fragment model isn't finalized yet (warmup
         observes pairs on the host)."""
-        import jax.numpy as jnp
-
-        from ..ops.xfer import pack_reads4
+        from ..ops.xfer import pack_reads4, pack_wire
 
         m = self.mapper
         reads1 = [a for a, _ in pairs]
@@ -724,12 +762,15 @@ class PairedGiraffeMapper:
         p1 = m.prepare_batch(reads1)
         p2 = m.prepare_batch(reads2)
         R = len(pairs)
-        step, text_arg, resident = self._get_pair_step()
 
         def wire(pr):
-            """(packed reads, rlen, cand start, valid|rev flags)."""
+            """(packed reads, rlen, cand start, valid|rev flag words)."""
             flags = (pr["cand_valid"].astype(np.int8)
                      | (pr["cand_rev"].astype(np.int8) << 1))
+            if flags.shape[1] % 4:
+                flags = np.concatenate(
+                    [flags, np.zeros((flags.shape[0],
+                                      -flags.shape[1] % 4), np.int8)], 1)
             return (pack_reads4(pr["reads_arr"]), pr["rlens"],
                     pr["cand_start"], flags)
 
@@ -754,10 +795,13 @@ class PairedGiraffeMapper:
         else:
             w1 = wire(p1)
             w2 = wire(p2)
-        packed = step(text_arg, *resident, *w1, *w2,
-                      jnp.float32(self.fragdist.mean),
-                      jnp.float32(max(self.fragdist.stdev, 1e-3)))
         Rpad, C = p1["cand_start"].shape
+        layout = (Rpad, C, w1[0].shape[1], w2[0].shape[1])
+        step, text_arg, resident = self._get_pair_step(layout)
+        wirebuf = pack_wire(
+            list(w1) + list(w2),
+            scalars=(self.fragdist.mean, max(self.fragdist.stdev, 1e-3)))
+        packed = step(text_arg, *resident, wirebuf)
         RLmax = 8 * max(w1[0].shape[1], w2[0].shape[1])
         s_i8 = (RLmax + 2 * m.params.full_length_bonus <= 191
                 and C % 2 == 0)
@@ -793,7 +837,9 @@ class PairedGiraffeMapper:
             return self._force_seeded_sel(sel, R)
         (_, packed, Rpad, C, sb1, sb2, s_i8, pos_mode, pw1, pw2,
          perm) = sel
+        _t0 = _time.time()
         buf = np.asarray(packed)          # int16 wire buffer
+        self.stage_seconds["dev_wait"] += _time.time() - _t0
         if perm is not None:              # undo the locality sort
             inv = np.empty_like(perm)
             inv[perm] = np.arange(len(perm))
@@ -926,6 +972,14 @@ class PairedGiraffeMapper:
         fragment model is finalized the dispatch also computes pair
         selection + MAPQ on device (score_pairs_device); during warmup
         the host observes pairs itself."""
+        _t0 = _time.time()
+        try:
+            return self._stage_score_inner(batch)
+        finally:
+            self.stage_seconds["score"] += _time.time() - _t0
+            self.stage_reads += 2 * len(batch)
+
+    def _stage_score_inner(self, batch):
         if self.fragdist.finalized:
             bs = self.mapper.params.batch_reads
             if 0 < len(batch) < bs:
@@ -947,33 +1001,43 @@ class PairedGiraffeMapper:
     def stage_rescue(self, item_or_batch, scored=None):
         """Middle pipeline stage: force the main DP fetch and dispatch
         rescue DP; the rescue fetch stays lazy for stage_emit."""
+        _t0 = _time.time()
+        try:
+            return self._stage_rescue_inner(item_or_batch, scored)
+        finally:
+            self.stage_seconds["rescue"] += _time.time() - _t0
+
+    def _stage_rescue_inner(self, item_or_batch, scored=None):
         if scored is not None:                       # legacy signature
             item = ("host", item_or_batch, scored)
         else:
             item = item_or_batch
         kind, batch = item[0], item[1]
+        tl = getattr(batch, "true_len", None)
         if kind == "dev":
             sb1, sb2, sel = item[2]
             # the packed fetch fills sb1/sb2 scores as a side effect
             selh = self._force_device_sel(sel, len(batch))
-            st2 = self._rescue_begin(sb1, sb2)
-            st1 = self._rescue_begin(sb2, sb1)
+            st2 = self._rescue_begin(sb1, sb2, tl)
+            st1 = self._rescue_begin(sb2, sb1, tl)
             return ("main_dev", batch, sb1, sb2, st1, st2, selh)
         sb1, sb2 = item[2]
         if not self.fragdist.finalized:
             return ("warmup", batch, (sb1, sb2))
         _ = sb1.scores
         _ = sb2.scores
-        st2 = self._rescue_begin(sb1, sb2)   # rescues sb2
-        st1 = self._rescue_begin(sb2, sb1)   # rescues sb1
+        st2 = self._rescue_begin(sb1, sb2, tl)   # rescues sb2
+        st1 = self._rescue_begin(sb2, sb1, tl)   # rescues sb1
         return ("main", batch, sb1, sb2, st1, st2)
 
     def stage_emit(self, item):
         """Final pipeline stage: finish rescues, pair, emit encoded."""
+        _t0 = _time.time()
         out = self._stage_emit_inner(item)
         batch = item[1]
         if isinstance(batch, _PaddedBatch) and out is not None:
             out = out[: 2 * batch.true_len]
+        self.stage_seconds["emit"] += _time.time() - _t0
         return out
 
     def _stage_emit_inner(self, item):
@@ -1042,7 +1106,8 @@ class PairedGiraffeMapper:
         """Synchronous rescue: begin + finish in one call."""
         self._rescue_finish(sb_need, self._rescue_begin(sb_have, sb_need))
 
-    def _rescue_begin(self, sb_have: ScoredBatch, sb_need: ScoredBatch):
+    def _rescue_begin(self, sb_have: ScoredBatch, sb_need: ScoredBatch,
+                      n_rows: Optional[int] = None):
         """For each pair where sb_need has no valid candidate but sb_have
         maps well, seed-scan the fragment window around the mate on the
         haplotype text and dispatch one batched DP call for the rescue
@@ -1061,8 +1126,11 @@ class PairedGiraffeMapper:
         have_v = sb_have.cand_valid & (sb_have.scores > 0)
         have_any = have_v.any(axis=1)
         cand_js = np.argmax(np.where(have_v, sb_have.scores, -1), axis=1)
-        todo = [(int(i), int(cand_js[i]))
-                for i in np.nonzero(~need_any & have_any)[0]]
+        rows = np.nonzero(~need_any & have_any)[0]
+        if n_rows is not None:
+            # padded tail rows replicate batch[-1]: skip their rescue DP
+            rows = rows[rows < n_rows]
+        todo = [(int(i), int(cand_js[i])) for i in rows]
         if not todo:
             return None
 

@@ -733,6 +733,17 @@ def native_dag_align(dag, read: np.ndarray, scoring, mode: str):
         dag._csr = csr
     pred_off, flat, sink_u8, codes_u8 = csr
     V = len(codes_u8)
+    if not getattr(dag, "_topo_checked", False):
+        # the C++ fill zero-initializes H/E (numpy twin uses NEG) and
+        # seeds Fv[0]=NEG; that shortcut is only correct because every
+        # predecessor index precedes its vertex (topological emission by
+        # _flatten/_flatten_dagified). A producer violating that would
+        # silently diverge from the numpy twin — fail loudly instead.
+        if len(flat) and not bool(
+                np.all(flat < np.repeat(np.arange(V), np.diff(pred_off)))):
+            raise ValueError("dag_align: preds must be topologically "
+                             "ordered (pred index < vertex index)")
+        dag._topo_checked = True
     read = np.ascontiguousarray(read, np.uint8)
     L = len(read)
     cap = V + 2 * L + 8

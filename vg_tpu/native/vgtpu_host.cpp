@@ -882,30 +882,134 @@ void banded_scores_host(const uint8_t* reads, const uint8_t* wins,
 // index, so MEMs come from plain suffix-array search; graph coordinates
 // are recovered the same way the giraffe path does.
 
+namespace {
+
+// SA-IS (Nong/Zhang/Chan induced sorting), linear time and memory:
+// chromosome-scale haplotype texts (>= 1 Gbp) need a suffix array for
+// the MEM fallback, and prefix doubling's O(n log^2 n) sort rounds take
+// tens of minutes there. Generic over the (possibly recursed) alphabet.
+template <typename T>
+void sais_core(const T* s, int32_t* sa, int64_t n, int64_t K) {
+    if (n == 1) { sa[0] = 0; return; }
+    if (n == 2) {
+        const bool le = s[0] <= s[1];
+        sa[0] = le ? 0 : 1;
+        sa[1] = le ? 1 : 0;
+        // exact tie s[0]==s[1]: suffix 1 (shorter) sorts first
+        if (s[0] == s[1]) { sa[0] = 1; sa[1] = 0; }
+        return;
+    }
+    std::vector<bool> is_s(n);        // S-type suffix?
+    is_s[n - 1] = true;
+    for (int64_t i = n - 2; i >= 0; i--)
+        is_s[i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && is_s[i + 1]);
+    auto is_lms = [&](int64_t i) {
+        return i > 0 && is_s[i] && !is_s[i - 1];
+    };
+    std::vector<int64_t> bkt(K + 1);
+    auto bucket_ends = [&](bool ends) {
+        std::fill(bkt.begin(), bkt.end(), 0);
+        for (int64_t i = 0; i < n; i++) bkt[s[i]]++;
+        int64_t sum = 0;
+        for (int64_t c = 0; c <= K; c++) {
+            sum += bkt[c];
+            bkt[c] = ends ? sum : sum - bkt[c];
+        }
+    };
+    auto induce = [&]() {
+        // L-type left-to-right
+        bucket_ends(false);
+        for (int64_t i = 0; i < n; i++) {
+            const int64_t j = sa[i] - 1;
+            if (sa[i] > 0 && !is_s[j]) sa[bkt[s[j]]++] = (int32_t)j;
+        }
+        // S-type right-to-left
+        bucket_ends(true);
+        for (int64_t i = n - 1; i >= 0; i--) {
+            const int64_t j = sa[i] - 1;
+            if (sa[i] > 0 && is_s[j]) sa[--bkt[s[j]]] = (int32_t)j;
+        }
+    };
+    // step 1: place LMS suffixes at bucket ends (arbitrary order), induce
+    std::fill(sa, sa + n, -1);
+    bucket_ends(true);
+    for (int64_t i = n - 1; i >= 0; i--)
+        if (is_lms(i)) sa[--bkt[s[i]]] = (int32_t)i;
+    // the sentinel-free variant: treat position n-1 as the unique
+    // smallest LMS by forcing it first (callers append a 0 sentinel
+    // strictly smaller than all real symbols, so s[n-1]=0 is unique)
+    induce();
+    // step 2: name LMS substrings from their induced order
+    int64_t n1 = 0;
+    for (int64_t i = 0; i < n; i++)
+        if (is_lms(sa[i])) sa[n1++] = sa[i];
+    int32_t* s1_area = sa + n1;
+    std::fill(s1_area, sa + n, -1);
+    int64_t name = -1;
+    int64_t prev = -1;
+    for (int64_t i = 0; i < n1; i++) {
+        const int64_t pos = sa[i];
+        bool diff = (prev < 0);
+        if (!diff) {
+            for (int64_t d = 0;; d++) {
+                const bool lp = is_lms(pos + d), lq = is_lms(prev + d);
+                if (d > 0 && lp && lq) break;      // both substrings ended
+                if (s[pos + d] != s[prev + d] || lp != lq ||
+                    pos + d == n - 1 || prev + d == n - 1) {
+                    diff = (s[pos + d] != s[prev + d] || lp != lq);
+                    break;
+                }
+            }
+        }
+        if (diff) { name++; prev = pos; }
+        s1_area[(pos - 1) / 2] = (int32_t)name;
+    }
+    // compact names into s1 (LMS order by position); lms_pos aligns
+    // with s1 because both scan positions in increasing order
+    std::vector<int32_t> s1;
+    s1.reserve(n1);
+    std::vector<int32_t> lms_pos;
+    lms_pos.reserve(n1);
+    for (int64_t i = 1; i < n; i++)
+        if (is_lms(i)) lms_pos.push_back((int32_t)i);
+    for (int64_t i = 0; i < (n - 1) / 2 + 1; i++)
+        if (s1_area[i] >= 0) s1.push_back(s1_area[i]);
+    // step 3: recurse if names are not unique
+    std::vector<int32_t> sa1(n1);
+    if (name + 1 < n1) {
+        sais_core<int32_t>(s1.data(), sa1.data(), n1, name);
+    } else {
+        for (int64_t i = 0; i < n1; i++) sa1[s1[i]] = (int32_t)i;
+    }
+    // step 4: place LMS suffixes in their true order, induce again
+    std::fill(sa, sa + n, -1);
+    bucket_ends(true);
+    for (int64_t i = n1 - 1; i >= 0; i--) {
+        const int64_t j = lms_pos[sa1[i]];
+        sa[--bkt[s[j]]] = (int32_t)j;
+    }
+    induce();
+}
+
+}  // namespace
+
 extern "C" {
 
-// prefix-doubling suffix array (O(n log^2 n), fine at index-build time)
+// suffix array via SA-IS (linear; replaces the round-1..3 prefix
+// doubling, whose O(n log^2 n) sort rounds were the 64 Mbp MEM-fallback
+// scale ceiling). A 0 sentinel column is appended internally so every
+// real symbol is >= 1 and the last suffix is the unique minimum.
 int64_t build_suffix_array(const uint8_t* text, int64_t n, int32_t* sa) {
-    std::vector<int32_t> rank(n), tmp(n);
-    std::vector<int32_t> idx(n);
-    for (int64_t i = 0; i < n; i++) {
-        sa[i] = (int32_t)i;
-        rank[i] = text[i];
-    }
-    for (int64_t k = 1; k < n; k <<= 1) {
-        auto cmp = [&](int32_t a, int32_t b) {
-            if (rank[a] != rank[b]) return rank[a] < rank[b];
-            const int32_t ra = (a + k < n) ? rank[a + k] : -1;
-            const int32_t rb = (b + k < n) ? rank[b + k] : -1;
-            return ra < rb;
-        };
-        std::sort(sa, sa + n, cmp);
-        tmp[sa[0]] = 0;
-        for (int64_t i = 1; i < n; i++)
-            tmp[sa[i]] = tmp[sa[i - 1]] + (cmp(sa[i - 1], sa[i]) ? 1 : 0);
-        rank.swap(tmp);
-        if (rank[sa[n - 1]] == (int32_t)(n - 1)) break;
-    }
+    if (n <= 0) return 0;
+    if (n == 1) { sa[0] = 0; return 0; }
+    // shift symbols up by 1 and append sentinel 0
+    std::vector<uint8_t> s(n + 1);
+    for (int64_t i = 0; i < n; i++) s[i] = (uint8_t)(text[i] + 1);
+    s[n] = 0;
+    std::vector<int32_t> sa_full(n + 1);
+    sais_core<uint8_t>(s.data(), sa_full.data(), n + 1, 256);
+    // drop the sentinel suffix (always first)
+    for (int64_t i = 0; i < n; i++) sa[i] = sa_full[i + 1];
     return 0;
 }
 

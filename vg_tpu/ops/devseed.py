@@ -12,12 +12,21 @@ parity-tested against it (tests/test_devseed.py); the fused paired
 dispatch built on it produces byte-identical GAM records to the
 host-seeded path (GiraffeParams.device_seed).
 
-STATUS: correct but OFF by default. Measured on the v5e via XLA, the
-three primitives this leans on are pathologically slow at mapping batch
-sizes (argsort(16384x768) 2.5s, scatter-add 3.1s, a 160-step lax.scan
-2.3s), so the fused dispatch loses to host seeding + the compressed
-candidate upload by ~25x. Making this win requires Pallas kernels for
-the per-read sort/segment ops — next round's work, not an XLA rewrite.
+STATUS: correct but RETIRED as the production default. Round-3 rebuilt
+the sort/segment stages as Pallas kernels (ops/pallas_seed.py) after
+XLA's own sort/scan/scatter proved pathological (argsort(16384x768)
+2.5s, scatter-add 3.1s, a 160-step lax.scan 2.3s). Round-4 measured the
+rebuilt path on the real v5e at production shapes (12288 reads/batch):
+rolling_minimizers ~0 ms, lookup_ranges2 701 ms (the 19-step
+composite-key binary search is ~230 MB of random HBM gathers), full
+seed_candidates_dev 1572 ms — vs 117 ms for the ENTIRE fused
+DP+pair-selection dispatch. Device seeding adds >10x the chip's DP time
+to the chip (the serial resource) to save host seeding work that
+overlaps with device compute anyway (~35 us/read across 3 pipeline
+threads), so it cannot win on a host that keeps up; even a perfect
+hash-table lookup (~5x fewer gathers) could not close the 13x gap.
+Kept byte-parity-tested as capability for host-starved topologies
+(GiraffeParams.device_seed / BENCH_DEVSEED=1|probe).
 
   rolling_minimizers  == index.minimizer.extract_minimizers
   lookup_ranges2      == MinimizerIndex.lookup_ranges

@@ -46,69 +46,97 @@ def pack_text(text: np.ndarray) -> np.ndarray:
 
 def make_kernel(RL: int, TW: int, W: int, WP: int, match: int, mismatch: int,
                 gap_open: int, gap_extend: int, bonus: int):
-    """Kernel body for fixed shapes. WP = W rounded up to 8 sublanes."""
+    """Kernel body for fixed shapes. WP = W rounded up to 8 sublanes.
+
+    Row loop is unrolled 8x so the window/read block loads happen once
+    per 8 rows and every sublane rotate has a STATIC amount (a dynamic
+    rotate lowers to a log-step select chain — it dominated the v1
+    kernel at ~36 ms/mate). Best scores accumulate as (WP, LANES)
+    vectors; the cross-sublane reduction happens once at the end instead
+    of every row."""
     ksteps = int(np.ceil(np.log2(max(WP, 2))))
+    BLK = WP + 8
 
     def kernel(win_ref, read_ref, rlen_ref, out_ref):
-        # win_ref: (TW, LANES) u8 | read_ref: (RL, LANES) u8
+        # win_ref: (TWP, LANES) u8 | read_ref: (RL, LANES) u8
         # rlen_ref: (1, LANES) i32 | out_ref: (1, LANES) i32
         krow = jax.lax.broadcasted_iota(jnp.int32, (WP, LANES), 0)
         in_band = krow < W
         neg = jnp.full((WP, LANES), NEG, jnp.int32)
         H0 = jnp.where(in_band, jnp.int32(bonus), NEG)
         rlen = rlen_ref[0, :][None, :]
+        ge_ramp = gap_extend * krow
+        last = krow == WP - 1
 
-        def row(i, carry):
-            H, F, best = carry
-            # window rows [i-1, i-1+W): Mosaic needs 8-aligned sublane
-            # slices, so load an aligned (WP+8) block and rotate into place
-            base = ((i - 1) // 8) * 8
-            r = (i - 1) - base
-            block = win_ref[pl.ds(pl.multiple_of(base, 8), WP + 8), :]
-            rot = pltpu.roll(block.astype(jnp.int32),
-                             (WP + 8 - r) % (WP + 8), 0)
+        def one_row(i, r, block, rblk, carry):
+            """r (static) = (i-1) % 8; block holds window rows
+            [base, base+BLK), rblk read rows [base, base+8)."""
+            H, F, bestv, bestev = carry
+            rot = pltpu.roll(block, (BLK - r) % BLK, 0)
             win = rot[:WP, :]
-            rblk = read_ref[pl.ds(pl.multiple_of(base, 8), 8), :]
-            rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
-            rb = jnp.sum(jnp.where(rows8 == r, rblk.astype(jnp.int32), 0),
-                         axis=0, keepdims=True)
+            rb = pltpu.roll(rblk, (8 - r) % 8, 0)[0:1, :]
             sub = jnp.where((win == rb) & (rb < 4), jnp.int32(match),
                             jnp.int32(-mismatch))
             diag = H + sub
             shH = pltpu.roll(H, WP - 1, 0)   # up by one (circular)
             shF = pltpu.roll(F, WP - 1, 0)
-            last = krow == WP - 1
             shH = jnp.where(last, NEG, shH)
             shF = jnp.where(last, NEG, shF)
             Fn = jnp.maximum(shH - gap_open, shF - gap_extend)
             Hn = jnp.maximum(jnp.maximum(diag, Fn), 0)
             Hn = jnp.where(in_band, Hn, NEG)
             # E = cummax(Hn + ge*k) shifted down one, minus open/extend ramp
-            G = Hn + gap_extend * krow
+            G = Hn + ge_ramp
             for s in range(ksteps):
                 sh = 1 << s
                 rolled = pltpu.roll(G, sh, 0)
-                rolled = jnp.where(krow < sh, NEG, rolled)
+                if sh > WP - W:
+                    # wrapped sources can be in-band rows: mask them; for
+                    # sh <= WP-W the wrap brings only out-of-band NEG rows
+                    rolled = jnp.where(krow < sh, NEG, rolled)
                 G = jnp.maximum(G, rolled)
             Gprev = pltpu.roll(G, 1, 0)
             Gprev = jnp.where(krow < 1, NEG, Gprev)
-            E = Gprev - gap_open - gap_extend * krow + gap_extend
+            E = Gprev - gap_open - ge_ramp + gap_extend
             Hfin = jnp.maximum(Hn, E)
             Hfin = jnp.where(in_band, Hfin, NEG)
             active = i <= rlen
             Hout = jnp.where(active, Hfin, H)
             Fout = jnp.where(active, Fn, F)
-            rowmax = jnp.max(jnp.where(in_band, Hfin, NEG), axis=0,
-                             keepdims=True)
-            best = jnp.where(active[0:1, :] if active.ndim == 2 else active,
-                             jnp.maximum(best, rowmax), best)
+            upd = jnp.where(active, Hfin, NEG)
+            bestv = jnp.maximum(bestv, upd)
             at_end = i == rlen
-            best = jnp.maximum(best, jnp.where(at_end, rowmax + bonus, NEG))
-            return Hout, Fout, best
+            bestev = jnp.maximum(bestev, jnp.where(at_end, Hfin, NEG))
+            return Hout, Fout, bestv, bestev
 
-        H, F, best = jax.lax.fori_loop(
-            1, RL + 1, row, (H0, neg, jnp.zeros((1, LANES), jnp.int32)))
-        out_ref[0, :] = best[0, :]
+        def block8(b, carry):
+            base = b * 8
+            block = win_ref[pl.ds(pl.multiple_of(base, 8), BLK), :].astype(
+                jnp.int32)
+            rblk = read_ref[pl.ds(pl.multiple_of(base, 8), 8), :].astype(
+                jnp.int32)
+            for r in range(8):
+                carry = one_row(base + 1 + r, r, block, rblk, carry)
+            return carry
+
+        carry = (H0, neg, neg, neg)
+        nfull = RL // 8
+        if nfull:
+            carry = jax.lax.fori_loop(0, nfull, block8, carry)
+        rem = RL % 8
+        if rem:
+            base = nfull * 8
+            block = win_ref[pl.ds(pl.multiple_of(base, 8), BLK), :].astype(
+                jnp.int32)
+            rblk = read_ref[pl.ds(pl.multiple_of(base, 8), 8), :].astype(
+                jnp.int32)
+            for r in range(rem):
+                carry = one_row(base + 1 + r, r, block, rblk, carry)
+        _, _, bestv, bestev = carry
+        fin = jnp.maximum(jnp.where(in_band, bestv, NEG),
+                          jnp.where(in_band, bestev + bonus, NEG))
+        best = jnp.max(fin, axis=0, keepdims=True)
+        out_ref[0, :] = jnp.maximum(best[0, :], 0)
 
     return kernel
 
@@ -139,13 +167,17 @@ def banded_scores_pallas(
     assert N % LANES == 0
     grid = (N // LANES,)
 
-    # lay candidates on lanes: (TWP, N) and (RL, N)
+    # lay candidates on lanes: (TWP, N) and (RLP, N); read rows pad to a
+    # multiple of 8 for the kernel's aligned 8-row block loads (the
+    # extra rows are inactive: i > rlen)
+    RLP = _round_up(RL, 8)
     win_t = jnp.transpose(
         jnp.pad(windows, ((0, 0), (0, TWP - TW)), constant_values=6))
-    read_t = jnp.transpose(reads)
+    read_t = jnp.pad(jnp.transpose(reads), ((0, RLP - RL), (0, 0)),
+                     constant_values=5)
     rlen2 = rlen.astype(jnp.int32)[None, :]
 
-    kernel = make_kernel(RL, TW, W, WP, match, mismatch, gap_open,
+    kernel = make_kernel(RLP, TW, W, WP, match, mismatch, gap_open,
                          gap_extend, bonus)
     out = pl.pallas_call(
         kernel,
@@ -153,7 +185,7 @@ def banded_scores_pallas(
         in_specs=[
             pl.BlockSpec((TWP, LANES), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RL, LANES), lambda i: (0, i),
+            pl.BlockSpec((RLP, LANES), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -209,12 +241,14 @@ def banded_scores_via_pallas(
     rd_t = jnp.where(rev[None, :], reads_rc.T[:, ridx],
                      reads.T[:, ridx])                        # (RL, N)
     rl = jnp.where(valid, rlen[ridx], 0).astype(jnp.int32)
+    RLP = _round_up(RL, 8)
+    rd_t = jnp.pad(rd_t, ((0, RLP - RL), (0, 0)), constant_values=5)
     if NP != N:
         win_t = jnp.pad(win_t, ((0, 0), (0, NP - N)), constant_values=6)
         rd_t = jnp.pad(rd_t, ((0, 0), (0, NP - N)), constant_values=5)
         rl = jnp.pad(rl, (0, NP - N))
 
-    kernel = make_kernel(RL, TW, W, WP, match, mismatch, gap_open,
+    kernel = make_kernel(RLP, TW, W, WP, match, mismatch, gap_open,
                          gap_extend, bonus)
     out = pl.pallas_call(
         kernel,
@@ -222,7 +256,7 @@ def banded_scores_via_pallas(
         in_specs=[
             pl.BlockSpec((TWP, LANES), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RL, LANES), lambda i: (0, i),
+            pl.BlockSpec((RLP, LANES), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -296,12 +330,14 @@ def banded_scores_packed(
     rd_r = jnp.repeat(reads_rc.T, C, axis=1)
     rd_t = jnp.where(rev[None, :], rd_r, rd_f)                    # (RL, N)
     rl = jnp.where(valid, jnp.repeat(rlen[:R], C), 0).astype(jnp.int32)
+    RLP = _round_up(RL, 8)
+    rd_t = jnp.pad(rd_t, ((0, RLP - RL), (0, 0)), constant_values=5)
     if NP != N:
         win_t = jnp.pad(win_t, ((0, 0), (0, NP - N)), constant_values=6)
         rd_t = jnp.pad(rd_t, ((0, 0), (0, NP - N)), constant_values=5)
         rl = jnp.pad(rl, (0, NP - N))
 
-    kernel = make_kernel(RL, TW, W, WP, match, mismatch, gap_open,
+    kernel = make_kernel(RLP, TW, W, WP, match, mismatch, gap_open,
                          gap_extend, bonus)
     out = pl.pallas_call(
         kernel,
@@ -309,7 +345,7 @@ def banded_scores_packed(
         in_specs=[
             pl.BlockSpec((TWP, LANES), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RL, LANES), lambda i: (0, i),
+            pl.BlockSpec((RLP, LANES), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda i: (0, i),
                          memory_space=pltpu.VMEM),

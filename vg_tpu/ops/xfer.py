@@ -37,6 +37,29 @@ def pack_reads4(a: np.ndarray) -> np.ndarray:
     return packed.view(np.int32)
 
 
+def pack_wire(parts, scalars=()) -> np.ndarray:
+    """Concatenate int32-viewable arrays (+ trailing float32 scalars,
+    bitcast) into ONE flat int32 buffer: each jitted-call argument is a
+    separate tunnel transfer paying ~5-30 ms latency, so the whole
+    dispatch input travels as a single array and is sliced apart on
+    device (static offsets)."""
+    flat = [np.ascontiguousarray(a).view(np.int32).ravel() for a in parts]
+    if scalars:
+        flat.append(np.asarray(scalars, np.float32).view(np.int32))
+    return np.concatenate(flat)
+
+
+def unpack_i8_dev(words, n_cols: int):
+    """Device: (R, ceil(n/4)) int32 -> (R, n_cols) int8 (little-endian
+    bytes within each word)."""
+    import jax.numpy as jnp
+
+    R = words.shape[0]
+    shifts = (jnp.arange(4, dtype=jnp.int32) * 8)[None, None, :]
+    b = (words[:, :, None] >> shifts) & 0xFF
+    return b.reshape(R, -1)[:, :n_cols].astype(jnp.int8)
+
+
 def unpack_reads4_dev(p):
     """Device inverse of pack_reads4: (R, W) int32 -> (R, W*8) uint8."""
     import jax.numpy as jnp

@@ -25,15 +25,35 @@ class ReadSimulator:
     def __init__(self, haps: HaplotypeSet, seed: int = 0,
                  read_length: int = 100, error_rate: float = 0.0,
                  indel_rate: float = 0.0,
-                 ref_path_names: Optional[List[str]] = None):
+                 ref_path_names: Optional[List[str]] = None,
+                 with_quality: bool = False):
         self.haps = haps
         self.rng = np.random.default_rng(seed)
         self.read_length = read_length
         self.error_rate = error_rate
         self.indel_rate = indel_rate
+        # with_quality: synthesize per-base phred qualities (high-Q core,
+        # occasional low-Q windows, 3' decay — the quality-less uniform
+        # model can't exercise giraffe's explored-minimizer MAPQ cap,
+        # which is infinite without qualities; reference NGSSimulator,
+        # src/sampler.cpp:208) and draw substitution errors at
+        # 10^(-q/10) per base instead of error_rate.
+        self.with_quality = with_quality
         self.ppi = PathPositionIndex(
             haps.graph,
             ref_path_names or [m.name for m in haps.graph.path_meta])
+
+    def _synth_quality(self, L: int) -> np.ndarray:
+        rng = self.rng
+        q = rng.normal(36.0, 2.5, L)
+        # 3'-end decay, NovaSeq-style
+        tail = min(30, L)
+        q[L - tail:] -= np.linspace(0.0, 6.0, tail)
+        if rng.random() < 0.25:          # low-quality patch
+            wl = int(rng.integers(10, 40))
+            ws = int(rng.integers(0, max(L - wl, 1)))
+            q[ws : ws + wl] = rng.uniform(6.0, 16.0)
+        return np.clip(np.round(q), 2, 40).astype(np.uint8)
 
     def _truth_path(self, start: int, length: int) -> Path:
         pieces = self.haps.walk_interval(start, start + length)
@@ -75,11 +95,26 @@ class ReadSimulator:
             group = []
             for start, rev in spans:
                 codes = self.haps.text[start : start + L].copy()
-                codes = self._mutate(codes)
+                qual = None
+                if self.with_quality:
+                    qual = self._synth_quality(len(codes))
+                    err = self.rng.random(len(codes)) < 10.0 ** (
+                        -qual.astype(np.float64) / 10.0)
+                    ne = int(err.sum())
+                    if ne:
+                        codes[err] = (codes[err] + 1 + self.rng.integers(
+                            0, 3, ne).astype(np.uint8)) % 4
+                    codes = self._mutate_indel_only(codes)
+                else:
+                    codes = self._mutate(codes)
                 if rev:
                     codes = dna.revcomp_codes(codes)
+                    if qual is not None:
+                        qual = qual[::-1]
                 name = f"sim{len(out) + len(group)}"
                 aln = Alignment(name=name, sequence=dna.decode(codes))
+                if qual is not None:
+                    aln.quality = qual.tobytes()
                 if annotate_truth:
                     path = self._truth_path(start, L)
                     if rev:
@@ -95,6 +130,20 @@ class ReadSimulator:
                 group[1].fragment_prev = Alignment(name=group[0].name)
             out.extend(group)
         return out
+
+    def _mutate_indel_only(self, codes: np.ndarray) -> np.ndarray:
+        """Indel channel only (substitutions already drawn from the
+        quality model)."""
+        rng = self.rng
+        if self.indel_rate > 0 and rng.random() < self.indel_rate * len(codes):
+            p = int(rng.integers(1, len(codes) - 1))
+            n = 1 + int(rng.geometric(0.7))
+            if rng.random() < 0.5:
+                ins = rng.integers(0, 4, n).astype(np.uint8)
+                codes = np.concatenate([codes[:p], ins, codes[p:]])[: len(codes)]
+            else:
+                codes = np.concatenate([codes[:p], codes[p + n :]])
+        return codes
 
     def _mutate(self, codes: np.ndarray) -> np.ndarray:
         rng = self.rng
