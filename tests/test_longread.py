@@ -35,6 +35,78 @@ def test_global_align_edits():
     assert score == 10 * 1 - 6           # 10 matches, 1bp gap open
 
 
+def test_native_band_doubling_exact():
+    """native global_align runs banded DP with band doubling; its
+    escape-bound stopping rule must reproduce the full-matrix affine DP
+    exactly — including on double-sided indels (insertion at one end +
+    deletion at the other), the shape where a naive 'score stable
+    across one doubling' stop returns wrong scores."""
+    import ctypes
+
+    from vg_tpu.native import lib as native_lib
+
+    L = native_lib()
+    if L is None:
+        pytest.skip("native lib unavailable")
+    L.global_align.restype = ctypes.c_int64
+    L.global_align.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int64] * 2 + [ctypes.c_int32] * 4
+        + [ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p])
+
+    def native(a, b):
+        edits = np.zeros(6 * (len(a) + len(b) + 16), np.int32)
+        n = np.zeros(1, np.int64)
+        sc = L.global_align(a.ctypes.data, len(a), b.ctypes.data, len(b),
+                            1, 4, 6, 1, 8_000_000, edits.ctypes.data,
+                            len(edits) // 3, n.ctypes.data)
+        return sc
+
+    def full(a, b, match=1, mismatch=4, go=6, ge=1):
+        la, lb = len(a), len(b)
+        NEG = -(1 << 40)
+        H = np.full((la + 1, lb + 1), NEG, np.int64)
+        E = H.copy()
+        F = H.copy()
+        H[0, 0] = 0
+        for j in range(1, lb + 1):
+            E[0, j] = -(go + (j - 1) * ge)
+            H[0, j] = E[0, j]
+        for i in range(1, la + 1):
+            F[i, 0] = -(go + (i - 1) * ge)
+            H[i, 0] = F[i, 0]
+            for j in range(1, lb + 1):
+                sub = match if (a[i - 1] == b[j - 1] and a[i - 1] < 4) \
+                    else -mismatch
+                F[i, j] = max(H[i - 1, j] - go, F[i - 1, j] - ge)
+                E[i, j] = max(H[i, j - 1] - go, E[i, j - 1] - ge)
+                H[i, j] = max(H[i - 1, j - 1] + sub, F[i, j], E[i, j])
+        return int(H[la, lb])
+
+    rng = np.random.default_rng(3)
+    cases = []
+    for _ in range(30):
+        la = int(rng.integers(65, 160))
+        a = rng.integers(0, 4, la).astype(np.uint8)
+        b = list(a)
+        for _ in range(int(rng.integers(0, 6))):
+            p = int(rng.integers(0, max(1, len(b))))
+            kind = rng.integers(0, 3)
+            if kind == 0 and b:
+                b[p] = int(rng.integers(0, 4))
+            elif kind == 1:
+                b[p:p] = list(rng.integers(0, 4, int(rng.integers(1, 60))))
+            elif kind == 2 and b:
+                del b[p : p + int(rng.integers(1, 60))]
+        cases.append((a, np.array(b or [0], np.uint8)))
+    # adversarial: big insertion at the front, big deletion at the back
+    a = rng.integers(0, 4, 150).astype(np.uint8)
+    b = np.concatenate([rng.integers(0, 4, 60).astype(np.uint8), a[:-60]])
+    cases.append((a, b))
+    cases.append((b, a))
+    for a, b in cases:
+        assert native(a, b) == full(a, b), (len(a), len(b))
+
+
 @pytest.fixture(scope="module")
 def long_setup():
     rng = np.random.default_rng(1)

@@ -245,10 +245,30 @@ def cmd_giraffe(args) -> int:
               f"({haps.total_len} bp text) from {args.kff_name}",
               file=sys.stderr)
     if args.parameter_preset in ("hifi", "r10", "lr"):
+        import os as _os
+
+        from ..io import native as _native
         from ..map.longread import LongReadMapper, LongReadParams
 
+        # long-read presets use their own index parameters (reference
+        # IndexingParameters::long_read_minimizer_{k,w,W} = 31/50/weighted,
+        # index_registry.cpp:121-123; name-inferred .longread.withzip.min
+        # regeneration, test/t/50_vg_giraffe.t:27-44): load
+        # <prefix>.lr.min.npz or build-and-save it on the fly
+        idx_lr = idx
+        if not args.index_prefix.endswith(".gbz"):
+            lrp = args.index_prefix + ".lr.min.npz"
+            if _os.path.exists(lrp):
+                idx_lr = _native.load_minimizer(lrp)
+            else:
+                from ..index.minimizer import MinimizerIndex as _MI2
+
+                idx_lr = _MI2.build(haps, k=31, w=50, weighted=True)
+                _native.save_minimizer(lrp, idx_lr)
+                print(f"[giraffe] built long-read minimizers "
+                      f"(k=31 w=50 weighted) -> {lrp}", file=sys.stderr)
         mapper = LongReadMapper(
-            haps, idx, LongReadParams.preset(args.parameter_preset))
+            haps, idx_lr, LongReadParams.preset(args.parameter_preset))
     elif getattr(args, "engine", "giraffe") == "mem":
         # honest `vg map`: MEM seeding over a suffix array of the
         # haplotype text (reference src/mapper.cpp:4484, src/mem.cpp),
@@ -1116,20 +1136,31 @@ def cmd_kmers(args) -> int:
 
 
 def cmd_minimizer(args) -> int:
-    """Build / report the minimizer index standalone (vg minimizer)."""
+    """Build / report the minimizer index standalone (vg minimizer;
+    -c closed syncmers, -W weighted minimizers per
+    src/subcommand/minimizer_main.cpp:134-155)."""
     from ..index.minimizer import MinimizerIndex
     from ..io import native
 
     g = native.load_graph(args.index_prefix + ".vgz.npz")
     haps = native.load_haplotypes(args.index_prefix + ".hpt.npz", g)
-    idx = MinimizerIndex.build(haps, k=args.kmer_length,
-                               w=args.window_length)
+    idx = MinimizerIndex.build(
+        haps, k=args.kmer_length, w=args.window_length,
+        scheme="syncmer" if args.closed_syncmers else "minimizer",
+        smer=args.smer_length, weighted=args.weighted,
+        weight_threshold=args.threshold,
+        weight_iterations=args.iterations)
     out = args.output or (args.index_prefix + ".min.npz")
     native.save_minimizer(out, idx)
     print(f"minimizers\t{idx.unique_count}")
     print(f"positions\t{len(idx.pos_text)}")
     print(f"k\t{idx.k}")
-    print(f"w\t{idx.w}")
+    if args.closed_syncmers:
+        print(f"s\t{idx.smer}")
+    else:
+        print(f"w\t{idx.w}")
+    if idx.frequent is not None:
+        print(f"frequent_kmers\t{len(idx.frequent)}")
     return 0
 
 
@@ -2203,6 +2234,17 @@ def build_parser() -> argparse.ArgumentParser:
     mz.add_argument("-Z", "--index-prefix", required=True)
     mz.add_argument("-k", "--kmer-length", type=int, default=29)
     mz.add_argument("-w", "--window-length", type=int, default=11)
+    mz.add_argument("-c", "--closed-syncmers", action="store_true",
+                    help="index closed syncmers instead of minimizers")
+    mz.add_argument("-s", "--smer-length", type=int, default=18,
+                    help="s-mer length for closed syncmers")
+    mz.add_argument("-W", "--weighted", action="store_true",
+                    help="use weighted minimizers (downweight frequent "
+                         "kmers)")
+    mz.add_argument("--threshold", type=int, default=500,
+                    help="downweight kmers with more than N occurrences")
+    mz.add_argument("--iterations", type=int, default=3,
+                    help="downweighting re-hash iterations")
     mz.add_argument("-o", "--output")
     mz.set_defaults(func=cmd_minimizer)
 

@@ -84,7 +84,9 @@ def _rolling_kmers(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
     return fwd, rev, valid
 
 
-def extract_minimizers(codes: np.ndarray, k: int = DEFAULT_K, w: int = DEFAULT_W
+def extract_minimizers(codes: np.ndarray, k: int = DEFAULT_K, w: int = DEFAULT_W,
+                       frequent: Optional[np.ndarray] = None,
+                       weight_iterations: int = 3
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All (k,w) minimizers of a code sequence (native C++ kernel when
     available, numpy fallback).
@@ -93,19 +95,24 @@ def extract_minimizers(codes: np.ndarray, k: int = DEFAULT_K, w: int = DEFAULT_W
     canonical keys, and whether the canonical key is the reverse-complement
     of the forward strand at that offset. A kmer is selected if it achieves
     the minimum hash in any window of w consecutive kmers (all ties kept,
-    matching gbwtgraph's "all minimizers" enumeration).
+    matching gbwtgraph's "all minimizers" enumeration). `frequent` (a
+    sorted uint64 key set) enables weighted-minimizer downweighting
+    (apply_kmer_weights) — numpy path only.
     """
     n = len(codes)
     if n < k:
         return (np.zeros(0, np.int64), np.zeros(0, np.uint64), np.zeros(0, bool))
     from ..native import lib, native_extract_minimizers
 
-    if lib() is not None:
+    if lib() is not None and frequent is None:
         return native_extract_minimizers(np.asarray(codes, np.uint8), k, w)
     fwd, rev, valid = _rolling_kmers(codes, k)
     canon_rev = rev < fwd
     keys = np.where(canon_rev, rev, fwd)
     hashes = wang_hash_64(keys)
+    if frequent is not None:
+        hashes = apply_kmer_weights(hashes, keys, frequent,
+                                    weight_iterations)
     INVALID = np.uint64(0xFFFFFFFFFFFFFFFF)
     hashes = np.where(valid, hashes, INVALID)
     m = len(hashes)
@@ -126,7 +133,9 @@ def extract_minimizers(codes: np.ndarray, k: int = DEFAULT_K, w: int = DEFAULT_W
 
 
 def extract_minimizers_batch(codes2d: np.ndarray, k: int = DEFAULT_K,
-                             w: int = DEFAULT_W
+                             w: int = DEFAULT_W,
+                             frequent: Optional[np.ndarray] = None,
+                             weight_iterations: int = 3
                              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                         np.ndarray]:
     """(k,w) minimizers for a batch of equal-length reads at once.
@@ -140,7 +149,7 @@ def extract_minimizers_batch(codes2d: np.ndarray, k: int = DEFAULT_K,
         return z, z, np.zeros(0, np.uint64), np.zeros(0, bool)
     from ..native import lib as _nlib, native_extract_minimizers_batch
 
-    if _nlib() is not None:
+    if _nlib() is not None and frequent is None:
         res = native_extract_minimizers_batch(
             np.asarray(codes2d, np.uint8), k, w)
         if res is not None:
@@ -175,6 +184,9 @@ def extract_minimizers_batch(codes2d: np.ndarray, k: int = DEFAULT_K,
     canon_rev = rev < fwd
     keys = np.where(canon_rev, rev, fwd)
     hashes = wang_hash_64(keys)
+    if frequent is not None:
+        hashes = apply_kmer_weights(hashes.ravel(), keys.ravel(), frequent,
+                                    weight_iterations).reshape(hashes.shape)
     INVALID = np.uint64(0xFFFFFFFFFFFFFFFF)
     hashes = np.where(valid, hashes, INVALID)
     m = hashes.shape[1]
@@ -191,6 +203,134 @@ def extract_minimizers_batch(codes2d: np.ndarray, k: int = DEFAULT_K,
             keys[ridx, offs], canon_rev[ridx, offs])
 
 
+DEFAULT_SMER = 18          # reference IndexingParameters::minimizer_s
+WEIGHT_THRESHOLD = 500     # MinimizerIndexParameters::DEFAULT_THRESHOLD
+WEIGHT_ITERATIONS = 3      # MinimizerIndexParameters::DEFAULT_ITERATIONS
+_WEIGHT_TOPBIT = np.uint64(1) << np.uint64(63)
+
+
+def apply_kmer_weights(hashes: np.ndarray, keys: np.ndarray,
+                       frequent_sorted: Optional[np.ndarray],
+                       iterations: int = WEIGHT_ITERATIONS) -> np.ndarray:
+    """Weighted-minimizer hash adjustment (the role of gbwtgraph's
+    add_frequent_kmers behind `vg minimizer -W`,
+    src/subcommand/minimizer_main.cpp / gbwtgraph_helper.cpp:580-583 —
+    winnowmap-style downweighting of over-represented kmers so they stop
+    winning window elections and flooding the hit lists). Our scheme:
+    a frequent kmer's hash is re-hashed `iterations` times and forced
+    into the top half of the hash space, so it is selected only when a
+    window contains nothing else. Must be applied identically at index
+    build and read seeding (both call this)."""
+    if frequent_sorted is None or len(frequent_sorted) == 0:
+        return hashes
+    keys = np.asarray(keys, np.uint64)
+    i = np.searchsorted(frequent_sorted, keys)
+    i = np.minimum(i, len(frequent_sorted) - 1)
+    freq = frequent_sorted[i] == keys
+    if not freq.any():
+        return hashes
+    out = hashes.copy()
+    hw = out[freq]
+    for _ in range(iterations):
+        hw = wang_hash_64(hw)
+    out[freq] = hw | _WEIGHT_TOPBIT
+    return out
+
+
+def _windowed_min(h: np.ndarray, span: int) -> np.ndarray:
+    """Min over [i, i+span) for each window start i (1-D)."""
+    nw = len(h) - span + 1
+    mins = h[:nw].copy()
+    for j in range(1, span):
+        np.minimum(mins, h[j : j + nw], out=mins)
+    return mins
+
+
+def extract_syncmers(codes: np.ndarray, k: int,
+                     s: int = DEFAULT_SMER
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Closed syncmers (`vg minimizer -c`, reference
+    src/subcommand/minimizer_main.cpp:147-149, gbwtgraph syncmer index):
+    a kmer is selected iff the minimum-hash s-mer inside it sits at the
+    FIRST or LAST of its k-s+1 positions. Selection is computed on the
+    canonical orientation of each kmer; because reversal maps end
+    positions to end positions, the rule is strand-symmetric and both
+    strands of a match select the same kmers. Returns (offsets, keys,
+    is_rev) like extract_minimizers."""
+    n = len(codes)
+    if n < k:
+        return (np.zeros(0, np.int64), np.zeros(0, np.uint64),
+                np.zeros(0, bool))
+    fwd, rev, valid = _rolling_kmers(codes, k)
+    canon_rev = rev < fwd
+    keys = np.where(canon_rev, rev, fwd)
+    sf, sr, _sv = _rolling_kmers(codes, s)
+    hf = wang_hash_64(sf)
+    hr = wang_hash_64(sr)
+    m = n - k + 1
+    span = k - s + 1
+    minf = _windowed_min(hf, span)[:m]
+    minr = _windowed_min(hr, span)[:m]
+    # ends of the smer run inside kmer i: positions i and i+k-s
+    first = np.where(canon_rev, hr[:m], hf[:m])
+    last = np.where(canon_rev, hr[k - s : k - s + m], hf[k - s : k - s + m])
+    wmin = np.where(canon_rev, minr, minf)
+    chosen = ((first == wmin) | (last == wmin)) & valid
+    offs = np.nonzero(chosen)[0].astype(np.int64)
+    return offs, keys[offs], canon_rev[offs]
+
+
+def extract_syncmers_batch(codes2d: np.ndarray, k: int, s: int = DEFAULT_SMER
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                      np.ndarray]:
+    """Batch closed-syncmer extraction (per-read identical to
+    extract_syncmers)."""
+    out_r: List[np.ndarray] = []
+    out_o: List[np.ndarray] = []
+    out_k: List[np.ndarray] = []
+    out_v: List[np.ndarray] = []
+    for i in range(codes2d.shape[0]):
+        offs, keys, crev = extract_syncmers(codes2d[i], k, s)
+        out_r.append(np.full(len(offs), i, np.int64))
+        out_o.append(offs)
+        out_k.append(keys)
+        out_v.append(crev)
+    if not out_r:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.uint64), np.zeros(0, bool)
+    return (np.concatenate(out_r), np.concatenate(out_o),
+            np.concatenate(out_k), np.concatenate(out_v))
+
+
+def count_text_kmers(haps: HaplotypeSet, k: int,
+                     threshold: int) -> np.ndarray:
+    """Canonical kmers of the haplotype text with > threshold
+    occurrences (sorted) — the frequent set for weighted minimizers
+    (reference find_frequent_kmers, gbwtgraph_helper.cpp:420-444)."""
+    parts_k: List[np.ndarray] = []
+    parts_c: List[np.ndarray] = []
+    for h in range(haps.count):
+        t0, t1 = haps.hap_text_range(h)
+        fwd, rev, valid = _rolling_kmers(haps.text[t0:t1], k)
+        keys = np.where(rev < fwd, rev, fwd)[valid]
+        uniq, c = np.unique(keys, return_counts=True)
+        parts_k.append(uniq)
+        parts_c.append(c)
+    if not parts_k:
+        return np.zeros(0, np.uint64)
+    allk = np.concatenate(parts_k)
+    allc = np.concatenate(parts_c)
+    order = np.argsort(allk, kind="stable")
+    allk, allc = allk[order], allc[order]
+    new = np.ones(len(allk), bool)
+    new[1:] = allk[1:] != allk[:-1]
+    gid = np.cumsum(new) - 1
+    totals = np.zeros(int(gid[-1]) + 1 if len(gid) else 0, np.int64)
+    np.add.at(totals, gid, allc)
+    uniq = allk[new]
+    return uniq[totals > threshold]
+
+
 @dataclass
 class MinimizerHit:
     text_pos: int
@@ -198,29 +338,80 @@ class MinimizerHit:
 
 
 class MinimizerIndex:
-    """Sorted-array minimizer index over a HaplotypeSet's text."""
+    """Sorted-array minimizer index over a HaplotypeSet's text.
+
+    scheme='minimizer' is the (k,w) default; scheme='syncmer' indexes
+    closed syncmers with s-mer length `smer` (`vg minimizer -c -s`,
+    reference minimizer_main.cpp:147-149 — the window parameter is
+    ignored). `frequent` (sorted uint64 keys) enables weighted-minimizer
+    downweighting (`vg minimizer -W`); read seeding consults the same
+    set via extract()/extract_batch() so both sides elect identical
+    kmers."""
 
     def __init__(self, k: int = DEFAULT_K, w: int = DEFAULT_W,
-                 max_alt_positions: int = 4):
+                 max_alt_positions: int = 4, scheme: str = "minimizer",
+                 smer: int = DEFAULT_SMER,
+                 frequent: Optional[np.ndarray] = None,
+                 weight_iterations: int = WEIGHT_ITERATIONS):
         self.k = k
         self.w = w
         self.max_alt_positions = max_alt_positions
+        self.scheme = scheme
+        self.smer = smer
+        self.frequent = frequent
+        self.weight_iterations = weight_iterations
         self.keys = np.zeros(0, np.uint64)
         self.offsets = np.zeros(1, np.int64)   # per-key range into positions
         self.pos_text = np.zeros(0, np.int64)
         self.pos_rev = np.zeros(0, bool)
+
+    # -- extraction (index build and read seeding share these) ---------------
+
+    def extract(self, codes: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self.scheme == "syncmer":
+            return extract_syncmers(codes, self.k, self.smer)
+        return extract_minimizers(codes, self.k, self.w, self.frequent,
+                                  self.weight_iterations)
+
+    def extract_batch(self, codes2d: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                 np.ndarray]:
+        if self.scheme == "syncmer":
+            return extract_syncmers_batch(codes2d, self.k, self.smer)
+        return extract_minimizers_batch(codes2d, self.k, self.w,
+                                        self.frequent,
+                                        self.weight_iterations)
+
+    @property
+    def plain_minimizers(self) -> bool:
+        """True when the native (k,w) seeding kernel applies."""
+        return self.scheme == "minimizer" and self.frequent is None
 
     # -- construction ---------------------------------------------------------
 
     @classmethod
     def build(cls, haps: HaplotypeSet, k: int = DEFAULT_K, w: int = DEFAULT_W,
               max_alt_positions: int = 4,
-              threads: int = 4) -> "MinimizerIndex":
+              threads: int = 4, scheme: str = "minimizer",
+              smer: int = DEFAULT_SMER, weighted: bool = False,
+              weight_threshold: int = WEIGHT_THRESHOLD,
+              weight_iterations: int = WEIGHT_ITERATIONS
+              ) -> "MinimizerIndex":
         """Index construction is parallel over haplotypes: the native
         extraction kernel releases the GIL, so a thread pool gives real
         speedup (the reference's index-construction job parallelism,
-        SURVEY.md §2.3, expressed per-haplotype)."""
-        self = cls(k, w, max_alt_positions)
+        SURVEY.md §2.3, expressed per-haplotype). weighted=True first
+        counts text kmers and downweights those above weight_threshold
+        (reference vg minimizer -W / find_frequent_kmers)."""
+        frequent = None
+        if weighted:
+            if scheme == "syncmer":
+                raise ValueError(
+                    "weighted minimizers cannot be used with syncmers")
+            frequent = count_text_kmers(haps, k, weight_threshold)
+        self = cls(k, w, max_alt_positions, scheme=scheme, smer=smer,
+                   frequent=frequent, weight_iterations=weight_iterations)
         all_keys: List[np.ndarray] = []
         all_pos: List[np.ndarray] = []
         all_rev: List[np.ndarray] = []
@@ -228,7 +419,7 @@ class MinimizerIndex:
 
         def extract_one(h):
             t0, t1 = haps.hap_text_range(h)
-            return t0, extract_minimizers(haps.text[t0:t1], k, w)
+            return t0, self.extract(haps.text[t0:t1])
 
         if threads > 1 and haps.count > 1:
             from concurrent.futures import ThreadPoolExecutor

@@ -93,18 +93,28 @@ def load_haplotypes(path: str, graph: ArrayGraph) -> HaplotypeSet:
 def save_minimizer(path: str, idx: MinimizerIndex) -> None:
     meta = {"kind": "vg_tpu.minimizer", "version": FORMAT_VERSION,
             "k": idx.k, "w": idx.w,
-            "max_alt_positions": idx.max_alt_positions}
+            "max_alt_positions": idx.max_alt_positions,
+            "scheme": idx.scheme, "smer": idx.smer,
+            "weight_iterations": idx.weight_iterations}
+    extra = {}
+    if idx.frequent is not None:
+        extra["frequent"] = idx.frequent
     np.savez_compressed(
         path, meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
         keys=idx.keys, offsets=idx.offsets, pos_text=idx.pos_text,
-        pos_rev=idx.pos_rev)
+        pos_rev=idx.pos_rev, **extra)
 
 
 def load_minimizer(path: str) -> MinimizerIndex:
     data = np.load(path)
     meta = _read_meta(data)
     assert meta["kind"] == "vg_tpu.minimizer", f"not a minimizer file: {path}"
-    idx = MinimizerIndex(meta["k"], meta["w"], meta["max_alt_positions"])
+    idx = MinimizerIndex(meta["k"], meta["w"], meta["max_alt_positions"],
+                         scheme=meta.get("scheme", "minimizer"),
+                         smer=meta.get("smer", 18),
+                         frequent=(data["frequent"]
+                                   if "frequent" in data else None),
+                         weight_iterations=meta.get("weight_iterations", 3))
     idx.keys = data["keys"]
     idx.offsets = data["offsets"]
     idx.pos_text = data["pos_text"]

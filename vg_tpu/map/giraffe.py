@@ -275,7 +275,7 @@ class GiraffeMapper:
         p = self.params
         L = len(codes)
         k = self.index.k
-        offs, keys, canon_rev = extract_minimizers(codes, k, self.index.w)
+        offs, keys, canon_rev = self.index.extract(codes)
         if len(offs) == 0:
             return []
         counts = self.index.count(keys)
@@ -384,7 +384,7 @@ class GiraffeMapper:
         # OpenMP over reads; numpy below is the element-identical fallback
         # (also used under --track-provenance, where the intermediate
         # counts feed the funnel's filter-loss table)
-        if not p.track_provenance:
+        if not p.track_provenance and self.index.plain_minimizers:
             from ..native import native_seed_batch
 
             res = native_seed_batch(codes2d, self.index, p, self.haps,
@@ -402,8 +402,7 @@ class GiraffeMapper:
         (cand_start, cand_lo, cand_hi, cand_rev, cand_valid,
          cand_refpath, cand_refoff) = out
 
-        ridx, offs, keys, canon_rev = extract_minimizers_batch(
-            codes2d, k, self.index.w)
+        ridx, offs, keys, canon_rev = self.index.extract_batch(codes2d)
         if len(ridx) == 0:
             return out
         hs, he = self.index.lookup_ranges(keys)

@@ -152,7 +152,7 @@ class LongReadMapper:
         p = self.params
         k = self.index.k
         L = len(codes)
-        offs, keys, canon_rev = extract_minimizers(codes, k, self.index.w)
+        offs, keys, canon_rev = self.index.extract(codes)
         if len(offs) == 0:
             return (np.zeros(0, np.int64),) * 3 + (np.zeros(0, bool),)
         hs, he = self.index.lookup_ranges(keys)

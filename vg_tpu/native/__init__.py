@@ -606,6 +606,25 @@ def native_emit_runs_gam(arrs, out_cap: int = 0):
         out_cap *= 2
 
 
+def native_lr_prof():
+    """(anchor_s, chain_s, stitch_s, link_s, link_cells, link_calls,
+    tail_s) accumulated across threads when VGTPU_LR_PROF=1 was set
+    before the batch calls; zeros otherwise. Times in seconds, counts
+    raw."""
+    L_ = lib()
+    if L_ is None:
+        return (0.0,) * 4 + (0, 0, 0.0)
+    if not hasattr(L_, "_lr_prof_registered"):
+        L_.lr_prof.restype = None
+        L_.lr_prof.argtypes = [ctypes.c_void_p]
+        L_._lr_prof_registered = True
+    out = np.zeros(7, np.int64)
+    L_.lr_prof(out.ctypes.data)
+    return (float(out[0]) / 1e9, float(out[1]) / 1e9, float(out[2]) / 1e9,
+            float(out[3]) / 1e9, int(out[4]), int(out[5]),
+            float(out[6]) / 1e9)
+
+
 def native_longread_map_batch(codes_list, index, lr_params, chain_params,
                               text, hap_starts, scoring,
                               max_cells: int = 4_000_000,

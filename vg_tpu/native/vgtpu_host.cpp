@@ -7,7 +7,10 @@
 // and the banded semiglobal DP traceback used for indel winners.
 // Built on demand with g++ (see vg_tpu/native/__init__.py); every entry
 // point has a numpy fallback so the toolkit works without a toolchain.
+#include <atomic>
+#include <chrono>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 #include <algorithm>
@@ -236,11 +239,13 @@ extern "C" {
 // triples (op, 1, read_pos) in traceback order, op 0=M 1=X 2=I 3=D.
 // Returns score; *n_edits = -1 if (la+1)*(lb+1) > max_cells (caller
 // falls back) or on edit overflow.
-int64_t global_align(const uint8_t* a, int64_t la, const uint8_t* b,
-                     int64_t lb, int32_t match, int32_t mismatch,
-                     int32_t gap_open, int32_t gap_extend,
-                     int64_t max_cells, int32_t* edits, int64_t edit_cap,
-                     int64_t* n_edits) {
+// full-matrix affine global alignment (small problems / banded fallback)
+static int64_t global_align_full(
+    const uint8_t* a, int64_t la, const uint8_t* b,
+    int64_t lb, int32_t match, int32_t mismatch,
+    int32_t gap_open, int32_t gap_extend,
+    int64_t max_cells, int32_t* edits, int64_t edit_cap,
+    int64_t* n_edits) {
     const int64_t NEG = -(1LL << 40);
     *n_edits = 0;
     if (la == 0 && lb == 0) return 0;
@@ -321,6 +326,150 @@ int64_t global_align(const uint8_t* a, int64_t la, const uint8_t* b,
     }
     *n_edits = cnt;
     return score;
+}
+
+// banded affine global alignment in diagonal space: j - i confined to
+// [min(0,d)-B, max(0,d)+B] (d = lb-la). Storage/time O(n * band) — the
+// long-read link stage spent 6.4 ms/read filling full O(n*m) matrices
+// for ~18 links/read of ~240x240 (round-4 profile).
+static int64_t global_align_banded(
+    const uint8_t* a, int64_t la, const uint8_t* b, int64_t lb,
+    int32_t match, int32_t mismatch, int32_t gap_open, int32_t gap_extend,
+    int64_t B, int32_t* edits, int64_t edit_cap, int64_t* n_edits) {
+    const int64_t NEG = -(1LL << 40);
+    *n_edits = 0;
+    const int64_t d = lb - la;
+    const int64_t c_lo = std::min<int64_t>(0, d);
+    const int64_t c_hi = std::max<int64_t>(0, d);
+    const int64_t base = c_lo - B;          // smallest j-i in band
+    const int64_t Wb = (c_hi - c_lo) + 2 * B + 1;
+    std::vector<int64_t> H((la + 1) * Wb, NEG), E((la + 1) * Wb, NEG),
+        F((la + 1) * Wb, NEG);
+    auto col = [&](int64_t i, int64_t j) { return j - i - base; };
+    auto inb = [&](int64_t i, int64_t j) {
+        const int64_t c = col(i, j);
+        return j >= 0 && j <= lb && c >= 0 && c < Wb;
+    };
+    auto gH = [&](int64_t i, int64_t j) {
+        return inb(i, j) ? H[i * Wb + col(i, j)] : NEG;
+    };
+    auto gE = [&](int64_t i, int64_t j) {
+        return inb(i, j) ? E[i * Wb + col(i, j)] : NEG;
+    };
+    auto gF = [&](int64_t i, int64_t j) {
+        return inb(i, j) ? F[i * Wb + col(i, j)] : NEG;
+    };
+    H[col(0, 0)] = 0;
+    for (int64_t j = 1; j <= lb && inb(0, j); j++) {
+        E[col(0, j)] = -(gap_open + (j - 1) * gap_extend);
+        H[col(0, j)] = E[col(0, j)];
+    }
+    for (int64_t i = 1; i <= la; i++) {
+        int64_t jlo = std::max<int64_t>(0, i + base);
+        const int64_t jhi = std::min<int64_t>(lb, i + base + Wb - 1);
+        if (jlo == 0) {
+            F[i * Wb + col(i, 0)] = -(gap_open + (i - 1) * gap_extend);
+            H[i * Wb + col(i, 0)] = F[i * Wb + col(i, 0)];
+            jlo = 1;
+        }
+        const uint8_t ab = a[i - 1];
+        for (int64_t j = jlo; j <= jhi; j++) {
+            const int64_t c = col(i, j);
+            const int64_t sub =
+                (b[j - 1] == ab && ab < 4) ? match : -mismatch;
+            const int64_t diag = gH(i - 1, j - 1) + sub;
+            const int64_t fval = std::max(gH(i - 1, j) - gap_open,
+                                          gF(i - 1, j) - gap_extend);
+            F[i * Wb + c] = fval;
+            const int64_t hn = std::max(diag, fval);
+            const int64_t eval = std::max(gH(i, j - 1) - gap_open,
+                                          gE(i, j - 1) - gap_extend);
+            E[i * Wb + c] = eval;
+            H[i * Wb + c] = std::max(hn, eval);
+        }
+    }
+    const int64_t score = gH(la, lb);
+    // traceback (same state machine/tie-breaks as the full variant)
+    int64_t i = la, j = lb, cnt = 0;
+    int state = 0;
+    auto push = [&](int32_t opc, int64_t rp) -> bool {
+        if (cnt >= edit_cap) return false;
+        edits[cnt * 3] = opc;
+        edits[cnt * 3 + 1] = 1;
+        edits[cnt * 3 + 2] = (int32_t)rp;
+        cnt++;
+        return true;
+    };
+    while (i > 0 || j > 0) {
+        if (state == 0) {
+            if (i > 0 && j > 0) {
+                const int64_t sub = (b[j - 1] == a[i - 1] && a[i - 1] < 4)
+                                        ? match : -mismatch;
+                if (gH(i, j) == gH(i - 1, j - 1) + sub) {
+                    if (!push(sub == match ? 0 : 1, i - 1)) {
+                        *n_edits = -1;
+                        return score;
+                    }
+                    i--; j--;
+                    continue;
+                }
+            }
+            if (j > 0 && gH(i, j) == gE(i, j)) state = 2;
+            else state = 1;
+        } else if (state == 2) {
+            if (!push(3, -1)) { *n_edits = -1; return score; }
+            const bool ext = j > 1 &&
+                gE(i, j) == gE(i, j - 1) - gap_extend &&
+                gE(i, j) != gH(i, j - 1) - gap_open;
+            j--;
+            state = ext ? 2 : 0;
+        } else {
+            if (!push(2, i - 1)) { *n_edits = -1; return score; }
+            const bool ext = i > 1 &&
+                gF(i, j) == gF(i - 1, j) - gap_extend &&
+                gF(i, j) != gH(i - 1, j) - gap_open;
+            i--;
+            state = ext ? 1 : 0;
+        }
+    }
+    *n_edits = cnt;
+    return score;
+}
+
+// driver: band doubling with an EXACT stopping rule. Any alignment
+// whose offset j-i leaves [min(0,d)-B, max(0,d)+B] must contain at
+// least one insertion gap AND one deletion gap with total gap length
+// >= |d| + 2(B+1), so its score is at most
+//   match*min(la,lb) - 2*gap_open - gap_extend*(|d| + 2B).
+// Once the banded score meets that bound (or the band covers the
+// matrix: B >= min(la, lb)), the banded result equals the full DP.
+// Both the fused native stitcher and the python stitcher's link batch
+// call through here, so the two long-read engines stay
+// decode-identical. (A plain "score stable across one doubling" stop
+// was measurably wrong ~4% of the time on double-sided indels.)
+int64_t global_align(const uint8_t* a, int64_t la, const uint8_t* b,
+                     int64_t lb, int32_t match, int32_t mismatch,
+                     int32_t gap_open, int32_t gap_extend,
+                     int64_t max_cells, int32_t* edits, int64_t edit_cap,
+                     int64_t* n_edits) {
+    if ((la + 1) * (lb + 1) > max_cells) { *n_edits = -1; return 0; }
+    if (la == 0 || lb == 0 || (la + 1) * (lb + 1) <= 64 * 64)
+        return global_align_full(a, la, b, lb, match, mismatch, gap_open,
+                                 gap_extend, max_cells, edits, edit_cap,
+                                 n_edits);
+    const int64_t ad = std::llabs(lb - la);
+    int64_t B = 16;
+    for (;;) {
+        const bool full_cover = B >= std::min(la, lb);
+        const int64_t sc = global_align_banded(
+            a, la, b, lb, match, mismatch, gap_open, gap_extend, B,
+            edits, edit_cap, n_edits);
+        const int64_t escape_ub = (int64_t)match * std::min(la, lb)
+            - 2 * (int64_t)gap_open - (int64_t)gap_extend * (ad + 2 * B);
+        if (full_cover || (sc >= escape_ub && *n_edits >= 0))
+            return sc;
+        B *= 2;
+    }
 }
 
 }  // extern "C"
@@ -1204,6 +1353,20 @@ int64_t global_align_batch(
 // with banded semiglobal tails, keep the best segment. Output: merged edit
 // runs (op, len, oriented_read_pos) + geometry per chain.
 
+// stage-time accumulators for the long-read pipeline (ns, across all
+// threads), enabled by VGTPU_LR_PROF=1; read back via lr_prof()
+static std::atomic<int64_t> g_lr_anchor_ns{0}, g_lr_chain_ns{0},
+    g_lr_stitch_ns{0};
+static std::atomic<int64_t> g_lr_link_ns{0}, g_lr_link_cells{0},
+    g_lr_link_calls{0}, g_lr_tail_ns{0};
+static inline int64_t now_ns() {
+    return std::chrono::duration_cast<std::chrono::nanoseconds>(
+        std::chrono::steady_clock::now().time_since_epoch()).count();
+}
+
+
+
+
 namespace lrstitch {
 
 struct Run { int32_t op; int64_t len; int64_t rpos; };
@@ -1291,6 +1454,11 @@ void align_link(const uint8_t* a, int64_t la, const uint8_t* b, int64_t lb,
             res.runs = std::move(rv.v);
             return;
         }
+    }
+    static const bool prof_link = std::getenv("VGTPU_LR_PROF") != nullptr;
+    if (prof_link) {
+        g_lr_link_cells += la * lb;   // slow-path DP cells only
+        g_lr_link_calls += 1;         // slow-path calls only
     }
     int64_t cap = 2 * (la + lb) + 16;
     if ((int64_t)sc.edits.size() < cap * 3) sc.edits.resize(cap * 3);
@@ -1457,14 +1625,17 @@ void stitch_chain(const uint8_t* oriented, int64_t L,
     std::vector<LinkRes> links(std::max<int64_t>(nb - 1, 0));
     int64_t hap = hap_of(hap_starts, n_haps, blocks[0].t);
     int64_t lo_b = hap_starts[hap], hi_b = hap_starts[hap + 1];
+    static const bool prof_fine = std::getenv("VGTPU_LR_PROF") != nullptr;
     for (int64_t bi = 0; bi + 1 < nb; bi++) {
         const Block& pb = blocks[bi];
         const Block& nbk = blocks[bi + 1];
         int64_t ra = pb.r + pb.l, ta = pb.t + pb.l;
         if (nbk.r - ra <= p.max_link_len && nbk.t - ta <= p.max_link_len
             && ta >= lo_b && nbk.t <= hi_b) {
+            const int64_t lt0 = prof_fine ? now_ns() : 0;
             align_link(oriented + ra, nbk.r - ra, text + ta, nbk.t - ta,
                        ra, p, sc, links[bi]);
+            if (prof_fine) g_lr_link_ns += now_ns() - lt0;
         } else {
             hap = hap_of(hap_starts, n_haps, nbk.t);
             lo_b = hap_starts[hap];
@@ -1480,7 +1651,9 @@ void stitch_chain(const uint8_t* oriented, int64_t L,
         int64_t shap = hap_of(hap_starts, n_haps, fb.t);
         int64_t slo = hap_starts[shap], shi = hap_starts[shap + 1];
         TailRes lt;
+        const int64_t tt0 = prof_fine ? now_ns() : 0;
         left_tail(oriented, fb.r, text, fb.t, slo, p, sc, lt);
+        if (prof_fine) g_lr_tail_ns += now_ns() - tt0;
         int64_t score = 0, matches = 0;
         RunVec rv;
         int64_t read_start, t0_abs;
@@ -1509,7 +1682,9 @@ void stitch_chain(const uint8_t* oriented, int64_t L,
             cur_t = blocks[bi].t + blocks[bi].l;
         }
         TailRes rt;
+        const int64_t tt1 = prof_fine ? now_ns() : 0;
         right_tail(oriented, L, cur_r, text, cur_t, shi, p, sc, rt);
+        if (prof_fine) g_lr_tail_ns += now_ns() - tt1;
         int64_t read_end, t1_abs;
         if (rt.ok) {
             score += rt.score;
@@ -1915,6 +2090,16 @@ int64_t emit_runs_gam(
 
 extern "C" {
 
+void lr_prof(int64_t* out) {
+    out[0] = g_lr_anchor_ns.load();
+    out[1] = g_lr_chain_ns.load();
+    out[2] = g_lr_stitch_ns.load();
+    out[3] = g_lr_link_ns.load();
+    out[4] = g_lr_link_cells.load();
+    out[5] = g_lr_link_calls.load();
+    out[6] = g_lr_tail_ns.load();
+}
+
 int64_t longread_map_batch(
     int64_t n_reads, const int64_t* read_off, const uint8_t* codes_blob,
     // minimizer index (sorted unique keys + hit ranges)
@@ -1960,8 +2145,11 @@ int64_t longread_map_batch(
         std::vector<uint64_t> keys;
         std::vector<uint8_t> crev;
         std::vector<uint8_t> rcbuf;
+        const bool prof = std::getenv("VGTPU_LR_PROF") != nullptr;
+        int64_t t_anchor = 0, t_chain = 0, t_stitch = 0;
 #pragma omp for schedule(dynamic)
         for (int64_t ri = 0; ri < n_reads; ri++) {
+            const int64_t tp0 = prof ? now_ns() : 0;
             n_out[ri] = 0;
             const uint8_t* codes = codes_blob + read_off[ri];
             const int64_t L = read_off[ri + 1] - read_off[ri];
@@ -2059,6 +2247,8 @@ int64_t longread_map_batch(
                     anc[strand ? 1 : 0].push_back({ro, pos_text[h], sc_a});
                 }
             }
+            const int64_t tp1 = prof ? now_ns() : 0;
+            if (prof) t_anchor += tp1 - tp0;
             // per strand: sort by (tpos, roff), chain DP, greedy extract
             struct CRec {
                 double cscore; uint8_t rev;
@@ -2136,6 +2326,8 @@ int64_t longread_map_batch(
                     }
                 chains.resize(wkeep);
             }
+            const int64_t tp2 = prof ? now_ns() : 0;
+            if (prof) t_chain += tp2 - tp1;
             // stitch each chain
             int32_t slot = 0;
             for (auto& c : chains) {
@@ -2165,8 +2357,14 @@ int64_t longread_map_batch(
                 slot++;
             }
             n_out[ri] = slot;
+            if (prof) t_stitch += now_ns() - tp2;
             for (int64_t s2 = 0; s2 < max_slots; s2++)
                 VGTPU_HB_RELEASE(&slot_runs[ri * max_slots + s2]);
+        }
+        if (prof) {
+            g_lr_anchor_ns += t_anchor;
+            g_lr_chain_ns += t_chain;
+            g_lr_stitch_ns += t_stitch;
         }
     }
     // serial layout of runs (slot-major)
