@@ -250,7 +250,11 @@ class PairedGiraffeMapper:
         buf, self._ambiguous_buffer = self._ambiguous_buffer, []
         bs = max(self.mapper.params.batch_reads, 64)
         for i in range(0, len(buf), bs):
-            out.extend(self.map_pairs(buf[i : i + bs]))
+            chunk = buf[i : i + bs]
+            n_true = len(chunk)
+            if 0 < n_true < bs:       # reuse the compiled batch shape
+                chunk = chunk + [chunk[-1]] * (bs - n_true)
+            out.extend(self.map_pairs(chunk)[:n_true])
         return out
 
     def finish(self) -> List[Tuple[Alignment, Alignment]]:
@@ -908,15 +912,23 @@ class PairedGiraffeMapper:
                     recs.append(a1.encode())
                     recs.append(a2.encode())
                 return recs
-            # finalized on this batch: flush warmup buffer afterwards
+            # finalized on this batch: flush warmup buffer afterwards.
+            # Pad short chunks up to the compiled batch shape (same ~12s
+            # recompile avoidance as stage_score) and drop the padding
+            # records after encoding.
             buf, self._ambiguous_buffer = self._ambiguous_buffer, []
             bs = max(m.params.batch_reads, 64)
             for i in range(0, len(buf), bs):
-                chunk = self.map_pairs_encoded(buf[i : i + bs])
+                chunk_pairs = buf[i : i + bs]
+                n_true = len(chunk_pairs)
+                if 0 < n_true < bs:
+                    chunk_pairs = chunk_pairs + [chunk_pairs[-1]] * (
+                        bs - n_true)
+                chunk = self.map_pairs_encoded(chunk_pairs)
                 if chunk is None:
                     chunk = [a.encode()
-                             for a in self.map_pairs_flat(buf[i : i + bs])]
-                extra.extend(chunk)
+                             for a in self.map_pairs_flat(chunk_pairs)]
+                extra.extend(chunk[: 2 * n_true])
         self._rescue(sb1, sb2)
         self._rescue(sb2, sb1)
         out = self._emit_pairs_encoded(pairs, sb1, sb2)

@@ -229,6 +229,54 @@ def native_emit_gapless_gam(arrs, out_cap):
     return out, rec_off
 
 
+def _key_buckets(index):
+    """(bucket_off int64, shift) over the sorted key array: bucket_off[b]
+    = first index with key >= (b << shift). Narrows each key lookup's
+    binary search from the full 8M-entry array (~23 DRAM misses) to one
+    ~8-entry bucket. Built once per index, cached on the object."""
+    kb = getattr(index, "_key_buckets", None)
+    if kb is None:
+        bits = 2 * index.k              # canonical kmer keys < 4^k
+        shift = max(0, bits - 20)       # <= 2^20 buckets
+        nb = 1 << (bits - shift)
+        bounds = np.arange(1, nb + 1, dtype=np.uint64) << np.uint64(shift)
+        off = np.zeros(nb + 1, np.int64)
+        off[1:] = np.searchsorted(index.keys, bounds, side="left")
+        kb = index._key_buckets = (off, shift)
+    return kb
+
+
+def _step_buckets(haps):
+    """Same accelerator over step_text_pos[1..n] (the text-pos -> step
+    refproj search): bucket width 1024 bp."""
+    sb = getattr(haps, "_step_buckets", None)
+    if sb is None:
+        shift = 10
+        T = len(haps.text)
+        nb = (T >> shift) + 2
+        sp = haps.step_text_pos[1 : 1 + len(haps.steps)]
+        bounds = np.arange(1, nb + 1, dtype=np.int64) << shift
+        off = np.zeros(nb + 1, np.int64)
+        off[1:] = np.searchsorted(sp, bounds, side="left")
+        sb = haps._step_buckets = (off, shift)
+    return sb
+
+
+def native_seed_prof():
+    """(extract_s, lookup_s, cluster_s, refproj_s) thread-seconds when
+    VGTPU_SEED_PROF=1; zeros otherwise."""
+    L_ = lib()
+    if L_ is None:
+        return (0.0,) * 4
+    if not hasattr(L_, "_seed_prof_registered"):
+        L_.seed_prof.restype = None
+        L_.seed_prof.argtypes = [ctypes.c_void_p]
+        L_._seed_prof_registered = True
+    out = np.zeros(4, np.int64)
+    L_.seed_prof(out.ctypes.data)
+    return tuple(float(x) / 1e9 for x in out)
+
+
 def native_seed_batch(codes2d: np.ndarray, index, params, haps,
                       node_ref_path: np.ndarray, node_ref_off: np.ndarray):
     """Full batch seeding in C++ (minimizers -> lookup -> soft caps ->
@@ -252,6 +300,8 @@ def native_seed_batch(codes2d: np.ndarray, index, params, haps,
             + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            + [ctypes.c_void_p, ctypes.c_int32,
+               ctypes.c_void_p, ctypes.c_int32]
             + [ctypes.c_void_p] * 7)
         L_._seed_registered = True
     codes2d = np.ascontiguousarray(codes2d, np.uint8)
@@ -265,6 +315,8 @@ def native_seed_batch(codes2d: np.ndarray, index, params, haps,
     cand_refpath = np.full((R, C), -1, np.int32)
     cand_refoff = np.zeros((R, C), np.int64)
     pos_rev = np.ascontiguousarray(index.pos_rev, np.uint8)
+    kb_off, kb_shift = _key_buckets(index)
+    sb_off, sb_shift = _step_buckets(haps)
     rc = L_.seed_batch(
         codes2d.ctypes.data, R, L, index.k, index.w,
         index.keys.ctypes.data, len(index.keys), index.offsets.ctypes.data,
@@ -277,6 +329,7 @@ def native_seed_batch(codes2d: np.ndarray, index, params, haps,
         len(haps.steps), haps.graph.seq_start.ctypes.data,
         node_ref_path.ctypes.data, node_ref_off.ctypes.data,
         len(haps.text),
+        kb_off.ctypes.data, kb_shift, sb_off.ctypes.data, sb_shift,
         cand_start.ctypes.data, cand_lo.ctypes.data, cand_hi.ctypes.data,
         cand_rev.ctypes.data, cand_valid.ctypes.data,
         cand_refpath.ctypes.data, cand_refoff.ctypes.data)
@@ -656,6 +709,7 @@ def native_longread_map_batch(codes_list, index, lr_params, chain_params,
                ctypes.c_int32]
             + [ctypes.c_double] * 6
             + [ctypes.c_int64]
+            + [ctypes.c_void_p, ctypes.c_int32]
             + [ctypes.c_void_p] * 8
             + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p])
         L_._lrm_registered = True
@@ -706,6 +760,7 @@ def native_longread_map_batch(codes_list, index, lr_params, chain_params,
             lr_params.link_gap_base, lr_params.link_gap_per_base,
             float(lr_params.link_gap_cap),
             max_cells,
+            _key_buckets(index)[0].ctypes.data, _key_buckets(index)[1],
             n_out.ctypes.data, rev.ctypes.data, score.ctypes.data,
             matches.ctypes.data, rs.ctypes.data, re_.ctypes.data,
             t0.ctypes.data, t1.ctypes.data,

@@ -14,6 +14,11 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+
+static inline int64_t now_ns() {
+    return std::chrono::duration_cast<std::chrono::nanoseconds>(
+        std::chrono::steady_clock::now().time_since_epoch()).count();
+}
 #include <cmath>
 
 // TSan cannot see libgomp's end-of-parallel-region barrier (libgomp is
@@ -785,7 +790,18 @@ struct ClusterRec {
 
 }  // namespace
 
+// seed-stage time accumulators (ns, across threads), VGTPU_SEED_PROF=1
+static std::atomic<int64_t> g_seed_extract_ns{0}, g_seed_lookup_ns{0},
+    g_seed_cluster_ns{0}, g_seed_refproj_ns{0};
+
 extern "C" {
+
+void seed_prof(int64_t* out) {
+    out[0] = g_seed_extract_ns.load();
+    out[1] = g_seed_lookup_ns.load();
+    out[2] = g_seed_cluster_ns.load();
+    out[3] = g_seed_refproj_ns.load();
+}
 
 int64_t seed_batch(
     const uint8_t* codes2d, int64_t R, int64_t L, int32_t k, int32_t w,
@@ -798,9 +814,16 @@ int64_t seed_batch(
     const int64_t* seq_start,
     const int32_t* node_ref_path, const int64_t* node_ref_off,
     int64_t T,
+    // bucket accelerators (optional, may be null): key_bucket_off[b] =
+    // first index in idx_keys with key >= (b << key_shift) — narrows the
+    // 8M-entry binary search (~23 DRAM misses) to one small bucket;
+    // step_bucket_off likewise over step_text_pos[1..n_steps]
+    const int64_t* key_bucket_off, int32_t key_shift,
+    const int64_t* step_bucket_off, int32_t step_shift,
     int32_t* cand_start, int32_t* cand_lo, int32_t* cand_hi,
     uint8_t* cand_rev, uint8_t* cand_valid,
     int32_t* cand_refpath, int64_t* cand_refoff) {
+    const bool prof = std::getenv("VGTPU_SEED_PROF") != nullptr;
 #pragma omp parallel
     {
         std::vector<int64_t> moffs(L);
@@ -810,8 +833,10 @@ int64_t seed_batch(
         std::vector<ClusterRec> clusters;
         std::vector<int32_t> sel_order;
         std::vector<int64_t> seen_roff;
+        int64_t t_ex = 0, t_lu = 0, t_cl = 0, t_rp = 0;
 #pragma omp for schedule(dynamic, 16)
         for (int64_t r = 0; r < R; r++) {
+            const int64_t pt0 = prof ? now_ns() : 0;
             int32_t* cs = cand_start + r * C;
             int32_t* clo = cand_lo + r * C;
             int32_t* chi = cand_hi + r * C;
@@ -828,6 +853,8 @@ int64_t seed_batch(
             const int64_t cnt = extract_minimizers(
                 codes2d + r * L, L, k, w, moffs.data(), mkeys.data(),
                 mrev.data());
+            const int64_t pt1 = prof ? now_ns() : 0;
+            if (prof) t_ex += pt1 - pt0;
             if (cnt == 0) continue;
 
             // index lookup + hard cap + minimizer score
@@ -835,11 +862,17 @@ int64_t seed_batch(
             std::vector<int64_t> hs(cnt), cnts(cnt);
             std::vector<double> mscore(cnt);
             for (int64_t i = 0; i < cnt; i++) {
-                const uint64_t* p = std::lower_bound(
-                    idx_keys, idx_keys + n_keys, mkeys[i]);
+                const uint64_t* lo_p = idx_keys;
+                const uint64_t* hi_p = idx_keys + n_keys;
+                if (key_bucket_off) {
+                    const uint64_t b = mkeys[i] >> key_shift;
+                    lo_p = idx_keys + key_bucket_off[b];
+                    hi_p = idx_keys + key_bucket_off[b + 1];
+                }
+                const uint64_t* p = std::lower_bound(lo_p, hi_p, mkeys[i]);
                 int64_t ki = p - idx_keys;
                 int64_t c = 0, s = 0;
-                if (ki < n_keys && *p == mkeys[i]) {
+                if (ki < n_keys && idx_keys[ki] == mkeys[i]) {
                     s = idx_offsets[ki];
                     c = idx_offsets[ki + 1] - s;
                 }
@@ -855,6 +888,8 @@ int64_t seed_batch(
                 // engines tie-break candidates identically
                 mscore[i] = std::nearbyint(mscore[i] * 256.0) / 256.0;
             }
+            const int64_t pt2 = prof ? now_ns() : 0;
+            if (prof) t_lu += pt2 - pt1;
             // soft-cap selection in descending score order (stable)
             sel_order.clear();
             double total = 0.0;
@@ -927,6 +962,8 @@ int64_t seed_batch(
                              [](const ClusterRec& a, const ClusterRec& b) {
                                  return a.score > b.score;
                              });
+            const int64_t pt3 = prof ? now_ns() : 0;
+            if (prof) t_cl += pt3 - pt2;
             const int32_t nc = std::min<int64_t>(clusters.size(), C);
             for (int32_t j = 0; j < nc; j++) {
                 const ClusterRec& cl = clusters[j];
@@ -943,9 +980,15 @@ int64_t seed_batch(
                 cval[j] = 1;
                 const int64_t a2 =
                     std::min(std::max(anchor, lo), hi - 1);
+                const int64_t* sp_lo = step_text_pos + 1;
+                const int64_t* sp_hi = step_text_pos + 1 + n_steps;
+                if (step_bucket_off) {
+                    const int64_t b = a2 >> step_shift;
+                    sp_lo = step_text_pos + 1 + step_bucket_off[b];
+                    sp_hi = step_text_pos + 1 + step_bucket_off[b + 1];
+                }
                 const int64_t si =
-                    std::upper_bound(step_text_pos + 1,
-                                     step_text_pos + 1 + n_steps, a2)
+                    std::upper_bound(sp_lo, sp_hi, a2)
                     - (step_text_pos + 1);
                 const int64_t h = steps[si];
                 const int64_t nidx = h >> 1;
@@ -956,6 +999,13 @@ int64_t seed_batch(
                 crp[j] = node_ref_path[nidx];
                 cro[j] = node_ref_off[nidx] + fwd;
             }
+            if (prof) t_rp += now_ns() - pt3;
+        }
+        if (prof) {
+            g_seed_extract_ns += t_ex;
+            g_seed_lookup_ns += t_lu;
+            g_seed_cluster_ns += t_cl;
+            g_seed_refproj_ns += t_rp;
         }
     }
     return 0;
@@ -1359,10 +1409,6 @@ static std::atomic<int64_t> g_lr_anchor_ns{0}, g_lr_chain_ns{0},
     g_lr_stitch_ns{0};
 static std::atomic<int64_t> g_lr_link_ns{0}, g_lr_link_cells{0},
     g_lr_link_calls{0}, g_lr_tail_ns{0};
-static inline int64_t now_ns() {
-    return std::chrono::duration_cast<std::chrono::nanoseconds>(
-        std::chrono::steady_clock::now().time_since_epoch()).count();
-}
 
 
 
@@ -2122,6 +2168,9 @@ int64_t longread_map_batch(
     double lm_base, double lm_per_base, double lm_cap,
     double lg_base, double lg_per_base, double lg_cap,
     int64_t max_cells,
+    // key-lookup bucket accelerator (optional, may be null) — same
+    // contract as seed_batch's key_bucket_off
+    const int64_t* key_bucket_off, int32_t key_shift,
     // outputs: up to max_chains records per read, laid out at
     // read_i * max_chains + slot; n_out[read] = used slots
     int32_t* n_out, uint8_t* out_rev, int32_t* out_score,
@@ -2164,9 +2213,13 @@ int64_t longread_map_batch(
             std::vector<Min> mins;
             mins.reserve(nm);
             for (int64_t i = 0; i < nm; i++) {
-                // lower_bound over sorted keys
-                int64_t lo = 0, hi = n_keys;
+                // lower_bound over sorted keys (bucket-narrowed)
                 const uint64_t key = keys[i];
+                int64_t lo = 0, hi = n_keys;
+                if (key_bucket_off) {
+                    lo = key_bucket_off[key >> key_shift];
+                    hi = key_bucket_off[(key >> key_shift) + 1];
+                }
                 while (lo < hi) {
                     int64_t mid = (lo + hi) / 2;
                     if (idx_keys[mid] < key) lo = mid + 1; else hi = mid;

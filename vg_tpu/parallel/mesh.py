@@ -101,9 +101,29 @@ def winner_mismatch_bits(text, text_len, text_packed, B,
            & (pos >= 0) & (pos < T))
     if text_packed:
         # 4-bit packed text (pallas_align.pack_text): base at p is
-        # nibble p%8 of int32 word p//8
-        word = text[jnp.clip(pos >> 3, 0, text.shape[0] - 1)]
-        base = ((word >> ((pos & 7) * 4)) & 15).astype(jnp.uint8)
+        # nibble p%8 of int32 word p//8. Gather at WORD granularity in
+        # row-major (R, NW) form — an (R, RL) per-base gather costs 8x
+        # the elements and each element-gather is ~tens of ns on TPU
+        # (measured ~60 ms/step at R=8192); nibble expansion and the
+        # 0..7-base misalignment are vectorized instead (same trick as
+        # banded_scores_packed, here along rows).
+        from jax import lax
+
+        R = reads.shape[0]
+        NW = (RL + 7) // 8 + 1
+        w0 = diag >> 3
+        widx = w0[:, None] + jnp.arange(NW, dtype=jnp.int32)[None, :]
+        words = text[jnp.clip(widx, 0, text.shape[0] - 1)]   # (R, NW)
+        rep = jnp.repeat(words, 8, axis=1)                   # (R, NW*8)
+        shifts = ((jnp.arange(NW * 8, dtype=jnp.uint32) % 8) * 4)[None, :]
+        bases = ((rep.astype(jnp.uint32) >> shifts)
+                 & jnp.uint32(15)).astype(jnp.uint8)   # text[w0*8 + i]
+        mis = (diag & 7)                               # 0..7 base offset
+        base = jnp.zeros((R, RL), jnp.uint8)
+        for off in range(8):
+            base = jnp.where((mis == off)[:, None],
+                             lax.slice(bases, (0, off), (R, off + RL)),
+                             base)
         tw = jnp.where(okm, base, jnp.uint8(align_ops.SENTINEL))
     else:
         tw = jnp.where(okm, text[jnp.clip(pos, 0, text.shape[0] - 1)],
