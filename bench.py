@@ -262,6 +262,130 @@ def simulate_pairs(rng, haps, n_pairs, read_len=150, err=0.01,
     return out
 
 
+def scale_fixture(cache_dir=None, ref_mbp=50.0, n_samples=10):
+    """Build (or load from a disk cache) the chromosome-scale fixture:
+    ref_mbp reference x (2*n_samples + 1) haplotypes — the default is a
+    1.05 Gbp haplotype text, the workload class the reference's 56.3k
+    baseline was measured on (whole-human HGSVC graph,
+    scripts/giraffe-speed.sh:42-76). Deterministic (seed 7), so the
+    cache is safe to reuse across runs."""
+    import time as _t
+
+    from vg_tpu.index.haplotypes import thread_haplotypes
+    from vg_tpu.index.minimizer import MinimizerIndex
+    from vg_tpu.io import native as _io_native
+
+    cache_dir = cache_dir or os.environ.get(
+        "SCALE_CACHE", "/tmp/vg_tpu_scale_cache")
+    tag = f"{ref_mbp:g}m{n_samples}"
+    gp = f"{cache_dir}/{tag}.vgz.npz"
+    hp = f"{cache_dir}/{tag}.hpt.npz"
+    mp = f"{cache_dir}/{tag}.min.npz"
+    if os.path.exists(mp):
+        t0 = _t.time()
+        g = _io_native.load_graph(gp)
+        haps = _io_native.load_haplotypes(hp, g)
+        idx = _io_native.load_minimizer(mp)
+        sys.stderr.write(f"[bench] scale fixture loaded from cache in "
+                         f"{_t.time()-t0:.0f}s\n")
+        return haps, idx
+    rng = np.random.default_rng(7)
+    t0 = _t.time()
+    g, results, vcf = make_pangenome(
+        rng, ref_len=int(ref_mbp * 1e6), snp_rate=0.001, indel_rate=0.0001)
+    vcf.samples = [f"s{i}" for i in range(n_samples)]
+    for rec in vcf.records:
+        rec.genotypes = [
+            ((int(rng.integers(0, 2)), int(rng.integers(0, 2))), True)
+            for _ in range(n_samples)]
+    haps = thread_haplotypes(g, results, vcf)
+    idx = MinimizerIndex.build(haps)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        _io_native.save_graph(gp, g)
+        _io_native.save_haplotypes(hp, haps)
+        _io_native.save_minimizer(mp, idx)
+    except OSError as e:  # cache is best-effort
+        sys.stderr.write(f"[bench] scale cache write failed: {e}\n")
+    sys.stderr.write(f"[bench] scale fixture built in {_t.time()-t0:.0f}s\n")
+    return haps, idx
+
+
+def run_scale_sidecar(on_tpu):
+    """Chromosome-scale throughput sidecar (round-3 verdict item 1): map
+    ~295k fresh 150bp pairs against a 1.05 Gbp haplotype text on the
+    chip and report steady reads/s vs the same 56.3k baseline. Returns a
+    dict for the result JSON, or None when skipped. MEM fallback is off
+    here (its suffix array is a 354s one-time build that contributes
+    nothing to the timed loop on this read set; the main headline runs
+    with it on)."""
+    mode = os.environ.get("BENCH_SCALE", "auto")
+    if mode == "0":
+        return None
+    if not on_tpu and mode != "1":
+        sys.stderr.write("[bench] scale sidecar skipped (CPU fallback)\n")
+        return None
+    from vg_tpu.map.giraffe import GiraffeMapper, GiraffeParams
+    from vg_tpu.map.paired import PairedGiraffeMapper
+    from vg_tpu.parallel.pipeline import map_pairs_encoded_mt
+
+    haps, idx = scale_fixture()
+    rng = np.random.default_rng(23)
+    bs = int(os.environ.get("BENCH_SCALE_BATCH", "6144"))
+    nb = int(os.environ.get("BENCH_SCALE_BATCHES", "24"))
+    m = GiraffeMapper(haps, idx, GiraffeParams(batch_reads=bs,
+                                               mem_fallback=False))
+    pm = PairedGiraffeMapper(m)
+    pairs = simulate_pairs(rng, haps, bs * (nb + 1))
+    truth = simulate_pairs.last_truth
+    pm.map_pairs(pairs[:bs])                 # warmup: compile + fragdist
+    pm.stage_emit(pm.stage_rescue(pm.stage_score(pairs[:bs])))
+    t0 = time.time()
+    n = 0
+    ticks = [t0]
+    sizes = []
+    sample = []
+    for recs in map_pairs_encoded_mt(
+            pm, (pairs[bs * (k + 1) : bs * (k + 2)] for k in range(nb))):
+        if not sample:
+            sample = recs[:4096]
+        n += len(recs)
+        ticks.append(time.time())
+        sizes.append(len(recs))
+    dt = time.time() - t0
+    overall = n / dt
+    steady = ((n - sizes[0]) / (ticks[-1] - ticks[1])
+              if len(ticks) >= 4 and ticks[-1] > ticks[1] else overall)
+    # accuracy on the workload: decoded read1 refpos vs simulation truth
+    acc = None
+    try:
+        from vg_tpu.io.gam import Alignment
+
+        ok = tot = 0
+        for kk in range(0, min(len(sample), 4096), 2):
+            r1 = Alignment.decode(bytes(sample[kk]))
+            t_text = truth[bs + kk // 2]
+            want_rp, want_ro = m._diag_refproj(
+                np.array([[t_text - m.params.band_radius]]),
+                np.array([[True]]))
+            tot += 1
+            if r1.refpos and abs(int(r1.refpos[0].offset)
+                                 - int(want_ro[0, 0])) <= 200:
+                ok += 1
+        acc = ok / max(tot, 1)
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"[bench] scale accuracy check failed: {e}\n")
+    sys.stderr.write(
+        f"[bench] scale (1.05 Gbp text): {n} reads in {dt:.2f}s; reads/s "
+        f"steady={steady:.0f} overall={overall:.0f} "
+        f"accuracy={acc if acc is None else round(acc, 4)}\n")
+    return {"text_bp": int(haps.total_len),
+            "reads_per_s": round(steady, 1),
+            "overall_reads_per_s": round(overall, 1),
+            "vs_baseline": round(steady / BASELINE_READS_PER_S, 4),
+            "accuracy": None if acc is None else round(acc, 4)}
+
+
 def main():
     on_tpu, note = init_backend()
 
@@ -528,6 +652,14 @@ def main():
     }
     if note:
         result["note"] = note
+    # chromosome-scale sidecar (1.05 Gbp text): the baseline's own
+    # workload class — recorded in the same JSON line
+    try:
+        scale = run_scale_sidecar(on_tpu)
+        if scale is not None:
+            result["scale"] = scale
+    except Exception as e:  # the sidecar must never kill the bench
+        sys.stderr.write(f"[bench] scale sidecar failed: {e}\n")
     print(json.dumps(result))
 
 

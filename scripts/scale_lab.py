@@ -20,44 +20,12 @@ CACHE = os.environ.get("SCALE_CACHE", "/tmp/scale_cache")
 
 
 def get_fixture():
-    from vg_tpu.index.haplotypes import thread_haplotypes
-    from vg_tpu.index.minimizer import MinimizerIndex
-    from vg_tpu.io import native
-
-    mbp = float(os.environ.get("SCALE_MBP", "50"))
-    ns = int(os.environ.get("SCALE_SAMPLES", "10"))
-    tag = f"{mbp:g}m{ns}"
-    gp = f"{CACHE}/{tag}.vgz.npz"
-    hp = f"{CACHE}/{tag}.hpt.npz"
-    mp = f"{CACHE}/{tag}.min.npz"
-    if os.path.exists(mp):
-        t0 = time.time()
-        g = native.load_graph(gp)
-        haps = native.load_haplotypes(hp, g)
-        idx = native.load_minimizer(mp)
-        print(f"[lab] fixture loaded from cache in {time.time()-t0:.0f}s "
-              f"({haps.total_len/1e9:.2f} Gbp)", flush=True)
-        return haps, idx
     import bench as B
 
-    rng = np.random.default_rng(7)
-    t0 = time.time()
-    g, results, vcf = B.make_pangenome(
-        rng, ref_len=int(mbp * 1e6), snp_rate=0.001, indel_rate=0.0001)
-    vcf.samples = [f"s{i}" for i in range(ns)]
-    for rec in vcf.records:
-        rec.genotypes = [
-            ((int(rng.integers(0, 2)), int(rng.integers(0, 2))), True)
-            for _ in range(ns)]
-    haps = thread_haplotypes(g, results, vcf)
-    idx = MinimizerIndex.build(haps)
-    os.makedirs(CACHE, exist_ok=True)
-    native.save_graph(gp, g)
-    native.save_haplotypes(hp, haps)
-    native.save_minimizer(mp, idx)
-    print(f"[lab] fixture built + cached in {time.time()-t0:.0f}s",
-          flush=True)
-    return haps, idx
+    return B.scale_fixture(
+        cache_dir=CACHE,
+        ref_mbp=float(os.environ.get("SCALE_MBP", "50")),
+        n_samples=int(os.environ.get("SCALE_SAMPLES", "10")))
 
 
 def main():

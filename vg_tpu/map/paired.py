@@ -124,6 +124,12 @@ class PairedGiraffeMapper:
         self.stage_seconds = {"score": 0.0, "rescue": 0.0, "emit": 0.0,
                               "dev_wait": 0.0}
         self.stage_reads = 0
+        import threading as _threading
+
+        self._stat_lock = _threading.Lock()
+        # serializes warmup-item emission (mutates the fragment model)
+        # when the pipeline runs multiple emitter threads
+        self._emit_lock = _threading.Lock()
 
     # ------------------------------------------------------------ warmup
 
@@ -1043,21 +1049,28 @@ class PairedGiraffeMapper:
         return ("main", batch, sb1, sb2, st1, st2)
 
     def stage_emit(self, item):
-        """Final pipeline stage: finish rescues, pair, emit encoded."""
+        """Final pipeline stage: finish rescues, pair, emit encoded.
+        Safe to call from multiple emitter threads on DISTINCT items
+        once the fragment model is finalized (batch-local state only);
+        warmup items mutate the fragment model / ambiguous buffer and
+        are serialized by the emit lock."""
         _t0 = _time.time()
         out = self._stage_emit_inner(item)
         batch = item[1]
         if isinstance(batch, _PaddedBatch) and out is not None:
             out = out[: 2 * batch.true_len]
-        self.stage_seconds["emit"] += _time.time() - _t0
+        dt = _time.time() - _t0
+        with self._stat_lock:
+            self.stage_seconds["emit"] += dt
         return out
 
     def _stage_emit_inner(self, item):
         if item[0] == "warmup":
             _, batch, scored = item
-            recs = self.map_pairs_encoded(batch, scored=scored)
-            if recs is None:
-                recs = [a.encode() for a in self.map_pairs_flat(batch)]
+            with self._emit_lock:
+                recs = self.map_pairs_encoded(batch, scored=scored)
+                if recs is None:
+                    recs = [a.encode() for a in self.map_pairs_flat(batch)]
             return recs
         if item[0] == "main_dev":
             _, batch, sb1, sb2, st1, st2, selh = item

@@ -162,6 +162,17 @@ def derive_candidate_meta(diag, hb, stp, steps, node_len, nrp, nro):
 
 # ------------------------------------------------------- full paired step
 
+def _top2(sm, NEGF):
+    """(max, second-max) along the candidate axis. A full jnp.sort over
+    the (R, C) minor dim measured 5.3 ms/call on v5e (lane-padded sort
+    lowering); two reductions are ~free."""
+    t0 = sm.max(axis=1)
+    am = jnp.argmax(sm, axis=1)
+    masked = jnp.where(jnp.arange(sm.shape[1])[None, :] == am[:, None],
+                       NEGF, sm)
+    return t0, masked.max(axis=1)
+
+
 def _distinct_mask(scores, rev, rp, ro, valid, tol):
     """Keep only the best-scoring candidate per distinct placement
     (jnp port of GiraffeMapper._distinct_placements)."""
@@ -356,14 +367,12 @@ def make_paired_step(band_radius: int = 16, match: int = 1,
         # fragment statistics over confident proper pairs (the warmup
         # allgather): per-shard sums reduce across the mesh because the
         # outputs are replicated while inputs are sharded
-        sm2_1 = jnp.where(vd1, f1, NEGF)
-        top1 = jnp.sort(sm2_1, axis=1)[:, ::-1]
+        t1a, t1b = _top2(jnp.where(vd1, f1, NEGF), NEGF)
         uniq1 = (s1b >= 0.8 * rl1) & (
-            (vd1.sum(1) <= 1) | (top1[:, 1] < top1[:, 0] - 5))
-        sm2_2 = jnp.where(vd2, f2, NEGF)
-        top2 = jnp.sort(sm2_2, axis=1)[:, ::-1]
+            (vd1.sum(1) <= 1) | (t1b < t1a - 5))
+        t2a, t2b = _top2(jnp.where(vd2, f2, NEGF), NEGF)
         uniq2 = (s2b >= 0.8 * rl2) & (
-            (vd2.sum(1) <= 1) | (top2[:, 1] < top2[:, 0] - 5))
+            (vd2.sum(1) <= 1) | (t2b < t2a - 5))
         obs = (use_pair & uniq1 & uniq2 & (frags > 0)
                & (frags <= max_fragment_length))
         stat_n = obs.sum().astype(jnp.float32)
@@ -465,6 +474,71 @@ def localize_candidates(cand, own_len: int, n_shards: int, halo: int):
     return (start_l, owner, lo_l, hi_l,
             hap.reshape(lo.shape).astype(np.int32),
             rev, valid, rp.astype(np.int32), ro.astype(np.int32))
+
+
+def make_sharded_rescue_scorer(n_text_shards: int, band_radius: int = 16,
+                               match: int = 1, mismatch: int = 4,
+                               gap_open: int = 6, gap_extend: int = 1,
+                               bonus: int = 5):
+    """Rescue-candidate scoring against a TEXT-SHARDED index (round-3
+    verdict item 7: the irregular tail of the pipeline on the mesh).
+
+    Rescue windows are candidate-sized (the host seed-scan inside the
+    mate's fragment window already reduced them to diagonals,
+    map/paired.py _rescue_begin), so each is scored once, on the shard
+    owning its start — same owner-routing + masked-sum-psum pattern as
+    the main sharded step, bit-identical to the replicated scorer.
+    Reads arrive pre-ORIENTED (the rescue path orients on the host), so
+    rev is passed as all-False."""
+    D = n_text_shards
+
+    def step(tshards, reads, rlen, start_l, owner, lo_l, hi_l, valid):
+        d_ids = jnp.arange(D, dtype=jnp.int32)
+        valid_d = valid[None] & (owner[None] == d_ids[:, None, None])
+        rev = jnp.zeros_like(valid)
+        sd_ = jax.vmap(
+            lambda t, v: align_ops.banded_scores(
+                t, reads, reads, rlen,
+                jnp.where(v, start_l, 0), jnp.where(v, lo_l, 0),
+                jnp.where(v, hi_l, 0), rev, v,
+                band_radius=band_radius, match=match, mismatch=mismatch,
+                gap_open=gap_open, gap_extend=gap_extend, bonus=bonus)
+        )(tshards, valid_d)                                # (D, R, C)
+        s = jnp.where(valid_d, sd_, 0).sum(axis=0)         # psum on 'text'
+        return jnp.where(valid, s, -1)
+
+    return step
+
+
+def sharded_rescue_scores(mesh: Mesh, text, reads, rlen,
+                          r_start, r_lo, r_hi, r_valid,
+                          band_radius: int = 16, halo: Optional[int] = None,
+                          **kw):
+    """Score pre-oriented rescue candidates with the text sharded over
+    the mesh's 'text' axis. r_start/lo/hi are GLOBAL coordinates
+    (int64-capable); returns (R, C) int32 scores, -1 where invalid."""
+    names = mesh.axis_names
+    taxis = "text" if "text" in names else names[-1]
+    Dt = mesh.shape[taxis]
+    RL = reads.shape[1]
+    if halo is None:
+        halo = RL + 2 * band_radius + 16
+    own, shards = split_text_shards(np.asarray(text), Dt, halo)
+    rev = np.zeros_like(np.asarray(r_valid))
+    rp = np.full(np.asarray(r_valid).shape, -1)
+    ro = np.zeros(np.asarray(r_valid).shape, np.int64)
+    (start_l, owner, lo_l, hi_l, _hap, _rev, valid, _rp, _ro) = \
+        localize_candidates((r_start, r_lo, r_hi, rev, r_valid, rp, ro),
+                            own, Dt, halo)
+    tsh = NamedSharding(mesh, P(taxis, None))
+    repl = NamedSharding(mesh, P())
+    put = lambda a: jax.device_put(np.asarray(a), repl)
+    step = make_sharded_rescue_scorer(Dt, band_radius=band_radius, **kw)
+    fn = jax.jit(step, out_shardings=repl)
+    with mesh:
+        return fn(jax.device_put(shards, tsh), put(reads), put(rlen),
+                  put(start_l), put(owner), put(lo_l), put(hi_l),
+                  put(valid))
 
 
 def _mismatch_bits_all(text, B, reads, reads_rc, rlen,
@@ -645,14 +719,12 @@ def make_sharded_text_paired_step(
                                     best_combo[:, None], 1)[:, 0]
         frags = jnp.where(use_pair, frags, 0.0)
 
-        sm2_1 = jnp.where(vd1, f1, NEGF)
-        top1 = jnp.sort(sm2_1, axis=1)[:, ::-1]
+        t1a, t1b = _top2(jnp.where(vd1, f1, NEGF), NEGF)
         uniq1 = (s1b >= 0.8 * rl1) & (
-            (vd1.sum(1) <= 1) | (top1[:, 1] < top1[:, 0] - 5))
-        sm2_2 = jnp.where(vd2, f2, NEGF)
-        top2 = jnp.sort(sm2_2, axis=1)[:, ::-1]
+            (vd1.sum(1) <= 1) | (t1b < t1a - 5))
+        t2a, t2b = _top2(jnp.where(vd2, f2, NEGF), NEGF)
         uniq2 = (s2b >= 0.8 * rl2) & (
-            (vd2.sum(1) <= 1) | (top2[:, 1] < top2[:, 0] - 5))
+            (vd2.sum(1) <= 1) | (t2b < t2a - 5))
         obs = (use_pair & uniq1 & uniq2 & (frags > 0)
                & (frags <= max_fragment_length))
         stat_n = obs.sum().astype(jnp.float32)

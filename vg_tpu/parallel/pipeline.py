@@ -70,17 +70,25 @@ def map_stream_encoded_mt(mapper, batches: Iterable, depth: int = 3
 
 
 def map_pairs_encoded_mt(paired_mapper, pair_batches: Iterable,
-                         depth: int = 4) -> Iterator[List[bytes]]:
+                         depth: int = 4, emitters: int = 2
+                         ) -> Iterator[List[bytes]]:
     """Paired pipeline, three stages so the device roundtrip latency of
     batch i hides behind host work on batches i±1:
 
         S: seed + one folded DP dispatch           (score_pairs)
         R: force main scores, dispatch rescue DP   (stage_rescue)
         E: finish rescue, pair, emit encoded GAM   (stage_emit)
-    """
+
+    E runs on `emitters` threads (emit was the widest single-threaded
+    stage at ~19 us/read while total host work is ~39 us/read over 4
+    cores); batches are sequence-tagged and reordered at the output so
+    record order is unchanged. stage_emit on distinct batches only
+    shares read-only mapper state once the fragment model is finalized —
+    warmup items (which mutate the fragment model) are serialized by
+    the paired mapper's emit lock."""
     q_scored: "queue.Queue" = queue.Queue(maxsize=depth)
     q_resc: "queue.Queue" = queue.Queue(maxsize=depth)
-    q_out: "queue.Queue" = queue.Queue(maxsize=depth)
+    q_out: "queue.Queue" = queue.Queue(maxsize=depth + emitters)
     DONE = object()
     err: List[BaseException] = []
 
@@ -94,40 +102,63 @@ def map_pairs_encoded_mt(paired_mapper, pair_batches: Iterable,
             q_scored.put(DONE)
 
     def rescuer():
+        seq = 0
         try:
             while True:
                 item = q_scored.get()
                 if item is DONE:
                     break
-                q_resc.put(paired_mapper.stage_rescue(item))
+                q_resc.put((seq, paired_mapper.stage_rescue(item)))
+                seq += 1
         except BaseException as e:
             err.append(e)
         finally:
-            q_resc.put(DONE)
+            for _ in range(emitters):
+                q_resc.put(DONE)
+
+    tail_lock = threading.Lock()
+    tail_state = [emitters]          # emitters still running
 
     def emitter():
         try:
             while True:
-                item = q_resc.get()
-                if item is DONE:
+                got = q_resc.get()
+                if got is DONE:
                     break
-                q_out.put(paired_mapper.stage_emit(item))
-            tail = paired_mapper.finish_encoded()
-            if tail:
-                q_out.put(tail)
+                seq, item = got
+                q_out.put((seq, paired_mapper.stage_emit(item)))
         except BaseException as e:
             err.append(e)
         finally:
-            q_out.put(DONE)
+            with tail_lock:
+                tail_state[0] -= 1
+                last = tail_state[0] == 0
+            if last:
+                try:
+                    tail = paired_mapper.finish_encoded()
+                    if tail:
+                        q_out.put((1 << 62, tail))
+                except BaseException as e:  # noqa: BLE001
+                    err.append(e)
+                q_out.put(DONE)
 
     threads = [threading.Thread(target=f, daemon=True)
-               for f in (seeder, rescuer, emitter)]
+               for f in ([seeder, rescuer]
+                         + [emitter] * emitters)]
     for t in threads:
         t.start()
+    pending = {}
+    want = 0
     while True:
-        recs = q_out.get()
-        if recs is DONE:
+        got = q_out.get()
+        if got is DONE:
             break
+        seq, recs = got
+        pending[seq] = recs
+        while want in pending:
+            yield pending.pop(want)
+            want += 1
+    for recs in (pending[k] for k in sorted(pending)):  # tail marker
         yield recs
     for t in threads:
         t.join()
