@@ -148,3 +148,68 @@ def test_sharded_text_int64_coordinates():
     bd = np.clip(bases[None, :] - bases[:, None], -(2**30), 2**30)
     assert bd[3, 3] == 0 and bd[0, 7] == 2**30   # saturated far pair
     assert bd.dtype == np.int64 and np.abs(bd).max() <= 2**30
+
+
+def test_sharded_rescue_from_production_state(fixture_batch):
+    """Mate rescue on the sharded text (VERDICT r3 item 7): drive the
+    PRODUCTION rescue path (_rescue_begin seed-scans the fragment window
+    and builds candidate tables) with one mate's candidates wiped so
+    rescue actually fires, then score those candidates on a 2x4
+    (data, text) mesh — bitwise equal to the host/native scorer."""
+    import jax
+    from jax.sharding import Mesh
+
+    from vg_tpu.map.giraffe import GiraffeMapper, GiraffeParams
+    from vg_tpu.map.paired import PairedGiraffeMapper
+    from vg_tpu.parallel.mesh import sharded_rescue_scores
+    from vg_tpu.io.fastq import Read
+    from vg_tpu.utils import dna
+
+    haps, _m1, _m2 = fixture_batch
+    idx = MinimizerIndex.build(haps)
+    m = GiraffeMapper(haps, idx, GiraffeParams(batch_reads=16))
+    pm = PairedGiraffeMapper(m)
+    for _ in range(64):
+        pm.fragdist.add(420.0)
+    pm.fragdist.finalize()
+    rng = np.random.default_rng(3)
+    pairs = []
+    for i in range(16):
+        s = int(rng.integers(0, haps.total_len - 500))
+        c1 = haps.text[s : s + 100].copy()
+        c2 = haps.text[s + 300 : s + 400].copy()
+        pairs.append((Read(f"a{i}", dna.decode(c1), None),
+                      Read(f"b{i}", dna.decode(dna.revcomp_codes(c2)),
+                           None)))
+    sb1, sb2 = pm.score_pairs(pairs)
+    _ = sb1.scores, sb2.scores
+    # wipe mate2's candidates so every pair needs rescue
+    sb2.cand_valid[:] = False
+    state = pm._rescue_begin(sb1, sb2)
+    assert state is not None, "rescue did not fire"
+    todo, r_start, r_lo, r_hi, r_rev, r_valid, scores_host = state
+    assert len(todo) == 16 and r_valid.any()
+    scores_host = np.asarray(scores_host)
+
+    # oriented needy reads, exactly as _score_rescues_host packs them
+    B = m.params.band_radius
+    Lmax = max(len(c) for c in sb2.codes)
+    reads = np.full((16, Lmax), 5, np.uint8)
+    rlen = np.zeros(16, np.int32)
+    row_rev = r_rev.any(axis=1)
+    for i in range(16):
+        c = sb2.codes_rc[i] if row_rev[i] else sb2.codes[i]
+        reads[i, : len(c)] = c
+        rlen[i] = len(c)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "text"))
+    s_sh = np.asarray(sharded_rescue_scores(
+        mesh, haps.text, reads, rlen, r_start, r_lo, r_hi, r_valid,
+        band_radius=B, match=m.params.match, mismatch=m.params.mismatch,
+        gap_open=m.params.gap_open, gap_extend=m.params.gap_extend,
+        bonus=m.params.full_length_bonus))
+    np.testing.assert_array_equal(
+        np.where(r_valid, s_sh, -1), np.where(r_valid, scores_host, -1))
+    # the rescues must actually succeed (positive scores for real mates)
+    assert (s_sh[r_valid] > 0).any()
