@@ -335,3 +335,48 @@ def test_preset_mapq_calibration(long_setup):
     assert LongReadParams.preset("hifi").mapq_score_scale == 0.001
     r10 = LongReadParams.preset("r10")
     assert r10.mapq_score_window == 150.0 and r10.min_mapq0_score == 67.0
+
+
+def test_device_link_engine_parity(long_setup):
+    """The TPU link engine (ops/device_links.py: banded affine fill with
+    decision bits + lockstep traceback walk) must produce byte-identical
+    GAM records to the fused host pipeline — same scores, same edit
+    sequences, same tie-breaks (VERDICT r3 item 4). Runs on the CPU
+    backend in tests; the bench sidecar probes it on the real chip."""
+    import numpy as np
+
+    from vg_tpu.io.fastq import Read
+    from vg_tpu.map.longread import LongReadMapper, LongReadParams
+    from vg_tpu.native import lib as native_lib
+    from vg_tpu.utils import dna
+
+    if native_lib() is None:
+        pytest.skip("native lib unavailable")
+    haps, lrm0, _ = long_setup
+    idx = lrm0.index
+    rng = np.random.default_rng(17)
+    T = len(haps.text)
+    reads = []
+    for i in range(24):
+        s = int(rng.integers(0, T - 6200))
+        c = haps.text[s : s + 6000].copy()
+        err = rng.random(len(c)) < 0.01
+        c[err] = (c[err] + rng.integers(1, 4, int(err.sum()))) % 4
+        for _ in range(5):                     # indels incl. large-ish
+            q = int(rng.integers(100, len(c) - 100))
+            n = int(rng.integers(1, 15))
+            if rng.random() < 0.5:
+                c = np.concatenate(
+                    [c[:q], rng.integers(0, 4, n).astype(np.uint8), c[q:]])
+            else:
+                c = np.concatenate([c[:q], c[q + n :]])
+        if i % 2:
+            c = dna.revcomp_codes(c)
+        reads.append(Read(f"dl{i}", dna.decode(c), ""))
+    a = LongReadMapper(haps, idx,
+                       LongReadParams(engine="native")).map_batch_encoded(reads)
+    b = LongReadMapper(haps, idx,
+                       LongReadParams(engine="device")).map_batch_encoded(reads)
+    assert a is not None and b is not None
+    same = sum(1 for x, y in zip(a, b) if bytes(x) == bytes(y))
+    assert same == len(a), f"{same}/{len(a)} identical"

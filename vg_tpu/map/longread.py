@@ -56,6 +56,11 @@ class LongReadParams:
     max_link_len: int = 4000
     chain: ChainParams = None
     max_mapq: int = 60
+    # "device" batches every slow-link DP through the TPU engine
+    # (ops/device_links.py: banded affine fill + on-device traceback;
+    # decode-identical to the host DP); "native" keeps the fused host
+    # C++ pipeline. bench probes both and reports.
+    engine: str = "native"
     # preset mapq calibration (reference giraffe_main.cpp:957-1072:
     # hifi mapq-score-scale 0.001; r10 scale 1 + window 150 +
     # min-mapq0-score 67)
@@ -565,13 +570,23 @@ class LongReadMapper:
         """ONE fused native call (minimizer anchors -> chain DP -> greedy
         chains -> stitch, OpenMP across reads). Returns (codes_list,
         rc_list, per_read) where per_read[ri] is a list of dicts per
-        stitched chain, or None when the native lib is absent."""
+        stitched chain, or None when the native lib is absent.
+
+        engine="device" routes every slow-link DP through the TPU link
+        engine between the native chain and stitch passes — the
+        per-chain results are decode-identical either way (the resolver
+        path replays the same fast-path/link_ok/traceback decisions)."""
         from types import SimpleNamespace
 
         from ..native import native_longread_map_batch
 
         p = self.params
         codes_list = [dna.encode(r.sequence) for r in reads]
+        if p.engine == "device":
+            dv = self._device_batch(codes_list)
+            if dv is not None:
+                rc_list = [dna.revcomp_codes(c) for c in codes_list]
+                return codes_list, rc_list, dv
         st = native_longread_map_batch(
             codes_list, self.index, p, p.chain, self.haps.text,
             self.haps.text_start, self.scoring)
@@ -591,6 +606,139 @@ class LongReadMapper:
                     t0=int(t0[si]), t1=int(t1[si]),
                     runs=runs[int(runs_off[si]) : int(runs_off[si + 1])]))
         return codes_list, rc_list, per_read
+
+    def _device_aligner(self):
+        la = getattr(self, "_dla", None)
+        if la is None:
+            import jax.numpy as jnp
+
+            from ..ops.device_links import DeviceLinkAligner
+            from ..ops.pallas_align import pack_text
+
+            tp = getattr(self.haps, "_text_packed_dev", None)
+            if tp is None:
+                tp = jnp.asarray(pack_text(self.haps.text))
+                self.haps._text_packed_dev = tp
+            la = self._dla = DeviceLinkAligner(
+                tp, len(self.haps.text), self.scoring)
+        return la
+
+    def _device_batch(self, codes_list):
+        """Two-pass mapping with the TPU link engine: native chains ->
+        collect slow links -> batched device DP (host DP for the few
+        band-ineligible tasks) -> native stitch with the resolver.
+        Returns per_read dicts like the fused path, or None when the
+        native lib is absent."""
+        from types import SimpleNamespace
+
+        from ..native import (native_global_align_batch,
+                              native_longread_chains,
+                              native_longread_collect_links,
+                              native_longread_stitch)
+
+        p = self.params
+        ch = native_longread_chains(codes_list, self.index, p, p.chain)
+        if ch is None:
+            return None
+        chain_read, chain_rev, anc_off, roffs, tposs = ch
+        text = self.haps.text
+        cl = native_longread_collect_links(
+            codes_list, chain_read, chain_rev, anc_off, roffs, tposs,
+            self.index.k, text, self.haps.text_start, self.scoring, p)
+        if cl is None:
+            return None
+        chain_task_off, tasks = cl
+        nt = len(tasks)
+        dla = self._device_aligner()
+        # oriented read slices per task, fully vectorized: one flat
+        # blob of forward + reverse-complement codes, per-task base
+        # offsets, one fancy gather into the padded (nt, LAMAX) matrix
+        if nt:
+            read_off = np.zeros(len(codes_list) + 1, np.int64)
+            np.cumsum([len(c) for c in codes_list], out=read_off[1:])
+            fwd_blob = np.concatenate(codes_list)
+            rc_blob = np.concatenate(
+                [dna.revcomp_codes(c) for c in codes_list])
+            nb = len(fwd_blob)
+            task_ci = np.searchsorted(chain_task_off[1:], np.arange(nt),
+                                      side="right")
+            task_ri = np.asarray(chain_read)[task_ci].astype(np.int64)
+            task_rev = np.asarray(chain_rev)[task_ci].astype(bool)
+            ra = tasks[:, 0]
+            la = tasks[:, 1]
+            ta = tasks[:, 2]
+            lb = tasks[:, 3]
+            base = read_off[task_ri] + ra + np.where(task_rev, nb, 0)
+            LAMAX = int(min(max(dla.buckets), max(int(la.max()), 1)))
+            blob = np.concatenate([fwd_blob, rc_blob])
+            idx = base[:, None] + np.arange(LAMAX, dtype=np.int64)[None]
+            a_rows = blob[np.clip(idx, 0, len(blob) - 1)]
+            a_rows[np.arange(LAMAX)[None] >= la[:, None]] = 0
+            dres, dscores, druns, dcounts = dla.align_runs_arrays(
+                a_rows, la, ta, lb)
+        else:
+            la = ta = lb = np.zeros(0, np.int64)
+            dres = np.zeros(0, bool)
+            dscores = np.zeros(0, np.int64)
+            druns = np.zeros((0, 3), np.int32)
+            dcounts = np.zeros(0, np.int64)
+        # host fallback for band-ineligible / uncertified tasks
+        scores = dscores.copy()
+        ok = dres.astype(np.uint8)
+        counts = dcounts.copy()
+        fb_idx = np.nonzero(~dres)[0]
+        fb_res = None
+        if len(fb_idx):
+            fb_res = native_global_align_batch(
+                [blob[int(base[t]) : int(base[t]) + int(la[t])]
+                 for t in fb_idx],
+                [text[int(ta[t]) : int(ta[t]) + int(lb[t])]
+                 for t in fb_idx],
+                self.scoring)
+            fsc, fok, fruns, foff = fb_res
+            scores[fb_idx] = fsc
+            ok[fb_idx] = fok.astype(np.uint8)
+            counts[fb_idx] = np.where(
+                fok, np.diff(foff.astype(np.int64)), 0)
+        # splice device and fallback runs into global task order
+        # (vectorized variable-length segment scatter)
+        runs_off = np.zeros(nt + 1, np.int64)
+        np.cumsum(counts, out=runs_off[1:])
+        all_runs = np.zeros((int(runs_off[-1]), 3), np.int32)
+
+        def _scatter(task_ids, src):
+            seg = counts[task_ids]
+            tot = int(seg.sum())
+            if tot == 0:
+                return
+            within = (np.arange(tot)
+                      - np.repeat(np.concatenate([[0], np.cumsum(seg)])
+                                  [:-1], seg))
+            dest = np.repeat(runs_off[task_ids], seg) + within
+            all_runs[dest] = src[:tot]
+
+        _scatter(np.nonzero(dres)[0], druns)
+        if len(fb_idx):
+            _scatter(fb_idx[fok.astype(bool)], fruns)
+        st = native_longread_stitch(
+            codes_list, chain_read, chain_rev, roffs, tposs, anc_off,
+            self.index.k, text, self.haps.text_start, self.scoring, p,
+            resolver=(scores, ok, np.ascontiguousarray(all_runs),
+                      runs_off, np.ascontiguousarray(chain_task_off)))
+        if st is None:
+            return None
+        c_ok, c_sc, c_mt, c_rs, c_re, c_t0, c_t1, c_runs, c_roff = st
+        per_read: List[List[dict]] = [[] for _ in codes_list]
+        for ci in range(len(chain_read)):
+            if not c_ok[ci]:
+                continue
+            per_read[int(chain_read[ci])].append(dict(
+                chain=SimpleNamespace(is_rev=bool(chain_rev[ci])),
+                score=int(c_sc[ci]), matches=int(c_mt[ci]),
+                read_start=int(c_rs[ci]), read_end=int(c_re[ci]),
+                t0=int(c_t0[ci]), t1=int(c_t1[ci]),
+                runs=c_runs[int(c_roff[ci]) : int(c_roff[ci + 1])]))
+        return per_read
 
     def map_batch(self, reads: Sequence[Read],
                   threads: int = 1) -> List[Alignment]:

@@ -526,12 +526,18 @@ def native_extract_minimizers_batch(codes2d: np.ndarray, k: int, w: int):
 
 def native_longread_stitch(codes_list, chain_read, chain_rev, anc_roff,
                            anc_tpos, anc_off, k, text, hap_starts,
-                           scoring, lr_params, max_cells: int = 4_000_000):
+                           scoring, lr_params, max_cells: int = 4_000_000,
+                           resolver=None):
     """Batch long-read chain stitching in C++ (merge blocks, align links,
     error-model guard, segment, banded tails) — the host loop that
     dominated long-read throughput. Returns per-chain
     (ok, score, matches, read_start, read_end, t0, t1, runs, runs_off)
-    or None when the lib is absent."""
+    or None when the lib is absent.
+
+    resolver = (scores i64, ok u8, runs (n,3) i32, runs_off i64,
+    chain_task_off i64) pre-resolved slow-link DPs (the device link
+    engine, ops/device_links.py) consumed in traversal order; None =
+    solve links here."""
     import ctypes
 
     L_ = lib()
@@ -551,6 +557,7 @@ def native_longread_stitch(codes_list, chain_read, chain_rev, anc_roff,
                ctypes.c_int32]
             + [ctypes.c_double] * 6
             + [ctypes.c_int64]
+            + [ctypes.c_void_p] * 5          # resolver (nullable)
             + [ctypes.c_void_p] * 7
             + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p])
         L_._lrs_registered = True
@@ -594,6 +601,8 @@ def native_longread_stitch(codes_list, chain_read, chain_rev, anc_roff,
             lr_params.link_gap_base, lr_params.link_gap_per_base,
             float(lr_params.link_gap_cap),
             max_cells,
+            *(tuple(a.ctypes.data for a in resolver)
+              if resolver is not None else (None,) * 5),
             out_score.ctypes.data, out_matches.ctypes.data,
             out_rs.ctypes.data, out_re.ctypes.data,
             out_t0.ctypes.data, out_t1.ctypes.data, out_ok.ctypes.data,
@@ -602,6 +611,137 @@ def native_longread_stitch(codes_list, chain_read, chain_rev, anc_roff,
             return (out_ok.astype(bool), out_score, out_matches, out_rs,
                     out_re, out_t0, out_t1, runs, runs_off)
         cap *= 2
+
+
+def native_longread_chains(codes_list, index, lr_params, chain_params,
+                           chain_frac: float = 0.7):
+    """Pass 1 of the device link offload: anchors -> chain DP -> kept
+    chains, exported flat. Returns (chain_read i32, chain_rev u8,
+    anc_off i64, roffs i64, tposs i64) or None when the lib is absent."""
+    L_ = lib()
+    if L_ is None:
+        return None
+    if not hasattr(L_, "_lrc_registered"):
+        L_.longread_chains_batch.restype = ctypes.c_int64
+        L_.longread_chains_batch.argtypes = (
+            [ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+            + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+               ctypes.c_void_p, ctypes.c_void_p]
+            + [ctypes.c_int32] * 2
+            + [ctypes.c_int32] * 3
+            + [ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+               ctypes.c_double, ctypes.c_double, ctypes.c_double,
+               ctypes.c_int32, ctypes.c_double]
+            + [ctypes.c_void_p, ctypes.c_int32]
+            + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+               ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+               ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p])
+        L_._lrc_registered = True
+    n_reads = len(codes_list)
+    read_off = np.zeros(n_reads + 1, np.int64)
+    np.cumsum([len(c) for c in codes_list], out=read_off[1:])
+    blob = (np.concatenate(codes_list) if n_reads else
+            np.zeros(1, np.uint8)).astype(np.uint8)
+    keys = np.ascontiguousarray(index.keys, np.uint64)
+    offsets = np.ascontiguousarray(index.offsets, np.int64)
+    pos_text = np.ascontiguousarray(index.pos_text, np.int64)
+    pos_rev = np.ascontiguousarray(index.pos_rev, np.uint8)
+    C = chain_params.max_chains
+    chains_cap = max(n_reads * C, 8)
+    anchors_cap = max(int(read_off[-1]) // 8, 1024)
+    kb_off, kb_shift = _key_buckets(index)
+    while True:
+        chain_read = np.zeros(chains_cap, np.int32)
+        chain_rev = np.zeros(chains_cap, np.uint8)
+        anc_off = np.zeros(chains_cap + 1, np.int64)
+        roffs = np.zeros(anchors_cap, np.int64)
+        tposs = np.zeros(anchors_cap, np.int64)
+        n_out = np.zeros(2, np.int64)
+        rc = L_.longread_chains_batch(
+            n_reads, read_off.ctypes.data, blob.ctypes.data,
+            keys.ctypes.data, offsets.ctypes.data, len(keys),
+            pos_text.ctypes.data, pos_rev.ctypes.data,
+            index.k, index.w,
+            lr_params.hard_hit_cap, lr_params.max_seeds_per_window,
+            lr_params.downsample_window,
+            chain_params.lookback_cands, chain_params.max_lookback,
+            chain_params.max_indel, chain_params.gap_scale,
+            chain_params.gap_open, chain_params.min_chain_score,
+            C, chain_frac,
+            kb_off.ctypes.data, kb_shift,
+            chain_read.ctypes.data, chain_rev.ctypes.data, chains_cap,
+            anc_off.ctypes.data, roffs.ctypes.data, tposs.ctypes.data,
+            anchors_cap, n_out[:1].ctypes.data, n_out[1:].ctypes.data)
+        if rc == 0:
+            nc, na = int(n_out[0]), int(n_out[1])
+            return (chain_read[:nc], chain_rev[:nc], anc_off[: nc + 1],
+                    roffs[:na], tposs[:na])
+        chains_cap *= 2
+        anchors_cap *= 2
+
+
+def native_longread_collect_links(codes_list, chain_read, chain_rev,
+                                  anc_off, roffs, tposs, k, text,
+                                  hap_starts, scoring, lr_params,
+                                  max_cells: int = 4_000_000):
+    """Slow-link task list for the device engine, in stitch traversal
+    order: (chain_task_off i64 (n_chains+1), tasks (n,4) i64 =
+    (ra, la, ta, lb)) or None when the lib is absent."""
+    L_ = lib()
+    if L_ is None:
+        return None
+    if not hasattr(L_, "_lrcl_registered"):
+        L_.longread_collect_links.restype = ctypes.c_int64
+        L_.longread_collect_links.argtypes = (
+            [ctypes.c_void_p, ctypes.c_void_p,
+             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+             ctypes.c_int32,
+             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            + [ctypes.c_int32] * 5
+            + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+               ctypes.c_int32]
+            + [ctypes.c_double] * 6
+            + [ctypes.c_int64]
+            + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+               ctypes.c_void_p])
+        L_._lrcl_registered = True
+    n_reads = len(codes_list)
+    read_off = np.zeros(n_reads + 1, np.int64)
+    np.cumsum([len(c) for c in codes_list], out=read_off[1:])
+    blob = (np.concatenate(codes_list) if n_reads else
+            np.zeros(1, np.uint8)).astype(np.uint8)
+    nc = len(chain_read)
+    text = np.ascontiguousarray(text, np.uint8)
+    hap_starts = np.ascontiguousarray(hap_starts, np.int64)
+    tasks_cap = max(64 * max(nc, 1), 1024)
+    while True:
+        chain_task_off = np.zeros(nc + 1, np.int64)
+        tasks = np.zeros((tasks_cap, 4), np.int64)
+        n_out = np.zeros(1, np.int64)
+        rc = L_.longread_collect_links(
+            read_off.ctypes.data, blob.ctypes.data,
+            nc, np.ascontiguousarray(chain_read, np.int32).ctypes.data,
+            np.ascontiguousarray(chain_rev, np.uint8).ctypes.data,
+            np.ascontiguousarray(anc_off, np.int64).ctypes.data,
+            np.ascontiguousarray(roffs, np.int64).ctypes.data,
+            np.ascontiguousarray(tposs, np.int64).ctypes.data, k,
+            text.ctypes.data, hap_starts.ctypes.data,
+            len(hap_starts) - 1,
+            scoring.match, scoring.mismatch, scoring.gap_open,
+            scoring.gap_extend, scoring.full_length_bonus,
+            lr_params.max_link_len, lr_params.max_tail,
+            lr_params.tail_band, getattr(lr_params, "x_drop", 0),
+            lr_params.link_mismatch_base, lr_params.link_mismatch_per_base,
+            float(lr_params.link_mismatch_cap),
+            lr_params.link_gap_base, lr_params.link_gap_per_base,
+            float(lr_params.link_gap_cap),
+            max_cells,
+            chain_task_off.ctypes.data, tasks.ctypes.data, tasks_cap,
+            n_out.ctypes.data)
+        if rc == 0:
+            return chain_task_off, tasks[: int(n_out[0])]
+        tasks_cap *= 2
 
 
 def native_emit_runs_gam(arrs, out_cap: int = 0):

@@ -7,6 +7,7 @@
 // and the banded semiglobal DP traceback used for indel winners.
 // Built on demand with g++ (see vg_tpu/native/__init__.py); every entry
 // point has a numpy fallback so the toolkit works without a toolchain.
+#include <array>
 #include <atomic>
 #include <chrono>
 #include <cstdint>
@@ -1471,36 +1472,85 @@ inline bool link_ok(int64_t mism, int64_t gapb, int64_t link_len,
     return mism <= max_m && gapb <= max_g;
 }
 
-// align one link a (read part) vs b (text part); fills res
-void align_link(const uint8_t* a, int64_t la, const uint8_t* b, int64_t lb,
-                int64_t ra, const Params& p, Scratch& sc, LinkRes& res) {
+// diagonal fast path of a link (equal lengths, <= 2 mismatches — the
+// diagonal is provably optimal, see map/longread.py); returns true when
+// it resolved the link. MUST stay the one implementation: the
+// collect-links pass and the stitch pass both classify links through it
+void link_fast_clear(LinkRes& res) {
     res.ok = false;
     res.runs.clear();
     res.matches = 0;
-    if (la == lb) {
-        if (la == 0) { res.ok = true; res.score = 0; return; }
-        int64_t nm = 0;
-        for (int64_t i = 0; i < la; i++)
-            if (a[i] != b[i] || a[i] >= 4) nm++;
-        if (nm <= 2) {
-            // diagonal provably optimal (see map/longread.py fast path)
-            RunVec rv;
-            int64_t cur = 0;
-            for (int64_t i = 0; i < la && nm; i++) {
-                if (a[i] != b[i] || a[i] >= 4) {
-                    if (i > cur) rv.add(0, i - cur, ra + cur);
-                    rv.add(1, 1, ra + i);
-                    cur = i + 1;
-                }
-            }
-            if (cur < la) rv.add(0, la - cur, ra + cur);
-            res.ok = true;
-            res.score = (la - nm) * p.match - nm * p.mismatch;
-            res.matches = la - nm;
-            res.runs = std::move(rv.v);
-            return;
+}
+
+bool link_fast(const uint8_t* a, int64_t la, const uint8_t* b, int64_t lb,
+               int64_t ra, const Params& p, LinkRes& res) {
+    link_fast_clear(res);
+    if (la != lb) return false;
+    if (la == 0) { res.ok = true; res.score = 0; return true; }
+    int64_t nm = 0;
+    for (int64_t i = 0; i < la; i++)
+        if (a[i] != b[i] || a[i] >= 4) nm++;
+    if (nm > 2) return false;
+    RunVec rv;
+    int64_t cur = 0;
+    for (int64_t i = 0; i < la && nm; i++) {
+        if (a[i] != b[i] || a[i] >= 4) {
+            if (i > cur) rv.add(0, i - cur, ra + cur);
+            rv.add(1, 1, ra + i);
+            cur = i + 1;
         }
     }
+    if (cur < la) rv.add(0, la - cur, ra + cur);
+    res.ok = true;
+    res.score = (la - nm) * p.match - nm * p.mismatch;
+    res.matches = la - nm;
+    res.runs = std::move(rv.v);
+    return true;
+}
+
+// resolved slow links (device DP results or any precomputed table):
+// forward-merged (op, len) runs per task, consumed in traversal order
+struct LinkResolver {
+    const int64_t* scores;
+    const uint8_t* ok;
+    const int32_t* runs;        // (op, len, unused) triples
+    const int64_t* runs_off;    // per task
+    int64_t cursor;             // task index (per chain, set by caller)
+};
+
+// rebuild a LinkRes from a resolver entry — same run construction and
+// link_ok gate as align_link's slow path
+void link_from_resolver(int64_t ra, int64_t la, int64_t lb,
+                        const Params& p, LinkResolver* rsv, LinkRes& res) {
+    const int64_t t = rsv->cursor++;
+    link_fast_clear(res);
+    if (!rsv->ok[t]) return;
+    int64_t mism = 0, gapb = 0, cur = ra;
+    RunVec rv;
+    for (int64_t r = rsv->runs_off[t]; r < rsv->runs_off[t + 1]; r++) {
+        const int32_t op = rsv->runs[r * 3];
+        const int64_t len = rsv->runs[r * 3 + 1];
+        for (int64_t u = 0; u < len; u++) {
+            rv.add(op, 1, cur);
+            if (op != 3) cur++;
+        }
+        if (op == 0) res.matches += len;
+        else if (op == 1) mism += len;
+        else gapb += len;
+    }
+    if (!link_ok(mism, gapb, std::max(la, lb), p)) {
+        res.matches = 0;
+        return;
+    }
+    res.ok = true;
+    res.score = rsv->scores[t];
+    res.runs = std::move(rv.v);
+}
+
+// align one link a (read part) vs b (text part); fills res
+void align_link(const uint8_t* a, int64_t la, const uint8_t* b, int64_t lb,
+                int64_t ra, const Params& p, Scratch& sc, LinkRes& res) {
+    if (link_fast(a, la, b, lb, ra, p, res)) return;
     static const bool prof_link = std::getenv("VGTPU_LR_PROF") != nullptr;
     if (prof_link) {
         g_lr_link_cells += la * lb;   // slow-path DP cells only
@@ -1631,25 +1681,11 @@ void right_tail(const uint8_t* oriented, int64_t L, int64_t cur_r,
 
 struct Block { int64_t r, t, l; };
 
-struct ChainResult {
-    bool ok = false;
-    int64_t score = 0, matches = 0, read_start = 0, read_end = 0;
-    int64_t t0 = 0, t1 = 0;
-    std::vector<Run> runs;
-};
-
-// merge anchors -> blocks -> links -> segments -> best segment (the whole
-// per-chain stitch; shared by longread_stitch_batch and the fused
-// longread_map_batch)
-void stitch_chain(const uint8_t* oriented, int64_t L,
-                  const int64_t* roffs, const int64_t* tposs, int64_t na,
-                  const uint8_t* text, const int64_t* hap_starts,
-                  int64_t n_haps, const Params& p, Scratch& sc,
-                  ChainResult& out) {
-    out.ok = false;
-    if (na <= 0) return;
-    const int64_t k = p.k;
-    std::vector<Block> blocks;
+// merge chain anchors into exact diagonal blocks (shared by stitch_chain
+// and the collect-links pass)
+static void build_blocks(const int64_t* roffs, const int64_t* tposs,
+                         int64_t na, int64_t k,
+                         std::vector<Block>& blocks) {
     for (int64_t ai = 0; ai < na; ai++) {
         int64_t r = roffs[ai], t = tposs[ai];
         if (!blocks.empty()) {
@@ -1667,6 +1703,223 @@ void stitch_chain(const uint8_t* oriented, int64_t L,
         }
         blocks.push_back({r, t, k});
     }
+}
+
+struct ChainResult {
+    bool ok = false;
+    int64_t score = 0, matches = 0, read_start = 0, read_end = 0;
+    int64_t t0 = 0, t1 = 0;
+    std::vector<Run> runs;
+};
+
+
+// one read's anchors -> chain DP -> kept chains, factored from
+// longread_map_batch so the chains-export / stitch-with-resolver
+// two-pass entries (device link offload) reuse it verbatim —
+// cross-pass determinism depends on this single implementation
+struct CRec {
+    double cscore; uint8_t rev;
+    std::vector<int64_t> ro, tp;
+};
+
+static void chains_for_read(
+    const uint8_t* codes, int64_t L,
+    const uint64_t* idx_keys, const int64_t* idx_offsets, int64_t n_keys,
+    const int64_t* pos_text, const uint8_t* pos_rev, int32_t k, int32_t w,
+    int32_t hard_hit_cap, int32_t max_seeds_per_window,
+    int32_t downsample_window, int32_t lookback_cands,
+    int64_t max_lookback, int64_t max_indel, double gap_scale,
+    double chain_gap_open, double min_chain_score, int64_t max_slots_,
+    double chain_frac, const int64_t* key_bucket_off, int32_t key_shift,
+    std::vector<int64_t>& offs, std::vector<uint64_t>& keys,
+    std::vector<uint8_t>& crev, std::vector<CRec>& chains,
+    int64_t* t_anchor_done) {
+    chains.clear();
+    if (L < k) return;
+    const int64_t m = L - k + 1;
+    offs.resize(m); keys.resize(m); crev.resize(m);
+    int64_t nm = extract_minimizers(codes, L, k, w, offs.data(),
+                                    keys.data(), crev.data());
+    if (nm == 0) return;
+    // lookup + hard cap
+    struct Min { int64_t off, hs, he, cnt; uint8_t cr; };
+    std::vector<Min> mins;
+    mins.reserve(nm);
+    for (int64_t i = 0; i < nm; i++) {
+        // lower_bound over sorted keys (bucket-narrowed)
+        const uint64_t key = keys[i];
+        int64_t lo = 0, hi = n_keys;
+        if (key_bucket_off) {
+            lo = key_bucket_off[key >> key_shift];
+            hi = key_bucket_off[(key >> key_shift) + 1];
+        }
+        while (lo < hi) {
+            int64_t mid = (lo + hi) / 2;
+            if (idx_keys[mid] < key) lo = mid + 1; else hi = mid;
+        }
+        if (lo >= n_keys || idx_keys[lo] != key) continue;
+        int64_t hs = idx_offsets[lo], he = idx_offsets[lo + 1];
+        int64_t cnt = he - hs;
+        if (cnt <= 0 || cnt > hard_hit_cap) continue;
+        mins.push_back({offs[i], hs, he, cnt, crev[i]});
+    }
+    if (mins.empty()) return;
+    // repetitive-region Viterbi flags over read-ordered
+    // minimizers (reference flag_repetitive_minimizers,
+    // src/minimizer_mapper.cpp: switch 0.1, emit-same 0.9)
+    std::vector<uint8_t> rep(mins.size(), 0);
+    {
+        const double sw = std::log(0.1), nsw = std::log(0.9);
+        const double ediff = std::log(0.1), esame = std::log(0.9);
+        double s_rep = std::log(0.05), s_uni = std::log(0.95);
+        std::vector<uint8_t> prev_rep(mins.size()),
+            prev_uni(mins.size());
+        for (size_t i = 0; i < mins.size(); i++) {
+            double e_uni = mins[i].cnt == 1 ? esame : ediff;
+            double e_rep = mins[i].cnt == 1 ? ediff : esame;
+            double r2u = s_rep + sw + e_uni;
+            double u2u = s_uni + nsw + e_uni;
+            double r2r = s_rep + nsw + e_rep;
+            double u2r = s_uni + sw + e_rep;
+            double su, sr;
+            if (r2u > u2u) { su = r2u; prev_uni[i] = 1; }
+            else { su = u2u; prev_uni[i] = 0; }
+            if (r2r >= u2r) { sr = r2r; prev_rep[i] = 1; }
+            else { sr = u2r; prev_rep[i] = 0; }
+            s_rep = sr; s_uni = su;
+        }
+        uint8_t state = s_rep > s_uni ? 1 : 0;
+        for (int64_t i = (int64_t)mins.size() - 1; i >= 0; i--) {
+            rep[i] = state;
+            state = state ? prev_rep[i] : prev_uni[i];
+        }
+    }
+    // per-window downsample: keep the max_seeds_per_window
+    // lowest-count minimizers per window (stable by offset);
+    // repetitive-region minimizers get a quota of 1
+    std::vector<int64_t> order(mins.size());
+    for (size_t i = 0; i < mins.size(); i++) order[i] = i;
+    std::stable_sort(order.begin(), order.end(),
+        [&](int64_t a, int64_t b) {
+            int64_t wa = mins[a].off / downsample_window;
+            int64_t wb = mins[b].off / downsample_window;
+            if (wa != wb) return wa < wb;
+            return mins[a].cnt < mins[b].cnt;
+        });
+    std::vector<uint8_t> keep(mins.size(), 0);
+    {
+        int64_t cur_w = -1, rank = 0;
+        for (int64_t oi : order) {
+            int64_t ww = mins[oi].off / downsample_window;
+            if (ww != cur_w) { cur_w = ww; rank = 0; }
+            int32_t quota = rep[oi] ? 1 : max_seeds_per_window;
+            if (rank < quota) keep[oi] = 1;
+            rank++;
+        }
+    }
+    // expand anchors per strand
+    struct Anc { int64_t roff, tpos; double score; };
+    std::vector<Anc> anc[2];
+    const double logcap = std::log((double)hard_hit_cap);
+    for (size_t i = 0; i < mins.size(); i++) {
+        if (!keep[i]) continue;
+        const Min& mn = mins[i];
+        double sc_a = std::min(
+            1.0 + logcap - std::log((double)std::max<int64_t>(
+                mn.cnt, 1)), 10.0) + k * 0.5;
+        for (int64_t h = mn.hs; h < mn.he; h++) {
+            bool strand = (pos_rev[h] != 0) != (mn.cr != 0);
+            int64_t ro = strand ? (L - k - mn.off) : mn.off;
+            anc[strand ? 1 : 0].push_back({ro, pos_text[h], sc_a});
+        }
+    }
+    if (t_anchor_done) *t_anchor_done = now_ns();
+    // per strand: sort by (tpos, roff), chain DP, greedy extract
+    for (int s = 0; s < 2; s++) {
+        auto& a = anc[s];
+        int64_t n = (int64_t)a.size();
+        if (!n) continue;
+        std::stable_sort(a.begin(), a.end(),
+            [](const Anc& x, const Anc& y) {
+                if (x.tpos != y.tpos) return x.tpos < y.tpos;
+                return x.roff < y.roff;
+            });
+        std::vector<int64_t> ro(n), tp(n), parent(n);
+        std::vector<double> as(n), f(n);
+        for (int64_t i = 0; i < n; i++) {
+            ro[i] = a[i].roff; tp[i] = a[i].tpos; as[i] = a[i].score;
+        }
+        int32_t J = (int32_t)std::min<int64_t>(
+            lookback_cands, std::max<int64_t>(n - 1, 1));
+        chain_anchors_dp(ro.data(), tp.data(), as.data(), n, J, k,
+                         max_lookback, max_indel, gap_scale,
+                         chain_gap_open, f.data(), parent.data());
+        // greedy non-overlapping extraction by descending score
+        std::vector<int64_t> tips(n);
+        for (int64_t i = 0; i < n; i++) tips[i] = i;
+        std::stable_sort(tips.begin(), tips.end(),
+            [&](int64_t x, int64_t y) { return f[x] > f[y]; });
+        std::vector<uint8_t> used(n, 0);
+        int64_t got = 0;
+        for (int64_t tip : tips) {
+            if (got >= max_slots_) break;
+            if (used[tip] || f[tip] < min_chain_score) continue;
+            std::vector<int64_t> walk;
+            int64_t i = tip;
+            bool clean = true;
+            while (i >= 0) {
+                if (used[i]) { clean = false; break; }
+                walk.push_back(i);
+                i = parent[i];
+            }
+            if (!clean || walk.empty()) continue;
+            std::reverse(walk.begin(), walk.end());
+            for (int64_t q : walk) used[q] = 1;
+            CRec c;
+            c.cscore = f[tip];
+            c.rev = (uint8_t)s;
+            c.ro.reserve(walk.size());
+            c.tp.reserve(walk.size());
+            for (int64_t q : walk) {
+                c.ro.push_back(ro[q]);
+                c.tp.push_back(tp[q]);
+            }
+            chains.push_back(std::move(c));
+            got++;
+        }
+    }
+    if (chains.empty()) return;
+    std::stable_sort(chains.begin(), chains.end(),
+        [](const CRec& x, const CRec& y) {
+            return x.cscore > y.cscore;
+        });
+    if ((int64_t)chains.size() > max_slots_)
+        chains.resize(max_slots_);
+    // chain-score fraction filter (keep the best always)
+    {
+        size_t wkeep = 1;
+        for (size_t q = 1; q < chains.size(); q++)
+            if (chains[q].cscore >= chain_frac * chains[0].cscore) {
+                if (q != wkeep)
+                    chains[wkeep] = std::move(chains[q]);
+                wkeep++;
+            }
+        chains.resize(wkeep);
+    }
+}
+
+// merge anchors -> blocks -> links -> segments -> best segment (the whole
+// per-chain stitch; shared by longread_stitch_batch and the fused
+// longread_map_batch)
+void stitch_chain(const uint8_t* oriented, int64_t L,
+                  const int64_t* roffs, const int64_t* tposs, int64_t na,
+                  const uint8_t* text, const int64_t* hap_starts,
+                  int64_t n_haps, const Params& p, Scratch& sc,
+                  ChainResult& out, LinkResolver* rsv = nullptr) {
+    out.ok = false;
+    if (na <= 0) return;
+    std::vector<Block> blocks;
+    build_blocks(roffs, tposs, na, p.k, blocks);
     int64_t nb = (int64_t)blocks.size();
     std::vector<LinkRes> links(std::max<int64_t>(nb - 1, 0));
     int64_t hap = hap_of(hap_starts, n_haps, blocks[0].t);
@@ -1679,8 +1932,15 @@ void stitch_chain(const uint8_t* oriented, int64_t L,
         if (nbk.r - ra <= p.max_link_len && nbk.t - ta <= p.max_link_len
             && ta >= lo_b && nbk.t <= hi_b) {
             const int64_t lt0 = prof_fine ? now_ns() : 0;
-            align_link(oriented + ra, nbk.r - ra, text + ta, nbk.t - ta,
-                       ra, p, sc, links[bi]);
+            if (rsv) {
+                if (!link_fast(oriented + ra, nbk.r - ra, text + ta,
+                               nbk.t - ta, ra, p, links[bi]))
+                    link_from_resolver(ra, nbk.r - ra, nbk.t - ta, p,
+                                       rsv, links[bi]);
+            } else {
+                align_link(oriented + ra, nbk.r - ra, text + ta,
+                           nbk.t - ta, ra, p, sc, links[bi]);
+            }
             if (prof_fine) g_lr_link_ns += now_ns() - lt0;
         } else {
             hap = hap_of(hap_starts, n_haps, nbk.t);
@@ -1765,6 +2025,161 @@ void stitch_chain(const uint8_t* oriented, int64_t L,
 
 extern "C" {
 
+
+// anchors -> chain DP -> kept chains, exported flat (pass 1 of the
+// device link offload). Returns 0, or -1 when a cap overflowed (caller
+// doubles both caps and retries).
+int64_t longread_chains_batch(
+    int64_t n_reads, const int64_t* read_off, const uint8_t* codes_blob,
+    const uint64_t* idx_keys, const int64_t* idx_offsets, int64_t n_keys,
+    const int64_t* pos_text, const uint8_t* pos_rev,
+    int32_t k, int32_t w,
+    int32_t hard_hit_cap, int32_t max_seeds_per_window,
+    int32_t downsample_window,
+    int32_t lookback_cands, int64_t max_lookback, int64_t max_indel,
+    double gap_scale, double chain_gap_open, double min_chain_score,
+    int32_t max_chains, double chain_frac,
+    const int64_t* key_bucket_off, int32_t key_shift,
+    int32_t* chain_read, uint8_t* chain_rev, int64_t chains_cap,
+    int64_t* anc_off, int64_t* out_roffs, int64_t* out_tposs,
+    int64_t anchors_cap, int64_t* n_chains_out, int64_t* n_anchors_out) {
+    using namespace lrstitch;
+    std::vector<std::vector<CRec>> per_read(n_reads);
+    int fork_token = 0;
+    VGTPU_HB_RELEASE(&fork_token);
+#pragma omp parallel
+    {
+        VGTPU_HB_ACQUIRE(&fork_token);
+        std::vector<int64_t> offs;
+        std::vector<uint64_t> keys;
+        std::vector<uint8_t> crev;
+#pragma omp for schedule(dynamic)
+        for (int64_t ri = 0; ri < n_reads; ri++) {
+            const uint8_t* codes = codes_blob + read_off[ri];
+            const int64_t L = read_off[ri + 1] - read_off[ri];
+            chains_for_read(codes, L, idx_keys, idx_offsets, n_keys,
+                            pos_text, pos_rev, k, w, hard_hit_cap,
+                            max_seeds_per_window, downsample_window,
+                            lookback_cands, max_lookback, max_indel,
+                            gap_scale, chain_gap_open, min_chain_score,
+                            max_chains, chain_frac, key_bucket_off,
+                            key_shift, offs, keys, crev, per_read[ri],
+                            nullptr);
+            VGTPU_HB_RELEASE(&per_read[ri]);
+        }
+    }
+    int64_t ci = 0, ai = 0;
+    for (int64_t ri = 0; ri < n_reads; ri++) {
+        VGTPU_HB_ACQUIRE(&per_read[ri]);
+        for (auto& c : per_read[ri]) {
+            if (ci >= chains_cap) return -1;
+            if (ai + (int64_t)c.ro.size() > anchors_cap) return -1;
+            chain_read[ci] = (int32_t)ri;
+            chain_rev[ci] = c.rev;
+            anc_off[ci] = ai;
+            for (size_t q = 0; q < c.ro.size(); q++) {
+                out_roffs[ai] = c.ro[q];
+                out_tposs[ai] = c.tp[q];
+                ai++;
+            }
+            ci++;
+        }
+    }
+    anc_off[ci] = ai;
+    *n_chains_out = ci;
+    *n_anchors_out = ai;
+    return 0;
+}
+
+// chains -> slow-link task list (the links link_fast cannot resolve),
+// in the exact traversal order stitch_chain consumes them. Tasks are
+// (ra, la, ta_global, lb) per chain; returns 0 or -1 on cap overflow.
+int64_t longread_collect_links(
+    const int64_t* read_off, const uint8_t* codes_blob,
+    int64_t n_chains, const int32_t* chain_read, const uint8_t* chain_rev,
+    const int64_t* anc_off, const int64_t* roffs, const int64_t* tposs,
+    int32_t k,
+    const uint8_t* text, const int64_t* hap_starts, int64_t n_haps,
+    int32_t match, int32_t mismatch, int32_t gap_open, int32_t gap_extend,
+    int32_t bonus, int64_t max_link_len, int64_t max_tail,
+    int32_t tail_band, int32_t x_drop,
+    double lm_base, double lm_per_base, double lm_cap,
+    double lg_base, double lg_per_base, double lg_cap,
+    int64_t max_cells,
+    int64_t* chain_task_off, int64_t* tasks, int64_t tasks_cap,
+    int64_t* n_tasks_out) {
+    using namespace lrstitch;
+    Params p{match, mismatch, gap_open, gap_extend, bonus, k, tail_band,
+             x_drop, max_link_len, max_tail, max_cells,
+             lm_base, lm_per_base, lm_cap, lg_base, lg_per_base, lg_cap};
+    std::vector<std::vector<std::array<int64_t, 4>>> per_chain(n_chains);
+    int fork_token = 0;
+    VGTPU_HB_RELEASE(&fork_token);
+#pragma omp parallel
+    {
+        VGTPU_HB_ACQUIRE(&fork_token);
+        std::vector<uint8_t> rcbuf;
+        LinkRes tmp;
+#pragma omp for schedule(dynamic)
+        for (int64_t ci = 0; ci < n_chains; ci++) {
+            int64_t ri = chain_read[ci];
+            const uint8_t* fwd = codes_blob + read_off[ri];
+            int64_t L = read_off[ri + 1] - read_off[ri];
+            const uint8_t* oriented = fwd;
+            if (chain_rev[ci]) {
+                rcbuf.resize(L);
+                for (int64_t q = 0; q < L; q++) {
+                    uint8_t c = fwd[L - 1 - q];
+                    rcbuf[q] = c < 4 ? 3 - c : c;
+                }
+                oriented = rcbuf.data();
+            }
+            int64_t a0 = anc_off[ci], a1 = anc_off[ci + 1];
+            if (a1 <= a0) { VGTPU_HB_RELEASE(&per_chain[ci]); continue; }
+            std::vector<Block> blocks;
+            build_blocks(roffs + a0, tposs + a0, a1 - a0, p.k, blocks);
+            int64_t nb = (int64_t)blocks.size();
+            // identical geometry walk to stitch_chain's link loop
+            int64_t hap = hap_of(hap_starts, n_haps, blocks[0].t);
+            int64_t lo_b = hap_starts[hap], hi_b = hap_starts[hap + 1];
+            for (int64_t bi = 0; bi + 1 < nb; bi++) {
+                const Block& pb = blocks[bi];
+                const Block& nbk = blocks[bi + 1];
+                int64_t ra = pb.r + pb.l, ta = pb.t + pb.l;
+                if (nbk.r - ra <= p.max_link_len
+                    && nbk.t - ta <= p.max_link_len
+                    && ta >= lo_b && nbk.t <= hi_b) {
+                    if (!link_fast(oriented + ra, nbk.r - ra, text + ta,
+                                   nbk.t - ta, ra, p, tmp))
+                        per_chain[ci].push_back(
+                            {ra, nbk.r - ra, ta, nbk.t - ta});
+                } else {
+                    hap = hap_of(hap_starts, n_haps, nbk.t);
+                    lo_b = hap_starts[hap];
+                    hi_b = hap_starts[hap + 1];
+                }
+            }
+            VGTPU_HB_RELEASE(&per_chain[ci]);
+        }
+    }
+    int64_t ti = 0;
+    for (int64_t ci = 0; ci < n_chains; ci++) {
+        VGTPU_HB_ACQUIRE(&per_chain[ci]);
+        chain_task_off[ci] = ti;
+        for (auto& t : per_chain[ci]) {
+            if (ti >= tasks_cap) return -1;
+            tasks[ti * 4] = t[0];
+            tasks[ti * 4 + 1] = t[1];
+            tasks[ti * 4 + 2] = t[2];
+            tasks[ti * 4 + 3] = t[3];
+            ti++;
+        }
+    }
+    chain_task_off[n_chains] = ti;
+    *n_tasks_out = ti;
+    return 0;
+}
+
 // Returns 0, or -1 when the runs buffer overflowed (caller doubles).
 int64_t longread_stitch_batch(
     int64_t n_reads, const int64_t* read_off, const uint8_t* codes_blob,
@@ -1779,6 +2194,11 @@ int64_t longread_stitch_batch(
     double lm_base, double lm_per_base, double lm_cap,
     double lg_base, double lg_per_base, double lg_cap,
     int64_t max_cells,
+    // OPTIONAL resolved slow links (device DP offload): per-chain task
+    // ranges via chain_task_off; null rsv_scores = solve links here
+    const int64_t* rsv_scores, const uint8_t* rsv_ok,
+    const int32_t* rsv_runs, const int64_t* rsv_runs_off,
+    const int64_t* chain_task_off,
     int32_t* out_score, int64_t* out_matches,
     int64_t* out_read_start, int64_t* out_read_end,
     int64_t* out_t0, int64_t* out_t1, uint8_t* out_ok,
@@ -1816,8 +2236,11 @@ int64_t longread_stitch_batch(
             int64_t a0 = anc_off[ci], a1 = anc_off[ci + 1];
             if (a1 <= a0) continue;
             ChainResult cr;
+            LinkResolver rsv{rsv_scores, rsv_ok, rsv_runs, rsv_runs_off,
+                             chain_task_off ? chain_task_off[ci] : 0};
             stitch_chain(oriented, L, roffs + a0, tposs + a0, a1 - a0,
-                         text, hap_starts, n_haps, p, sc, cr);
+                         text, hap_starts, n_haps, p, sc, cr,
+                         rsv_scores ? &rsv : nullptr);
             if (cr.ok) {
                 chain_ok[ci] = 1;
                 out_score[ci] = (int32_t)cr.score;
@@ -2203,184 +2626,21 @@ int64_t longread_map_batch(
             const uint8_t* codes = codes_blob + read_off[ri];
             const int64_t L = read_off[ri + 1] - read_off[ri];
             if (L < k) { for (int64_t s2 = 0; s2 < max_slots; s2++) VGTPU_HB_RELEASE(&slot_runs[ri * max_slots + s2]); continue; }
-            const int64_t m = L - k + 1;
-            offs.resize(m); keys.resize(m); crev.resize(m);
-            int64_t nm = extract_minimizers(codes, L, k, w, offs.data(),
-                                            keys.data(), crev.data());
-            if (nm == 0) { for (int64_t s2 = 0; s2 < max_slots; s2++) VGTPU_HB_RELEASE(&slot_runs[ri * max_slots + s2]); continue; }
-            // lookup + hard cap
-            struct Min { int64_t off, hs, he, cnt; uint8_t cr; };
-            std::vector<Min> mins;
-            mins.reserve(nm);
-            for (int64_t i = 0; i < nm; i++) {
-                // lower_bound over sorted keys (bucket-narrowed)
-                const uint64_t key = keys[i];
-                int64_t lo = 0, hi = n_keys;
-                if (key_bucket_off) {
-                    lo = key_bucket_off[key >> key_shift];
-                    hi = key_bucket_off[(key >> key_shift) + 1];
-                }
-                while (lo < hi) {
-                    int64_t mid = (lo + hi) / 2;
-                    if (idx_keys[mid] < key) lo = mid + 1; else hi = mid;
-                }
-                if (lo >= n_keys || idx_keys[lo] != key) continue;
-                int64_t hs = idx_offsets[lo], he = idx_offsets[lo + 1];
-                int64_t cnt = he - hs;
-                if (cnt <= 0 || cnt > hard_hit_cap) continue;
-                mins.push_back({offs[i], hs, he, cnt, crev[i]});
-            }
-            if (mins.empty()) { for (int64_t s2 = 0; s2 < max_slots; s2++) VGTPU_HB_RELEASE(&slot_runs[ri * max_slots + s2]); continue; }
-            // repetitive-region Viterbi flags over read-ordered
-            // minimizers (reference flag_repetitive_minimizers,
-            // src/minimizer_mapper.cpp: switch 0.1, emit-same 0.9)
-            std::vector<uint8_t> rep(mins.size(), 0);
-            {
-                const double sw = std::log(0.1), nsw = std::log(0.9);
-                const double ediff = std::log(0.1), esame = std::log(0.9);
-                double s_rep = std::log(0.05), s_uni = std::log(0.95);
-                std::vector<uint8_t> prev_rep(mins.size()),
-                    prev_uni(mins.size());
-                for (size_t i = 0; i < mins.size(); i++) {
-                    double e_uni = mins[i].cnt == 1 ? esame : ediff;
-                    double e_rep = mins[i].cnt == 1 ? ediff : esame;
-                    double r2u = s_rep + sw + e_uni;
-                    double u2u = s_uni + nsw + e_uni;
-                    double r2r = s_rep + nsw + e_rep;
-                    double u2r = s_uni + sw + e_rep;
-                    double su, sr;
-                    if (r2u > u2u) { su = r2u; prev_uni[i] = 1; }
-                    else { su = u2u; prev_uni[i] = 0; }
-                    if (r2r >= u2r) { sr = r2r; prev_rep[i] = 1; }
-                    else { sr = u2r; prev_rep[i] = 0; }
-                    s_rep = sr; s_uni = su;
-                }
-                uint8_t state = s_rep > s_uni ? 1 : 0;
-                for (int64_t i = (int64_t)mins.size() - 1; i >= 0; i--) {
-                    rep[i] = state;
-                    state = state ? prev_rep[i] : prev_uni[i];
-                }
-            }
-            // per-window downsample: keep the max_seeds_per_window
-            // lowest-count minimizers per window (stable by offset);
-            // repetitive-region minimizers get a quota of 1
-            std::vector<int64_t> order(mins.size());
-            for (size_t i = 0; i < mins.size(); i++) order[i] = i;
-            std::stable_sort(order.begin(), order.end(),
-                [&](int64_t a, int64_t b) {
-                    int64_t wa = mins[a].off / downsample_window;
-                    int64_t wb = mins[b].off / downsample_window;
-                    if (wa != wb) return wa < wb;
-                    return mins[a].cnt < mins[b].cnt;
-                });
-            std::vector<uint8_t> keep(mins.size(), 0);
-            {
-                int64_t cur_w = -1, rank = 0;
-                for (int64_t oi : order) {
-                    int64_t ww = mins[oi].off / downsample_window;
-                    if (ww != cur_w) { cur_w = ww; rank = 0; }
-                    int32_t quota = rep[oi] ? 1 : max_seeds_per_window;
-                    if (rank < quota) keep[oi] = 1;
-                    rank++;
-                }
-            }
-            // expand anchors per strand
-            struct Anc { int64_t roff, tpos; double score; };
-            std::vector<Anc> anc[2];
-            const double logcap = std::log((double)hard_hit_cap);
-            for (size_t i = 0; i < mins.size(); i++) {
-                if (!keep[i]) continue;
-                const Min& mn = mins[i];
-                double sc_a = std::min(
-                    1.0 + logcap - std::log((double)std::max<int64_t>(
-                        mn.cnt, 1)), 10.0) + k * 0.5;
-                for (int64_t h = mn.hs; h < mn.he; h++) {
-                    bool strand = (pos_rev[h] != 0) != (mn.cr != 0);
-                    int64_t ro = strand ? (L - k - mn.off) : mn.off;
-                    anc[strand ? 1 : 0].push_back({ro, pos_text[h], sc_a});
-                }
-            }
-            const int64_t tp1 = prof ? now_ns() : 0;
-            if (prof) t_anchor += tp1 - tp0;
-            // per strand: sort by (tpos, roff), chain DP, greedy extract
-            struct CRec {
-                double cscore; uint8_t rev;
-                std::vector<int64_t> ro, tp;
-            };
             std::vector<CRec> chains;
-            for (int s = 0; s < 2; s++) {
-                auto& a = anc[s];
-                int64_t n = (int64_t)a.size();
-                if (!n) continue;
-                std::stable_sort(a.begin(), a.end(),
-                    [](const Anc& x, const Anc& y) {
-                        if (x.tpos != y.tpos) return x.tpos < y.tpos;
-                        return x.roff < y.roff;
-                    });
-                std::vector<int64_t> ro(n), tp(n), parent(n);
-                std::vector<double> as(n), f(n);
-                for (int64_t i = 0; i < n; i++) {
-                    ro[i] = a[i].roff; tp[i] = a[i].tpos; as[i] = a[i].score;
-                }
-                int32_t J = (int32_t)std::min<int64_t>(
-                    lookback_cands, std::max<int64_t>(n - 1, 1));
-                chain_anchors_dp(ro.data(), tp.data(), as.data(), n, J, k,
-                                 max_lookback, max_indel, gap_scale,
-                                 chain_gap_open, f.data(), parent.data());
-                // greedy non-overlapping extraction by descending score
-                std::vector<int64_t> tips(n);
-                for (int64_t i = 0; i < n; i++) tips[i] = i;
-                std::stable_sort(tips.begin(), tips.end(),
-                    [&](int64_t x, int64_t y) { return f[x] > f[y]; });
-                std::vector<uint8_t> used(n, 0);
-                int64_t got = 0;
-                for (int64_t tip : tips) {
-                    if (got >= max_chains) break;
-                    if (used[tip] || f[tip] < min_chain_score) continue;
-                    std::vector<int64_t> walk;
-                    int64_t i = tip;
-                    bool clean = true;
-                    while (i >= 0) {
-                        if (used[i]) { clean = false; break; }
-                        walk.push_back(i);
-                        i = parent[i];
-                    }
-                    if (!clean || walk.empty()) continue;
-                    std::reverse(walk.begin(), walk.end());
-                    for (int64_t q : walk) used[q] = 1;
-                    CRec c;
-                    c.cscore = f[tip];
-                    c.rev = (uint8_t)s;
-                    c.ro.reserve(walk.size());
-                    c.tp.reserve(walk.size());
-                    for (int64_t q : walk) {
-                        c.ro.push_back(ro[q]);
-                        c.tp.push_back(tp[q]);
-                    }
-                    chains.push_back(std::move(c));
-                    got++;
-                }
-            }
+            int64_t t_anchor_ns = 0;
+            chains_for_read(codes, L, idx_keys, idx_offsets, n_keys,
+                            pos_text, pos_rev, k, w, hard_hit_cap,
+                            max_seeds_per_window, downsample_window,
+                            lookback_cands, max_lookback, max_indel,
+                            gap_scale, chain_gap_open, min_chain_score,
+                            max_chains, chain_frac, key_bucket_off,
+                            key_shift, offs, keys, crev, chains,
+                            prof ? &t_anchor_ns : nullptr);
+            if (prof && t_anchor_ns)
+                t_anchor += t_anchor_ns - tp0;
             if (chains.empty()) { for (int64_t s2 = 0; s2 < max_slots; s2++) VGTPU_HB_RELEASE(&slot_runs[ri * max_slots + s2]); continue; }
-            std::stable_sort(chains.begin(), chains.end(),
-                [](const CRec& x, const CRec& y) {
-                    return x.cscore > y.cscore;
-                });
-            if ((int64_t)chains.size() > max_slots)
-                chains.resize(max_slots);
-            // chain-score fraction filter (keep the best always)
-            {
-                size_t wkeep = 1;
-                for (size_t q = 1; q < chains.size(); q++)
-                    if (chains[q].cscore >= chain_frac * chains[0].cscore) {
-                        if (q != wkeep)
-                            chains[wkeep] = std::move(chains[q]);
-                        wkeep++;
-                    }
-                chains.resize(wkeep);
-            }
             const int64_t tp2 = prof ? now_ns() : 0;
-            if (prof) t_chain += tp2 - tp1;
+            if (prof && t_anchor_ns) t_chain += tp2 - t_anchor_ns;
             // stitch each chain
             int32_t slot = 0;
             for (auto& c : chains) {
