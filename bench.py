@@ -655,7 +655,11 @@ def main():
 
             lrd = LongReadMapper(haps, idx,
                                  LongReadParams(engine="device"))
-            lrd.map_batch_encoded(lr_reads[:16])   # compile engines
+            # warm at FULL batch size: the engine compiles one XLA
+            # program per (size bucket, power-of-two task grid), so a
+            # small warm batch would leave the big grids compiling
+            # inside the timed region (~40 s each through the tunnel)
+            lrd.map_batch_encoded(lr_reads[16:])
             t0 = time.time()
             recs_d = lrd.map_batch_encoded(lr_reads[16:])
             dt_d = time.time() - t0

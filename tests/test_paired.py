@@ -327,3 +327,73 @@ def test_device_selection_asymmetric_mate_lengths(paired_mapper,
     inr = np.arange(RL)[None, :] < L_arr[:, None]
     mism = ((tw != orr) | (orr >= 4)) & inr
     np.testing.assert_array_equal(np.asarray(mm_dev)[:R], mism.sum(1))
+
+
+@pytest.fixture(scope="module")
+def small_index():
+    import bench as B
+
+    rng = np.random.default_rng(9)
+    g, results, vcf = B.make_pangenome(rng, ref_len=120_000)
+    haps = thread_haplotypes(g, results, vcf)
+    return haps, MinimizerIndex.build(haps)
+
+
+def test_wire2_n_exceptions(small_index):
+    """The 2-bit read wire cannot carry N (4) codes: a few in-read Ns
+    ride the fixed exception sidecar (scattered back to 4 on device);
+    a batch with more than EXC_CAP Ns drops the mapper to the 4-bit
+    layout for its lifetime. Both must score identically to the host
+    path."""
+    import numpy as np
+
+    from vg_tpu.io.fastq import Read
+    from vg_tpu.map.giraffe import GiraffeMapper, GiraffeParams
+    from vg_tpu.map.paired import PairedGiraffeMapper
+    from vg_tpu.ops.xfer import EXC_CAP
+    from vg_tpu.utils import dna
+
+    haps, idx = small_index
+    rng = np.random.default_rng(8)
+
+    def make_pairs(n, n_count):
+        out = []
+        for i in range(n):
+            s = int(rng.integers(0, haps.total_len - 500))
+            c1 = haps.text[s : s + 150].copy()
+            c2 = dna.revcomp_codes(haps.text[s + 300 : s + 450].copy())
+            s1 = list(dna.decode(c1))
+            for q in rng.integers(10, 140, n_count):
+                s1[int(q)] = "N"
+            out.append((Read(f"n{i}/1", "".join(s1), None),
+                        Read(f"n{i}/2", dna.decode(c2), None)))
+        return out
+
+    def run(pairs):
+        m = GiraffeMapper(haps, idx, GiraffeParams(batch_reads=len(pairs)))
+        pm = PairedGiraffeMapper(m)
+        for _ in range(64):
+            pm.fragdist.add(375.0)
+        pm.fragdist.finalize()
+        sb1, sb2, sel = pm.score_pairs_device(pairs)
+        pm._force_device_sel(sel, len(pairs))
+        return pm, np.array(sb1.scores), np.array(sb2.scores)
+
+    # a) few Ns -> exception sidecar (2-bit layout)
+    pairs = make_pairs(32, 1)
+    pm, s1, s2 = run(pairs)
+    assert not getattr(pm, "_wire4", False)
+    # host oracle scores for the same candidates
+    m2 = GiraffeMapper(haps, idx, GiraffeParams(batch_reads=32))
+    hb1, hb2 = PairedGiraffeMapper(m2).score_pairs(pairs)
+    np.testing.assert_array_equal(s1, np.array(hb1.scores))
+    np.testing.assert_array_equal(s2, np.array(hb2.scores))
+
+    # b) many Ns -> sticky 4-bit fallback, same scores
+    pairs = make_pairs(32, EXC_CAP // 8 + 4)   # 32 * 12 Ns >> EXC_CAP
+    pm, s1, s2 = run(pairs)
+    assert getattr(pm, "_wire4", False)
+    m3 = GiraffeMapper(haps, idx, GiraffeParams(batch_reads=32))
+    hc1, hc2 = PairedGiraffeMapper(m3).score_pairs(pairs)
+    np.testing.assert_array_equal(s1, np.array(hc1.scores))
+    np.testing.assert_array_equal(s2, np.array(hc2.scores))

@@ -451,8 +451,10 @@ class PairedGiraffeMapper:
 
             B = p.band_radius
             step_bonus = p.full_length_bonus
-            Rpad, C, RW1, RW2 = layout
+            Rpad, C, RW1, RW2, wire2 = (
+                layout if len(layout) == 5 else (*layout, False))
             Cw = -(-C // 4)
+            from ..ops.xfer import EXC_CAP, unpack_reads2_dev
 
             def packed_step(text, hb, stp, steps, nlen, nrp, nro, wirebuf):
                 """Transfer-compressed paired step (see ops/xfer.py): the
@@ -469,19 +471,24 @@ class PairedGiraffeMapper:
                     off[0] += n
                     return v.reshape(shape) if shape else v
 
-                rp1 = take(Rpad * RW1, (Rpad, RW1))
-                rl1 = take(Rpad)
-                ca1 = take(Rpad * C, (Rpad, C))
-                cf1 = unpack_i8_dev(take(Rpad * Cw, (Rpad, Cw)), C)
-                rp2 = take(Rpad * RW2, (Rpad, RW2))
-                rl2 = take(Rpad)
-                ca2 = take(Rpad * C, (Rpad, C))
-                cf2 = unpack_i8_dev(take(Rpad * Cw, (Rpad, Cw)), C)
+                def take_mate(RW):
+                    rp = take(Rpad * RW, (Rpad, RW))
+                    rl = take(Rpad)
+                    ca = take(Rpad * C, (Rpad, C))
+                    cf = unpack_i8_dev(take(Rpad * Cw, (Rpad, Cw)), C)
+                    exc = take(EXC_CAP) if wire2 else None
+                    return rp, rl, ca, cf, exc
+
+                rp1, rl1, ca1, cf1, exc1 = take_mate(RW1)
+                rp2, rl2, ca2, cf2, exc2 = take_mate(RW2)
                 musd = lax.bitcast_convert_type(take(2), jnp.float32)
                 mu, sd = musd[0], musd[1]
 
-                def mate(rp, rl, ca, cf):
-                    r = unpack_reads4_dev(rp)
+                def mate(rp, rl, ca, cf, exc, RW):
+                    if wire2:
+                        r = unpack_reads2_dev(rp, rl, RW * 16, exc)
+                    else:
+                        r = unpack_reads4_dev(rp)
                     rc = revcomp_dev(r, rl)
                     valid = (cf & 1).astype(bool)
                     rev = ((cf >> 1) & 1).astype(bool)
@@ -489,8 +496,8 @@ class PairedGiraffeMapper:
                         ca + B, hb, stp, steps, nlen, nrp, nro)
                     return r, rc, (ca, lo, hi, rev, valid, rpth, ro)
 
-                r1, r1rc, c1 = mate(rp1, rl1, ca1, cf1)
-                r2, r2rc, c2 = mate(rp2, rl2, ca2, cf2)
+                r1, r1rc, c1 = mate(rp1, rl1, ca1, cf1, exc1, RW1)
+                r2, r2rc, c2 = mate(rp2, rl2, ca2, cf2, exc2, RW2)
                 (s1, s2, j1, j2, mq1, mq2, use_pair, frags,
                  mm1, mm2, bits1, bits2, _stats, _cov) = step(
                     text, r1, r1rc, rl1, c1, r2, r2rc, rl2, c2, mu, sd)
@@ -764,7 +771,7 @@ class PairedGiraffeMapper:
         where sel_lazy holds the un-fetched device outputs. Falls back to
         score_pairs when the fragment model isn't finalized yet (warmup
         observes pairs on the host)."""
-        from ..ops.xfer import pack_reads4, pack_wire
+        from ..ops.xfer import EXC_CAP, pack_reads2, pack_reads4, pack_wire
 
         m = self.mapper
         reads1 = [a for a, _ in pairs]
@@ -772,15 +779,36 @@ class PairedGiraffeMapper:
         p1 = m.prepare_batch(reads1)
         p2 = m.prepare_batch(reads2)
         R = len(pairs)
+        # 2-bit read payload (half the dominant wire chunk; ~27 ms/batch
+        # on the ~20 MB/s tunnel) unless a batch carries more than
+        # EXC_CAP in-read Ns — then the mapper stays on the 4-bit layout
+        # for its lifetime (a mid-stream layout flip costs a ~12 s XLA
+        # recompile, worse than the bytes). The N count is permutation-
+        # invariant, so the layout choice happens before locality sort.
+        wire2 = not getattr(self, "_wire4", False)
+        if wire2:
+            n_ns = sum(int(np.count_nonzero(
+                (pr["reads_arr"] >= 4)
+                & (np.arange(pr["reads_arr"].shape[1])[None, :]
+                   < pr["rlens"][:, None])))
+                for pr in (p1, p2))
+            if n_ns > EXC_CAP:
+                self._wire4 = True
+                wire2 = False
 
         def wire(pr):
-            """(packed reads, rlen, cand start, valid|rev flag words)."""
+            """(packed reads, rlen, cand start, valid|rev flags[, exc])."""
             flags = (pr["cand_valid"].astype(np.int8)
                      | (pr["cand_rev"].astype(np.int8) << 1))
             if flags.shape[1] % 4:
                 flags = np.concatenate(
                     [flags, np.zeros((flags.shape[0],
                                       -flags.shape[1] % 4), np.int8)], 1)
+            if wire2:
+                pk, exc = pack_reads2(pr["reads_arr"], pr["rlens"])
+                exc = np.pad(exc[:EXC_CAP], (0, EXC_CAP - len(exc[:EXC_CAP])),
+                             constant_values=-1)
+                return (pk, pr["rlens"], pr["cand_start"], flags, exc)
             return (pack_reads4(pr["reads_arr"]), pr["rlens"],
                     pr["cand_start"], flags)
 
@@ -806,13 +834,14 @@ class PairedGiraffeMapper:
             w1 = wire(p1)
             w2 = wire(p2)
         Rpad, C = p1["cand_start"].shape
-        layout = (Rpad, C, w1[0].shape[1], w2[0].shape[1])
+        layout = (Rpad, C, w1[0].shape[1], w2[0].shape[1], wire2)
         step, text_arg, resident = self._get_pair_step(layout)
         wirebuf = pack_wire(
             list(w1) + list(w2),
             scalars=(self.fragdist.mean, max(self.fragdist.stdev, 1e-3)))
         packed = step(text_arg, *resident, wirebuf)
-        RLmax = 8 * max(w1[0].shape[1], w2[0].shape[1])
+        bpw = 16 if wire2 else 8          # bases per packed read word
+        RLmax = bpw * max(w1[0].shape[1], w2[0].shape[1])
         s_i8 = (RLmax + 2 * m.params.full_length_bonus <= 191
                 and C % 2 == 0)
         pos_mode = RLmax <= 255
@@ -821,8 +850,8 @@ class PairedGiraffeMapper:
         if pos_mode:
             pw1 = pw2 = 4
         else:
-            pw1 = -(-(w1[0].shape[1] * 8) // 32) * 2
-            pw2 = -(-(w2[0].shape[1] * 8) // 32) * 2
+            pw1 = -(-(w1[0].shape[1] * bpw) // 32) * 2
+            pw2 = -(-(w2[0].shape[1] * bpw) // 32) * 2
         sb1 = ScoredBatch(
             reads=reads1, codes=p1["codes"], codes_rc=p1["codes_rc"],
             cand_start=p1["cand_start"][:R], cand_lo=p1["cand_lo"][:R],

@@ -49,6 +49,47 @@ def pack_wire(parts, scalars=()) -> np.ndarray:
     return np.concatenate(flat)
 
 
+EXC_CAP = 64   # fixed per-mate N-exception slots in the 2-bit wire
+
+
+def pack_reads2(a: np.ndarray, rlen: np.ndarray):
+    """(R, L) uint8 base codes -> ((R, ceil(L/16)) int32 at 2 bits per
+    code, exc int32 exception list) — half the wire of pack_reads4.
+    2 bits cannot carry N (4) or pad (5): pad is reconstructed on device
+    from rlen, and each in-read N becomes an exception entry
+    row * 4096 + col (rare on real data). Returns exc unpadded; the
+    caller falls back to the 4-bit layout when len(exc) > EXC_CAP."""
+    a = np.ascontiguousarray(a, np.uint8)
+    R, L = a.shape
+    rows, cols = np.nonzero((a >= 4)
+                            & (np.arange(L)[None, :] < rlen[:R, None]))
+    exc = (rows.astype(np.int64) * 4096 + cols).astype(np.int32)
+    Lp = -(-L // 16) * 16
+    if Lp != L:
+        a = np.concatenate([a, np.zeros((R, Lp - L), np.uint8)], axis=1)
+    w = (a & 3).reshape(R, Lp // 16, 16).astype(np.uint32)
+    packed = np.zeros((R, Lp // 16), np.uint32)
+    for b in range(16):
+        packed |= w[:, :, b] << np.uint32(2 * b)
+    return packed.view(np.int32), exc
+
+
+def unpack_reads2_dev(p, rlen, RL: int, exc):
+    """Device inverse of pack_reads2: (R, W) int32 + rlen + EXC_CAP
+    exception words (-1 = unused) -> (R, RL) uint8 with pad 5 beyond
+    rlen and code 4 at exception positions."""
+    import jax.numpy as jnp
+
+    R = p.shape[0]
+    shifts = (jnp.arange(16, dtype=jnp.int32) * 2)[None, None, :]
+    codes = ((p[:, :, None] >> shifts) & 3).reshape(R, -1)[:, :RL]
+    codes = jnp.where(jnp.arange(RL)[None, :] < rlen[:, None].astype(
+        jnp.int32), codes, 5).astype(jnp.uint8)
+    rows = jnp.where(exc >= 0, exc >> 12, -1)     # OOB -> dropped
+    colz = exc & 4095
+    return codes.at[rows, colz].set(jnp.uint8(4), mode="drop")
+
+
 def unpack_i8_dev(words, n_cols: int):
     """Device: (R, ceil(n/4)) int32 -> (R, n_cols) int8 (little-endian
     bytes within each word)."""
