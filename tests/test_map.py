@@ -367,3 +367,66 @@ def test_softclip_does_not_loop(small_x, ref_test_dir):
     # read bases fully accounted (softclip included)
     tl = sum(e.to_length for mp in aln.path.mappings for e in mp.edits)
     assert tl == len(read.sequence)
+
+
+def test_encoded_indel_winner_parity(small_x):
+    """Indel/overhang winners batched through native emit_runs_gam must
+    be byte-identical to the object path (text_alignment_to_path +
+    annotate_refpos + Alignment.encode). Covers: in-band del/ins,
+    wide-band 30bp del, reverse strand, soft-clipped overhang, plus a
+    clean gapless read riding the fast path in the same batch."""
+    from vg_tpu.native import lib as native_lib
+
+    if native_lib() is None:
+        pytest.skip("native library unavailable")
+    haps = small_x.haps
+    t0h, t1h = haps.hap_text_range(0)
+    s = t0h + 300
+    txt = haps.text
+    mk = lambda name, codes: Read(name, dna.decode(codes), None)
+    reads = [
+        # clean gapless (fast native path)
+        mk("clean", txt[s : s + 120]),
+        # 4bp deletion inside the band
+        mk("del4", np.concatenate([txt[s : s + 60], txt[s + 64 : s + 124]])),
+        # 4bp insertion inside the band
+        mk("ins4", np.concatenate(
+            [txt[s : s + 60], (txt[s : s + 4] + 1) % 4, txt[s + 60 : s + 120]])),
+        # 30bp deletion -> wide-band retry
+        mk("del30", np.concatenate([txt[s : s + 60], txt[s + 90 : s + 150]])),
+        # reverse strand with a 4bp deletion
+        Read("rcdel4", dna.decode(dna.revcomp_codes(
+            np.concatenate([txt[s : s + 60], txt[s + 64 : s + 124]]))), None),
+        # overhang off the haplotype end (sentinel-masked window)
+        mk("overhang", np.concatenate(
+            [txt[t1h - 140 : t1h], (txt[t0h : t0h + 10] + 1) % 4])),
+    ]
+    sb = small_x.score_reads(reads)
+    objs = small_x.emit_batch(sb)
+    recs = small_x.emit_batch_encoded(sb)
+    assert recs is not None
+    assert len(recs) == len(objs)
+    for aln, rec, rd in zip(objs, recs, reads):
+        assert bytes(rec) == aln.encode(), rd.name
+    # sanity: the indel reads really exercised the slow path
+    assert any("D" in "".join(
+        ("D" if e.from_length and not e.to_length else "")
+        for mp in a.path.mappings for e in mp.edits)
+        for a in objs if a.path), "no deletion winner in batch"
+
+
+def test_encoded_mapq_cap_parity(small_x, ref_test_dir):
+    """Quality-carrying reads must get the explored-minimizer MAPQ cap on
+    the encoded production path too (regression: _emit_batch_encoded_inner
+    skipped apply_mapq_caps; golden read capped 60 -> 54)."""
+    from vg_tpu.native import lib as native_lib
+
+    if native_lib() is None:
+        pytest.skip("native library unavailable")
+    reads = list(iter_fastq(
+        str(ref_test_dir / "reads" / "small.middle.ref.fq")))
+    (aln,) = small_x.map_batch(reads)
+    sb = small_x.score_reads(reads)
+    recs = small_x.emit_batch_encoded(sb)
+    assert recs is not None
+    assert bytes(recs[0]) == aln.encode()

@@ -1472,6 +1472,7 @@ class GiraffeMapper:
             # winner/mapq/bitmaps were computed on device in the packed
             # single-end dispatch — one fetch, no host selection math
             best_j, mapqs, any_valid = self._force_single_sel(sb)
+            mapqs = self.apply_mapq_caps(sb, mapqs)
             return self.emit_chosen_encoded(sb, best_j, mapqs, any_valid)
         p = self.params
         R = len(sb.reads)
@@ -1493,6 +1494,7 @@ class GiraffeMapper:
                                  -50.0)
         mapqs = np.clip(-10.0 / np.log(10.0) * one_minus, 0, p.max_mapq)
         mapqs = np.where(np.isfinite(mapqs), mapqs, p.max_mapq).astype(np.int32)
+        mapqs = self.apply_mapq_caps(sb, mapqs)
         return self.emit_chosen_encoded(sb, best_j, mapqs, any_valid)
 
     def emit_chosen_encoded(self, sb: "ScoredBatch", best_j: np.ndarray,
@@ -1659,22 +1661,134 @@ class GiraffeMapper:
             for k, i in enumerate(w):
                 records[i] = mv[int(rec_off[k]) : int(rec_off[k + 1])]
 
-        # fallback: unmapped + indel winners via the object path
+        # fallback: unmapped reads encode cheaply; indel/overhang winners
+        # get the host traceback but batch through ONE native runs->GAM
+        # encode (graph/POA winners keep the object path — rare)
         slow = np.nonzero(~fast)[0]
-        if len(slow):
-            sub_best = best_j.copy()
-            for i in slow:
-                if not any_valid[i]:
-                    r = sb.reads[i]
-                    qual = bytes((ord(q) - 33) for q in r.quality) \
-                        if r.quality else b""
-                    records[i] = Alignment(
-                        name=r.name, sequence=r.sequence,
-                        quality=qual).encode()
-                else:
+        ta_rows: List[Tuple[int, object, int]] = []
+        for i in slow:
+            if not any_valid[i]:
+                r = sb.reads[i]
+                qual = bytes((ord(q) - 33) for q in r.quality) \
+                    if r.quality else b""
+                records[i] = Alignment(
+                    name=r.name, sequence=r.sequence,
+                    quality=qual).encode()
+                continue
+            res = self._traceback_ta(
+                sb.codes[i], sb.codes_rc[i], int(diag[i]) - B,
+                int(lo[i]), int(hi[i]), bool(rev[i]), int(best_s[i]))
+            if res[0] == "ta" and res[1].text_end > res[1].text_start:
+                ta_rows.append((i, res[1], res[2]))
+            else:
+                r = sb.reads[i]
+                qual = bytes((ord(q) - 33) for q in r.quality) \
+                    if r.quality else b""
+                aln = Alignment(name=r.name, sequence=r.sequence,
+                                quality=qual)
+                aln.mapping_quality = int(mapqs[i])
+                self._apply_traceback(aln, res, sb.codes[i],
+                                      sb.codes_rc[i], bool(rev[i]))
+                records[i] = aln.encode()
+        if ta_rows:
+            recs = self._emit_ta_runs(sb, ta_rows, mapqs, rev)
+            if recs is None:
+                for i, _, _ in ta_rows:
                     aln = self.emit(sb, i, int(best_j[i]), int(mapqs[i]))
                     records[i] = aln.encode()
+            else:
+                for (i, _, _), rec in zip(ta_rows, recs):
+                    records[i] = rec
         return records
+
+    def _emit_ta_runs(self, sb: "ScoredBatch", ta_rows, mapqs, rev):
+        """Batch TextAlignment winners (indel / overhang tracebacks) into
+        one native runs->GAM encode — the same emit_runs_gam entry the
+        long-read pipeline uses, so the ~1% non-gapless short-read winners
+        stop paying the per-read Python path/encode cost. Byte-identical
+        to the object path (text_alignment_to_path + annotate_refpos +
+        Alignment.encode): parity asserted in tests."""
+        from ..native import native_emit_runs_gam
+        from .project import refpos_walk
+
+        Nw = len(ta_rows)
+        op_code = {"M": 0, "X": 1, "I": 2, "D": 3}
+        run_blocks = []
+        for _, ta, _ in ta_rows:
+            runs = np.zeros((len(ta.edits), 3), np.int32)
+            rp = ta.read_start
+            for k, e in enumerate(ta.edits):
+                op = op_code[e[0]]
+                ln = int(e[1])
+                runs[k] = (op, ln, rp)
+                if op != 3:
+                    rp += ln
+            run_blocks.append(runs)
+        runs_off = np.zeros(Nw + 1, np.int64)
+        np.cumsum([len(r) for r in run_blocks], out=runs_off[1:])
+        runs_all = (np.concatenate(run_blocks) if runs_off[-1]
+                    else np.zeros((1, 3), np.int32))
+        t0 = np.array([ws + ta.text_start for _, ta, ws in ta_rows],
+                      np.int64)
+        t1 = np.array([ws + ta.text_end for _, ta, ws in ta_rows], np.int64)
+        rows = [i for i, _, _ in ta_rows]
+        rv = np.array([bool(rev[i]) for i in rows], np.uint8)
+        names_b = [sb.reads[i].name.encode() for i in rows]
+        reads_b = [sb.reads[i].sequence.encode() for i in rows]
+        quals_b = [bytes((ord(q) - 33) for q in sb.reads[i].quality)
+                   if sb.reads[i].quality else b"" for i in rows]
+
+        def blob(parts):
+            off = np.zeros(len(parts) + 1, np.int64)
+            np.cumsum([len(x) for x in parts], out=off[1:])
+            return off, np.frombuffer(b"".join(parts) or b"\0", np.uint8)
+
+        name_off, names = blob(names_b)
+        read_off, reads_blob = blob(reads_b)
+        qual_off, quals = blob(quals_b)
+        refnames_b = [n.encode() for n in self.path_pos.path_names]
+        refname_off, refnames = blob(refnames_b)
+        name_to_pi = {n: k for k, n in enumerate(self.path_pos.path_names)}
+        rp_arr = np.full(Nw, -1, np.int32)
+        ro_arr = np.zeros(Nw, np.int64)
+        rr_arr = np.zeros(Nw, np.uint8)
+        for wi, (i, ta, ws) in enumerate(ta_rows):
+            hits = refpos_walk(self.haps, self.graph, self.path_pos,
+                               int(t0[wi]), int(t1[wi]), bool(rev[i]))
+            if hits:
+                rp_arr[wi] = name_to_pi[hits[0].name]
+                ro_arr[wi] = hits[0].offset
+                rr_arr[wi] = 1 if hits[0].is_reverse else 0
+        arrs = {
+            "N": Nw, "t0": t0, "rev": rv,
+            "mapq": np.array([int(mapqs[i]) for i in rows], np.int32),
+            "score": np.array([ta.score for _, ta, _ in ta_rows], np.int32),
+            "matches": np.array([ta.matches for _, ta, _ in ta_rows],
+                                np.int64),
+            "read_start": np.array([ta.read_start for _, ta, _ in ta_rows],
+                                   np.int64),
+            "read_end": np.array([ta.read_end for _, ta, _ in ta_rows],
+                                 np.int64),
+            "name_off": name_off, "names": names,
+            "read_off": read_off, "reads": reads_blob,
+            "qual_off": qual_off, "quals": quals,
+            "runs": np.ascontiguousarray(runs_all, np.int32),
+            "runs_off": runs_off,
+            "step_text_pos": self.haps.step_text_pos,
+            "steps": self.haps.steps,
+            "n_steps": len(self.haps.steps),
+            "node_id": self.graph.node_id,
+            "seq_start": self.graph.seq_start,
+            "ref_path": rp_arr, "ref_off": ro_arr, "ref_rev": rr_arr,
+            "refname_off": refname_off, "refnames": refnames,
+        }
+        res = native_emit_runs_gam(arrs)
+        if res is None:
+            return None
+        buf, rec_off = res
+        mv = memoryview(buf)
+        return [mv[int(rec_off[k]) : int(rec_off[k + 1])]
+                for k in range(Nw)]
 
     def _gapless_check(self, oriented: np.ndarray, window: np.ndarray,
                        device_score: int):
@@ -1712,6 +1826,37 @@ class GiraffeMapper:
     def _traceback_into(self, aln: Alignment, codes: np.ndarray,
                         codes_rc: np.ndarray, wstart: int, lo: int, hi: int,
                         is_rev: bool, device_score: int) -> None:
+        res = self._traceback_ta(codes, codes_rc, wstart, lo, hi,
+                                 is_rev, device_score)
+        self._apply_traceback(aln, res, codes, codes_rc, is_rev)
+
+    def _apply_traceback(self, aln: Alignment, res, codes: np.ndarray,
+                         codes_rc: np.ndarray, is_rev: bool) -> None:
+        """Materialize a _traceback_ta result into an Alignment object."""
+        kind = res[0]
+        if kind == "graph":
+            ga = res[1]
+            aln.path = ga.path
+            aln.score = ga.score
+            aln.identity = ga.identity
+            self.path_pos.annotate_refpos(aln)
+        elif kind == "ta":
+            ta, ws = res[1], res[2]
+            L = len(codes)
+            oriented = codes_rc if is_rev else codes
+            aln.path = text_alignment_to_path(self.haps, ta, ws, oriented,
+                                              is_rev)
+            aln.score = ta.score
+            aln.identity = ta.matches / L if L else 0.0
+            self.path_pos.annotate_refpos(aln)
+
+    def _traceback_ta(self, codes: np.ndarray, codes_rc: np.ndarray,
+                      wstart: int, lo: int, hi: int, is_rev: bool,
+                      device_score: int):
+        """Winner traceback decision shared by the object and encoded
+        emitters: banded DP (+gapless shortcut), wide-band retry, and
+        graph-space POA fallback. Returns one of ('ta', TextAlignment,
+        final_wstart) | ('graph', graph_result) | ('none', None)."""
         p = self.params
         L = len(codes)
         TW = L + 2 * p.band_radius
@@ -1765,18 +1910,10 @@ class GiraffeMapper:
                     int(ga is not None and (ta is None
                                             or ga.score > ta.score)))
             if ga is not None and (ta is None or ga.score > ta.score):
-                aln.path = ga.path
-                aln.score = ga.score
-                aln.identity = ga.identity
-                self.path_pos.annotate_refpos(aln)
-                return
+                return ("graph", ga)
         if ta is None:
-            return
-        path = text_alignment_to_path(self.haps, ta, wstart, oriented, is_rev)
-        aln.path = path
-        aln.score = ta.score
-        aln.identity = ta.matches / L if L else 0.0
-        self.path_pos.annotate_refpos(aln)
+            return ("none", None)
+        return ("ta", ta, wstart)
 
     def _graph_fallback(self, codes: np.ndarray, diag: int, lo: int,
                         hi: int):

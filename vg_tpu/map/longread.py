@@ -786,32 +786,10 @@ class LongReadMapper:
     def _refpos_of(self, t0: int, t1: int, rev: bool):
         """Reference-path position of the alignment start (walks past
         off-path nodes like PathPositionIndex.annotate_refpos)."""
-        stp = self.haps.step_text_pos
-        steps = self.haps.steps
-        g = self.graph
-        si0 = int(np.searchsorted(stp[1:], t0, side="right"))
-        si1 = int(np.searchsorted(stp[1:], max(t1 - 1, t0), side="right"))
-        order = range(si1, si0 - 1, -1) if rev else range(si0, si1 + 1)
-        walked = 0
-        for si in order:
-            h = int(steps[si])
-            seg_lo = max(int(stp[si]), t0)
-            seg_hi = min(int(stp[si + 1]), t1)
-            flen = seg_hi - seg_lo
-            nid = int(g.node_id[h >> 1])
-            nlen = int(g.seq_start[(h >> 1) + 1] - g.seq_start[h >> 1])
-            off = seg_lo - int(stp[si])
-            mrev = bool(h & 1)
-            if rev:
-                mrev = not mrev
-                off = nlen - off - flen
-            hits = self.path_pos.positions_of(nid, off, mrev)
-            if hits:
-                for hh in hits:
-                    hh.offset = max(0, hh.offset - walked)
-                return hits
-            walked += flen
-        return []
+        from .project import refpos_walk
+
+        return refpos_walk(self.haps, self.graph, self.path_pos,
+                           t0, t1, rev)
 
     def map_batch_encoded(self, reads: Sequence[Read]):
         """Native end-to-end long-read mapping: stitch + winner/mapq on

@@ -220,6 +220,42 @@ def reverse_complement_path(graph: ArrayGraph, path: Path) -> Path:
     return out
 
 
+def refpos_walk(haps: HaplotypeSet, graph: ArrayGraph,
+                path_pos: "PathPositionIndex", t0: int, t1: int,
+                rev: bool) -> List[Position]:
+    """annotate_refpos computed in text space: walk the step range covering
+    text [t0, t1) in path order (descending when rev, matching the flipped
+    Path) and return the first on-path node's reference positions, offsets
+    reduced by the graph bases walked. Byte-equivalent to building the Path
+    and calling PathPositionIndex.annotate_refpos, without the objects
+    (vg: alignment_path_offsets, src/algorithms/alignment_path_offsets.cpp)."""
+    stp = haps.step_text_pos
+    steps = haps.steps
+    si0 = int(np.searchsorted(stp[1:], t0, side="right"))
+    si1 = int(np.searchsorted(stp[1:], max(t1 - 1, t0), side="right"))
+    order = range(si1, si0 - 1, -1) if rev else range(si0, si1 + 1)
+    walked = 0
+    for si in order:
+        h = int(steps[si])
+        seg_lo = max(int(stp[si]), t0)
+        seg_hi = min(int(stp[si + 1]), t1)
+        flen = seg_hi - seg_lo
+        nid = int(graph.node_id[h >> 1])
+        nlen = int(graph.seq_start[(h >> 1) + 1] - graph.seq_start[h >> 1])
+        off = seg_lo - int(stp[si])
+        mrev = bool(h & 1)
+        if rev:
+            mrev = not mrev
+            off = nlen - off - flen
+        hits = path_pos.positions_of(nid, off, mrev)
+        if hits:
+            for hh in hits:
+                hh.offset = max(0, hh.offset - walked)
+            return hits
+        walked += flen
+    return []
+
+
 class PathPositionIndex:
     """Node -> (path, offset, orientation) lookup over reference-sense paths
     (the XG path-position role, reference: deps/xg; used for refpos
