@@ -189,6 +189,110 @@ def _distinct_mask(scores, rev, rp, ro, valid, tol):
     return ~dup
 
 
+def _top2_T(smT, NEGF):
+    """Candidate-major _top2: (max, second-max) along axis 0 of (C, R)."""
+    t0 = smT.max(axis=0)
+    am = jnp.argmax(smT, axis=0)
+    masked = jnp.where(jnp.arange(smT.shape[0])[:, None] == am[None, :],
+                       NEGF, smT)
+    return t0, masked.max(axis=0)
+
+
+def _distinct_mask_T(scoresT, revT, rpT, roT, validT, tol):
+    """_distinct_mask in candidate-major layout: inputs (C, R), dup mask
+    over (C_i, C_j, R) with the R batch axis on the lanes (C=8 row-major
+    would pad 8 -> 128 lanes, 16x memory/compute waste). Index mapping:
+    axis0 = the candidate being tested (i), axis1 = the competitor (j)."""
+    C = scoresT.shape[0]
+    same = ((revT[:, None, :] == revT[None, :, :])
+            & (rpT[:, None, :] >= 0)
+            & (rpT[:, None, :] == rpT[None, :, :])
+            & (jnp.abs(roT[:, None, :] - roT[None, :, :]) <= tol))
+    idx = jnp.arange(C)
+    better = (scoresT[None, :, :] > scoresT[:, None, :]) | (
+        (scoresT[None, :, :] == scoresT[:, None, :])
+        & (idx[None, :, None] < idx[:, None, None]))
+    dup = (same & better & validT[None, :, :]).any(axis=1)
+    return ~dup
+
+
+def _pair_core_T(f1T, f2T, vd1T, vd2T, fragT, properT, rl1, rl2, mu, sd,
+                 lam, unpaired_penalty, max_mapq, max_fragment_length):
+    """Pair selection + MAPQ + fragment statistics, candidate-major.
+
+    All (C, C, R) / (C, R) intermediates keep the batch axis on the
+    128-lane minor dim (the row-major form padded C=8 to 128 lanes;
+    measured ~20 ms of a 6144-pair step on v5e). Shared by the
+    replicated and text-sharded paired steps so their selection stays
+    bit-identical by construction. Tie-breaking matches the row-major
+    form exactly: flat combo index i*C+j, argmax takes the first max."""
+    NEGF = jnp.float32(-1e30)
+    C = f1T.shape[0]
+    ll = (-((fragT - mu) ** 2) / (2 * sd * sd)
+          - jnp.log(sd * jnp.sqrt(2 * jnp.pi)))
+    pair_scaled = jnp.where(
+        properT, lam * (f1T[:, None, :] + f2T[None, :, :]) + ll, NEGF)
+    flat = pair_scaled.reshape(C * C, -1)      # major-dim merge: free
+    best_combo = jnp.argmax(flat, axis=0)
+    best_pair = flat.max(axis=0)
+    j1p = best_combo // C
+    j2p = best_combo % C
+
+    m1 = jnp.where(vd1T, f1T, NEGF)
+    m2 = jnp.where(vd2T, f2T, NEGF)
+    b1 = jnp.argmax(m1, axis=0)
+    b2 = jnp.argmax(m2, axis=0)
+    s1b = jnp.where(vd1T.any(0), m1.max(axis=0), 0.0)
+    s2b = jnp.where(vd2T.any(0), m2.max(axis=0), 0.0)
+    indep = lam * (s1b + s2b) - lam * unpaired_penalty
+    use_pair = (best_pair > NEGF / 2) & (best_pair >= indep)
+
+    # pair MAPQ: logsumexp over proper combos
+    lsep = best_pair + jnp.log(jnp.sum(
+        jnp.exp(jnp.where(flat > NEGF / 2,
+                          flat - best_pair[None, :], NEGF)), axis=0))
+    deltap = best_pair - lsep
+    one_minus = jnp.where(deltap < -1e-12,
+                          jnp.log1p(-jnp.exp(jnp.minimum(deltap, -1e-12))),
+                          -50.0)
+    mq_pair = jnp.clip(-10.0 / jnp.log(10.0) * one_minus, 0, max_mapq)
+
+    def end_mapq(fT, vdT, chosen):
+        sc = jnp.where(vdT, fT * lam, NEGF)
+        mx = sc.max(axis=0)
+        lse = mx + jnp.log(jnp.exp(sc - mx[None, :]).sum(axis=0))
+        oh = jnp.arange(C)[:, None] == chosen[None, :]
+        ch = jnp.where(oh, fT, 0).sum(axis=0) * lam
+        delta = ch - lse
+        om = jnp.where(delta < -1e-12,
+                       jnp.log1p(-jnp.exp(jnp.minimum(delta, -1e-12))),
+                       -50.0)
+        return jnp.clip(-10.0 / jnp.log(10.0) * om, 0, max_mapq)
+
+    j1 = jnp.where(use_pair, j1p, b1)
+    j2 = jnp.where(use_pair, j2p, b2)
+    mq1s = end_mapq(f1T, vd1T, j1)
+    mq2s = end_mapq(f2T, vd2T, j2)
+    mq1 = jnp.where(use_pair, jnp.minimum(mq_pair, mq1s + 25), mq1s)
+    mq2 = jnp.where(use_pair, jnp.minimum(mq_pair, mq2s + 25), mq2s)
+    ohc = jnp.arange(C * C)[:, None] == best_combo[None, :]
+    frags = jnp.where(ohc, fragT.reshape(C * C, -1), 0).sum(axis=0)
+    frags = jnp.where(use_pair, frags, 0.0)
+
+    # fragment statistics over confident proper pairs (warmup allgather)
+    t1a, t1b = _top2_T(m1, NEGF)
+    uniq1 = (s1b >= 0.8 * rl1) & ((vd1T.sum(0) <= 1) | (t1b < t1a - 5))
+    t2a, t2b = _top2_T(m2, NEGF)
+    uniq2 = (s2b >= 0.8 * rl2) & ((vd2T.sum(0) <= 1) | (t2b < t2a - 5))
+    obs = (use_pair & uniq1 & uniq2 & (frags > 0)
+           & (frags <= max_fragment_length))
+    stat_n = obs.sum().astype(jnp.float32)
+    stat_sum = jnp.where(obs, frags, 0.0).sum()
+    stat_sumsq = jnp.where(obs, frags * frags, 0.0).sum()
+    return (j1, j2, mq1, mq2, use_pair, frags,
+            jnp.stack([stat_n, stat_sum, stat_sumsq]))
+
+
 def make_single_step(band_radius: int = 16, match: int = 1,
                      mismatch: int = 4, gap_open: int = 6,
                      gap_extend: int = 1, bonus: int = 5,
@@ -273,82 +377,47 @@ def make_paired_step(band_radius: int = 16, match: int = 1,
         (s2_start, s2_lo, s2_hi, s2_rev, s2_valid, s2_rp, s2_ro) = c2
         s1 = score_fn(text, r1, r1rc, rl1, c1)
         s2 = score_fn(text, r2, r2rc, rl2, c2)
-        R, C = s1.shape
         B = band_radius
-        L1 = rl1[:, None].astype(jnp.float32)
-        L2 = rl2[:, None].astype(jnp.float32)
         from ..map.giraffe import PLACEMENT_TOL
-        tol1 = jnp.full_like(rl1, PLACEMENT_TOL)[:, None, None]
-        f1 = s1.astype(jnp.float32)
-        f2 = s2.astype(jnp.float32)
-        v1 = s1_valid & (s1 > 0)
-        v2 = s2_valid & (s2 > 0)
-        vd1 = v1 & _distinct_mask(s1, s1_rev, s1_rp, s1_ro, v1, tol1)
-        vd2 = v2 & _distinct_mask(s2, s2_rev, s2_rp, s2_ro, v2, tol1)
 
-        d1 = (s1_start + B).astype(jnp.float32)
-        d2 = (s2_start + B).astype(jnp.float32)
-        ff = (d2[:, None, :] + L2[:, :, None]) - d1[:, :, None]
-        fr = (d1[:, :, None] + L1[:, :, None]) - d2[:, None, :]
-        frag_txt = jnp.where(s1_rev[:, :, None], fr, ff)
-        same_copy = s1_lo[:, :, None] == s2_lo[:, None, :]
-        on_ref = ((s1_rp[:, :, None] >= 0)
-                  & (s1_rp[:, :, None] == s2_rp[:, None, :]))
-        ro1 = s1_ro.astype(jnp.float32)
-        ro2 = s2_ro.astype(jnp.float32)
-        rff = (ro2[:, None, :] + L2[:, :, None]) - ro1[:, :, None]
-        rfr = (ro1[:, :, None] + L1[:, :, None]) - ro2[:, None, :]
-        frag_ref = jnp.where(s1_rev[:, :, None], rfr, rff)
-        frag = jnp.where(same_copy, frag_txt,
-                         jnp.where(on_ref, frag_ref, -1.0))
-        proper = ((s1_rev[:, :, None] != s2_rev[:, None, :])
-                  & (same_copy | on_ref)
-                  & (frag > 0) & (frag <= max_fragment_length)
-                  & vd1[:, :, None] & vd2[:, None, :])
-        ll = (-((frag - mu) ** 2) / (2 * sd * sd)
-              - jnp.log(sd * jnp.sqrt(2 * jnp.pi)))
-        NEGF = jnp.float32(-1e30)
-        pair_scaled = jnp.where(
-            proper, lam * (f1[:, :, None] + f2[:, None, :]) + ll, NEGF)
-        flat = pair_scaled.reshape(R, C * C)
-        best_combo = jnp.argmax(flat, axis=1)
-        best_pair = jnp.take_along_axis(flat, best_combo[:, None], 1)[:, 0]
-        j1p = best_combo // C
-        j2p = best_combo % C
+        # selection runs candidate-major — see _pair_core_T
+        f1T = s1.T.astype(jnp.float32)
+        f2T = s2.T.astype(jnp.float32)
+        v1T = (s1_valid & (s1 > 0)).T
+        v2T = (s2_valid & (s2 > 0)).T
+        vd1T = v1T & _distinct_mask_T(s1.T, s1_rev.T, s1_rp.T, s1_ro.T,
+                                      v1T, PLACEMENT_TOL)
+        vd2T = v2T & _distinct_mask_T(s2.T, s2_rev.T, s2_rp.T, s2_ro.T,
+                                      v2T, PLACEMENT_TOL)
 
-        b1 = jnp.argmax(jnp.where(vd1, f1, NEGF), axis=1)
-        b2 = jnp.argmax(jnp.where(vd2, f2, NEGF), axis=1)
-        s1b = jnp.where(vd1.any(1),
-                        jnp.take_along_axis(f1, b1[:, None], 1)[:, 0], 0.0)
-        s2b = jnp.where(vd2.any(1),
-                        jnp.take_along_axis(f2, b2[:, None], 1)[:, 0], 0.0)
-        indep = lam * (s1b + s2b) - lam * unpaired_penalty
-        use_pair = (best_pair > NEGF / 2) & (best_pair >= indep)
-
-        # pair MAPQ: logsumexp over proper combos
-        lsep = best_pair + jnp.log(jnp.sum(
-            jnp.exp(jnp.where(flat > NEGF / 2,
-                              flat - best_pair[:, None], NEGF)), axis=1))
-        deltap = best_pair - lsep
-        one_minus = jnp.where(deltap < -1e-12,
-                              jnp.log1p(-jnp.exp(jnp.minimum(deltap,
-                                                             -1e-12))),
-                              -50.0)
-        mq_pair = jnp.clip(-10.0 / jnp.log(10.0) * one_minus, 0, max_mapq)
-
-        def end_mapq(f, vd, chosen):
-            sc = jnp.where(vd, f * lam, NEGF)
-            mx = sc.max(axis=1)
-            lse = mx + jnp.log(jnp.exp(sc - mx[:, None]).sum(axis=1))
-            ch = jnp.take_along_axis(f, chosen[:, None], 1)[:, 0] * lam
-            delta = ch - lse
-            om = jnp.where(delta < -1e-12,
-                           jnp.log1p(-jnp.exp(jnp.minimum(delta, -1e-12))),
-                           -50.0)
-            return jnp.clip(-10.0 / jnp.log(10.0) * om, 0, max_mapq)
-
-        j1 = jnp.where(use_pair, j1p, b1)
-        j2 = jnp.where(use_pair, j2p, b2)
+        L1r = rl1.astype(jnp.float32)[None, None, :]
+        L2r = rl2.astype(jnp.float32)[None, None, :]
+        d1T = (s1_start + B).astype(jnp.float32).T
+        d2T = (s2_start + B).astype(jnp.float32).T
+        rev1T = s1_rev.T
+        rev2T = s2_rev.T
+        ffT = (d2T[None, :, :] + L2r) - d1T[:, None, :]
+        frT = (d1T[:, None, :] + L1r) - d2T[None, :, :]
+        frag_txtT = jnp.where(rev1T[:, None, :], frT, ffT)
+        same_copyT = s1_lo.T[:, None, :] == s2_lo.T[None, :, :]
+        rp1T = s1_rp.T
+        rp2T = s2_rp.T
+        on_refT = (rp1T[:, None, :] >= 0) & (rp1T[:, None, :]
+                                             == rp2T[None, :, :])
+        ro1T = s1_ro.astype(jnp.float32).T
+        ro2T = s2_ro.astype(jnp.float32).T
+        rffT = (ro2T[None, :, :] + L2r) - ro1T[:, None, :]
+        rfrT = (ro1T[:, None, :] + L1r) - ro2T[None, :, :]
+        frag_refT = jnp.where(rev1T[:, None, :], rfrT, rffT)
+        fragT = jnp.where(same_copyT, frag_txtT,
+                          jnp.where(on_refT, frag_refT, -1.0))
+        properT = ((rev1T[:, None, :] != rev2T[None, :, :])
+                   & (same_copyT | on_refT)
+                   & (fragT > 0) & (fragT <= max_fragment_length)
+                   & vd1T[:, None, :] & vd2T[None, :, :])
+        (j1, j2, mq1, mq2, use_pair, frags, stats) = _pair_core_T(
+            f1T, f2T, vd1T, vd2T, fragT, properT, rl1, rl2, mu, sd,
+            lam, unpaired_penalty, max_mapq, max_fragment_length)
 
         mm1, bits1 = winner_mismatch_bits(
             text, text_len, text_packed, B, r1, r1rc, rl1,
@@ -356,28 +425,6 @@ def make_paired_step(band_radius: int = 16, match: int = 1,
         mm2, bits2 = winner_mismatch_bits(
             text, text_len, text_packed, B, r2, r2rc, rl2,
             s2_start, s2_lo, s2_hi, s2_rev, j2)
-        mq1s = end_mapq(f1, vd1, j1)
-        mq2s = end_mapq(f2, vd2, j2)
-        mq1 = jnp.where(use_pair, jnp.minimum(mq_pair, mq1s + 25), mq1s)
-        mq2 = jnp.where(use_pair, jnp.minimum(mq_pair, mq2s + 25), mq2s)
-        frags = jnp.take_along_axis(frag.reshape(R, C * C),
-                                    best_combo[:, None], 1)[:, 0]
-        frags = jnp.where(use_pair, frags, 0.0)
-
-        # fragment statistics over confident proper pairs (the warmup
-        # allgather): per-shard sums reduce across the mesh because the
-        # outputs are replicated while inputs are sharded
-        t1a, t1b = _top2(jnp.where(vd1, f1, NEGF), NEGF)
-        uniq1 = (s1b >= 0.8 * rl1) & (
-            (vd1.sum(1) <= 1) | (t1b < t1a - 5))
-        t2a, t2b = _top2(jnp.where(vd2, f2, NEGF), NEGF)
-        uniq2 = (s2b >= 0.8 * rl2) & (
-            (vd2.sum(1) <= 1) | (t2b < t2a - 5))
-        obs = (use_pair & uniq1 & uniq2 & (frags > 0)
-               & (frags <= max_fragment_length))
-        stat_n = obs.sum().astype(jnp.float32)
-        stat_sum = jnp.where(obs, frags, 0.0).sum()
-        stat_sumsq = jnp.where(obs, frags * frags, 0.0).sum()
 
         # pack-style coverage histogram over winner placements
         start1 = jnp.take_along_axis(s1_start, j1[:, None], 1)[:, 0]
@@ -386,14 +433,13 @@ def make_paired_step(band_radius: int = 16, match: int = 1,
                            else text.shape[0]) // n_buckets, 1)
         cov = jnp.zeros((n_buckets,), jnp.int32)
         cov = cov.at[jnp.clip(start1 // bsz, 0, n_buckets - 1)].add(
-            vd1.any(1).astype(jnp.int32))
+            vd1T.any(0).astype(jnp.int32))
         cov = cov.at[jnp.clip(start2 // bsz, 0, n_buckets - 1)].add(
-            vd2.any(1).astype(jnp.int32))
+            vd2T.any(0).astype(jnp.int32))
         return (s1, s2, j1, j2,
                 jnp.clip(mq1, 0, max_mapq).astype(jnp.int32),
                 jnp.clip(mq2, 0, max_mapq).astype(jnp.int32),
-                use_pair, frags, mm1, mm2, bits1, bits2,
-                jnp.stack([stat_n, stat_sum, stat_sumsq]), cov)
+                use_pair, frags, mm1, mm2, bits1, bits2, stats, cov)
 
     return step
 
@@ -624,86 +670,56 @@ def make_sharded_text_paired_step(
         s2, mm2a, bits2a = score_on_shards(
             tshards, r2, r2rc, rl2, s2_sl, s2_ow, s2_lo, s2_hi,
             s2_rev, s2_valid)
-        R, C = s1.shape
-        L1 = rl1[:, None].astype(jnp.float32)
-        L2 = rl2[:, None].astype(jnp.float32)
         from ..map.giraffe import PLACEMENT_TOL
-        tol1 = jnp.full_like(rl1, PLACEMENT_TOL)[:, None, None]
-        f1 = s1.astype(jnp.float32)
-        f2 = s2.astype(jnp.float32)
-        v1 = s1_valid & (s1 > 0)
-        v2 = s2_valid & (s2 > 0)
-        vd1 = v1 & _distinct_mask(s1, s1_rev, s1_rp, s1_ro, v1, tol1)
-        vd2 = v2 & _distinct_mask(s2, s2_rev, s2_rp, s2_ro, v2, tol1)
+
+        # selection runs candidate-major — see _pair_core_T (shared with
+        # the replicated step, keeping the two bit-identical)
+        f1T = s1.T.astype(jnp.float32)
+        f2T = s2.T.astype(jnp.float32)
+        v1T = (s1_valid & (s1 > 0)).T
+        v2T = (s2_valid & (s2 > 0)).T
+        vd1T = v1T & _distinct_mask_T(s1.T, s1_rev.T, s1_rp.T, s1_ro.T,
+                                      v1T, PLACEMENT_TOL)
+        vd2T = v2T & _distinct_mask_T(s2.T, s2_rev.T, s2_rp.T, s2_ro.T,
+                                      v2T, PLACEMENT_TOL)
 
         # fragment length in text space via the saturated base-offset
         # table: d2g - d1g = basediff[ow1, ow2] + (l2 - l1), exact while
         # |true distance| << the saturation bound
-        bd = basediff[s1_ow[:, :, None], s2_ow[:, None, :]].astype(
+        L1r = rl1.astype(jnp.float32)[None, None, :]
+        L2r = rl2.astype(jnp.float32)[None, None, :]
+        ow1T = s1_ow.T
+        ow2T = s2_ow.T
+        bdT = basediff[ow1T[:, None, :], ow2T[None, :, :]].astype(
             jnp.float32)
-        dl1 = (s1_sl + B).astype(jnp.float32)
-        dl2 = (s2_sl + B).astype(jnp.float32)
-        delta = bd + (dl2[:, None, :] - dl1[:, :, None])   # d2g - d1g
-        ff = delta + L2[:, :, None]
-        fr = -delta + L1[:, :, None]
-        frag_txt = jnp.where(s1_rev[:, :, None], fr, ff)
-        same_copy = s1_hap[:, :, None] == s2_hap[:, None, :]
-        on_ref = ((s1_rp[:, :, None] >= 0)
-                  & (s1_rp[:, :, None] == s2_rp[:, None, :]))
-        ro1 = s1_ro.astype(jnp.float32)
-        ro2 = s2_ro.astype(jnp.float32)
-        rff = (ro2[:, None, :] + L2[:, :, None]) - ro1[:, :, None]
-        rfr = (ro1[:, :, None] + L1[:, :, None]) - ro2[:, None, :]
-        frag_ref = jnp.where(s1_rev[:, :, None], rfr, rff)
-        frag = jnp.where(same_copy, frag_txt,
-                         jnp.where(on_ref, frag_ref, -1.0))
-        proper = ((s1_rev[:, :, None] != s2_rev[:, None, :])
-                  & (same_copy | on_ref)
-                  & (frag > 0) & (frag <= max_fragment_length)
-                  & vd1[:, :, None] & vd2[:, None, :])
-        ll = (-((frag - mu) ** 2) / (2 * sd * sd)
-              - jnp.log(sd * jnp.sqrt(2 * jnp.pi)))
-        NEGF = jnp.float32(-1e30)
-        pair_scaled = jnp.where(
-            proper, lam * (f1[:, :, None] + f2[:, None, :]) + ll, NEGF)
-        flat = pair_scaled.reshape(R, C * C)
-        best_combo = jnp.argmax(flat, axis=1)
-        best_pair = jnp.take_along_axis(flat, best_combo[:, None], 1)[:, 0]
-        j1p = best_combo // C
-        j2p = best_combo % C
+        dl1T = (s1_sl + B).astype(jnp.float32).T
+        dl2T = (s2_sl + B).astype(jnp.float32).T
+        deltaT = bdT + (dl2T[None, :, :] - dl1T[:, None, :])   # d2g - d1g
+        rev1T = s1_rev.T
+        rev2T = s2_rev.T
+        ffT = deltaT + L2r
+        frT = -deltaT + L1r
+        frag_txtT = jnp.where(rev1T[:, None, :], frT, ffT)
+        same_copyT = s1_hap.T[:, None, :] == s2_hap.T[None, :, :]
+        rp1T = s1_rp.T
+        rp2T = s2_rp.T
+        on_refT = (rp1T[:, None, :] >= 0) & (rp1T[:, None, :]
+                                             == rp2T[None, :, :])
+        ro1T = s1_ro.astype(jnp.float32).T
+        ro2T = s2_ro.astype(jnp.float32).T
+        rffT = (ro2T[None, :, :] + L2r) - ro1T[:, None, :]
+        rfrT = (ro1T[:, None, :] + L1r) - ro2T[None, :, :]
+        frag_refT = jnp.where(rev1T[:, None, :], rfrT, rffT)
+        fragT = jnp.where(same_copyT, frag_txtT,
+                          jnp.where(on_refT, frag_refT, -1.0))
+        properT = ((rev1T[:, None, :] != rev2T[None, :, :])
+                   & (same_copyT | on_refT)
+                   & (fragT > 0) & (fragT <= max_fragment_length)
+                   & vd1T[:, None, :] & vd2T[None, :, :])
+        (j1, j2, mq1, mq2, use_pair, frags, stats) = _pair_core_T(
+            f1T, f2T, vd1T, vd2T, fragT, properT, rl1, rl2, mu, sd,
+            lam, unpaired_penalty, max_mapq, max_fragment_length)
 
-        b1 = jnp.argmax(jnp.where(vd1, f1, NEGF), axis=1)
-        b2 = jnp.argmax(jnp.where(vd2, f2, NEGF), axis=1)
-        s1b = jnp.where(vd1.any(1),
-                        jnp.take_along_axis(f1, b1[:, None], 1)[:, 0], 0.0)
-        s2b = jnp.where(vd2.any(1),
-                        jnp.take_along_axis(f2, b2[:, None], 1)[:, 0], 0.0)
-        indep = lam * (s1b + s2b) - lam * unpaired_penalty
-        use_pair = (best_pair > NEGF / 2) & (best_pair >= indep)
-
-        lsep = best_pair + jnp.log(jnp.sum(
-            jnp.exp(jnp.where(flat > NEGF / 2,
-                              flat - best_pair[:, None], NEGF)), axis=1))
-        deltap = best_pair - lsep
-        one_minus = jnp.where(deltap < -1e-12,
-                              jnp.log1p(-jnp.exp(jnp.minimum(deltap,
-                                                             -1e-12))),
-                              -50.0)
-        mq_pair = jnp.clip(-10.0 / jnp.log(10.0) * one_minus, 0, max_mapq)
-
-        def end_mapq(f, vd, chosen):
-            sc = jnp.where(vd, f * lam, NEGF)
-            mx = sc.max(axis=1)
-            lse = mx + jnp.log(jnp.exp(sc - mx[:, None]).sum(axis=1))
-            ch = jnp.take_along_axis(f, chosen[:, None], 1)[:, 0] * lam
-            dlt = ch - lse
-            om = jnp.where(dlt < -1e-12,
-                           jnp.log1p(-jnp.exp(jnp.minimum(dlt, -1e-12))),
-                           -50.0)
-            return jnp.clip(-10.0 / jnp.log(10.0) * om, 0, max_mapq)
-
-        j1 = jnp.where(use_pair, j1p, b1)
-        j2 = jnp.where(use_pair, j2p, b2)
         takeC = lambda a, j: jnp.take_along_axis(a, j[:, None], 1)[:, 0]
         mm1 = takeC(mm1a, j1)
         mm2 = takeC(mm2a, j2)
@@ -711,25 +727,6 @@ def make_sharded_text_paired_step(
             bits1a, j1[:, None, None], 1)[:, 0]
         bits2 = jnp.take_along_axis(
             bits2a, j2[:, None, None], 1)[:, 0]
-        mq1s = end_mapq(f1, vd1, j1)
-        mq2s = end_mapq(f2, vd2, j2)
-        mq1 = jnp.where(use_pair, jnp.minimum(mq_pair, mq1s + 25), mq1s)
-        mq2 = jnp.where(use_pair, jnp.minimum(mq_pair, mq2s + 25), mq2s)
-        frags = jnp.take_along_axis(frag.reshape(R, C * C),
-                                    best_combo[:, None], 1)[:, 0]
-        frags = jnp.where(use_pair, frags, 0.0)
-
-        t1a, t1b = _top2(jnp.where(vd1, f1, NEGF), NEGF)
-        uniq1 = (s1b >= 0.8 * rl1) & (
-            (vd1.sum(1) <= 1) | (t1b < t1a - 5))
-        t2a, t2b = _top2(jnp.where(vd2, f2, NEGF), NEGF)
-        uniq2 = (s2b >= 0.8 * rl2) & (
-            (vd2.sum(1) <= 1) | (t2b < t2a - 5))
-        obs = (use_pair & uniq1 & uniq2 & (frags > 0)
-               & (frags <= max_fragment_length))
-        stat_n = obs.sum().astype(jnp.float32)
-        stat_sum = jnp.where(obs, frags, 0.0).sum()
-        stat_sumsq = jnp.where(obs, frags * frags, 0.0).sum()
 
         # coverage: exact global bucketing when the text fits int32,
         # shard-local bucketing (n_buckets/D per shard) beyond that
@@ -740,9 +737,9 @@ def make_sharded_text_paired_step(
             g1 = takeC(s1_ow, j1) * own_len + takeC(s1_sl, j1)
             g2 = takeC(s2_ow, j2) * own_len + takeC(s2_sl, j2)
             cov = cov.at[jnp.clip(g1 // bsz, 0, n_buckets - 1)].add(
-                vd1.any(1).astype(jnp.int32))
+                vd1T.any(0).astype(jnp.int32))
             cov = cov.at[jnp.clip(g2 // bsz, 0, n_buckets - 1)].add(
-                vd2.any(1).astype(jnp.int32))
+                vd2T.any(0).astype(jnp.int32))
         else:
             per = max(n_buckets // D, 1)
             bsz = max(own_len // per, 1)
@@ -751,14 +748,13 @@ def make_sharded_text_paired_step(
             g2 = jnp.clip(takeC(s2_ow, j2), 0, D - 1) * per \
                 + jnp.clip(takeC(s2_sl, j2) // bsz, 0, per - 1)
             cov = cov.at[jnp.clip(g1, 0, n_buckets - 1)].add(
-                vd1.any(1).astype(jnp.int32))
+                vd1T.any(0).astype(jnp.int32))
             cov = cov.at[jnp.clip(g2, 0, n_buckets - 1)].add(
-                vd2.any(1).astype(jnp.int32))
+                vd2T.any(0).astype(jnp.int32))
         return (s1, s2, j1, j2,
                 jnp.clip(mq1, 0, max_mapq).astype(jnp.int32),
                 jnp.clip(mq2, 0, max_mapq).astype(jnp.int32),
-                use_pair, frags, mm1, mm2, bits1, bits2,
-                jnp.stack([stat_n, stat_sum, stat_sumsq]), cov)
+                use_pair, frags, mm1, mm2, bits1, bits2, stats, cov)
 
     return step
 
