@@ -162,33 +162,6 @@ def derive_candidate_meta(diag, hb, stp, steps, node_len, nrp, nro):
 
 # ------------------------------------------------------- full paired step
 
-def _top2(sm, NEGF):
-    """(max, second-max) along the candidate axis. A full jnp.sort over
-    the (R, C) minor dim measured 5.3 ms/call on v5e (lane-padded sort
-    lowering); two reductions are ~free."""
-    t0 = sm.max(axis=1)
-    am = jnp.argmax(sm, axis=1)
-    masked = jnp.where(jnp.arange(sm.shape[1])[None, :] == am[:, None],
-                       NEGF, sm)
-    return t0, masked.max(axis=1)
-
-
-def _distinct_mask(scores, rev, rp, ro, valid, tol):
-    """Keep only the best-scoring candidate per distinct placement
-    (jnp port of GiraffeMapper._distinct_placements)."""
-    C = scores.shape[1]
-    same = ((rev[:, :, None] == rev[:, None, :])
-            & (rp[:, :, None] >= 0)
-            & (rp[:, :, None] == rp[:, None, :])
-            & (jnp.abs(ro[:, :, None] - ro[:, None, :]) <= tol))
-    idx = jnp.arange(C)
-    better = (scores[:, None, :] > scores[:, :, None]) | (
-        (scores[:, None, :] == scores[:, :, None])
-        & (idx[None, None, :] < idx[None, :, None]))
-    dup = (same & better & valid[:, None, :]).any(axis=2)
-    return ~dup
-
-
 def _top2_T(smT, NEGF):
     """Candidate-major _top2: (max, second-max) along axis 0 of (C, R)."""
     t0 = smT.max(axis=0)
@@ -317,20 +290,23 @@ def make_single_step(band_radius: int = 16, match: int = 1,
     def step(text, reads, reads_rc, rlen, cand, tol_div):
         (c_start, c_lo, c_hi, c_rev, c_valid, c_rp, c_ro) = cand
         s = score_fn(text, reads, reads_rc, rlen, cand)
-        R, C = s.shape
-        f = s.astype(jnp.float32)
-        valid = c_valid & (s > 0)
-        any_valid = valid.any(axis=1)
-        NEGF = jnp.float32(-1e30)
-        masked = jnp.where(valid, f, -1.0)
-        best_j = jnp.argmax(masked, axis=1)
-        best_s = jnp.take_along_axis(masked, best_j[:, None], 1)[:, 0]
         from ..map.giraffe import PLACEMENT_TOL
-        tol = jnp.full_like(rlen, PLACEMENT_TOL)[:, None, None]
-        uniq = _distinct_mask(s, c_rev, c_rp, c_ro, valid, tol)
-        sc = jnp.where(valid & uniq, f * lam, NEGF)
-        mx = jnp.maximum(sc.max(axis=1), best_s * lam)
-        lse = mx + jnp.log(jnp.exp(sc - mx[:, None]).sum(axis=1))
+
+        # selection runs candidate-major (see _pair_core_T): (C, R)
+        # intermediates keep the batch on the lanes instead of padding
+        # C=8 to 128
+        fT = s.T.astype(jnp.float32)
+        validT = (c_valid & (s > 0)).T
+        any_valid = validT.any(axis=0)
+        NEGF = jnp.float32(-1e30)
+        maskedT = jnp.where(validT, fT, -1.0)
+        best_j = jnp.argmax(maskedT, axis=0)
+        best_s = maskedT.max(axis=0)
+        uniqT = _distinct_mask_T(s.T, c_rev.T, c_rp.T, c_ro.T, validT,
+                                 PLACEMENT_TOL)
+        sc = jnp.where(validT & uniqT, fT * lam, NEGF)
+        mx = jnp.maximum(sc.max(axis=0), best_s * lam)
+        lse = mx + jnp.log(jnp.exp(sc - mx[None, :]).sum(axis=0))
         delta = best_s * lam - lse
         om = jnp.where(delta < -1e-12,
                        jnp.log1p(-jnp.exp(jnp.minimum(delta, -1e-12))),
