@@ -193,6 +193,34 @@ def test_pipeline_device_selection_end_to_end(paired_mapper, ref_test_dir):
     same = sum(1 for a, b in zip(out, recs_sync) if bytes(a) == bytes(b))
     assert same >= 0.98 * len(out), f"{same}/{len(out)} records differ"
 
+
+def test_pipeline_multi_seeder_order_and_parity(paired_mapper,
+                                                ref_test_dir):
+    """Multiple seeder threads must not change record bytes or order:
+    batches are sequence-tagged at the source and the rescuer restores
+    input order before dispatching rescue DP."""
+    from vg_tpu.parallel.pipeline import map_pairs_encoded_mt
+
+    pairs = list(iter_fastq_paired(
+        str(ref_test_dir / "small" / "x.fa_1.fastq"),
+        str(ref_test_dir / "small" / "x.fa_2.fastq")))[:120]
+    batches = [pairs[i : i + 24] for i in range(0, len(pairs), 24)]
+
+    def run(seeders):
+        pm = PairedGiraffeMapper(paired_mapper.mapper)
+        pm.map_pairs(pairs)      # warmup/finalize the fragment model
+        pm.finish()
+        out = []
+        for recs in map_pairs_encoded_mt(pm, iter(batches),
+                                         seeders=seeders):
+            out.extend(bytes(r) for r in recs)
+        return out
+
+    base = run(1)
+    multi = run(3)
+    assert multi == base
+
+
 def test_device_winner_bitmap_matches_host(paired_mapper, ref_test_dir):
     """The packed step's winner mismatch bitmaps must equal the host
     text-window computation AND actually enable the gapless fast path —

@@ -130,6 +130,9 @@ class PairedGiraffeMapper:
         # serializes warmup-item emission (mutates the fragment model)
         # when the pipeline runs multiple emitter threads
         self._emit_lock = _threading.Lock()
+        # serializes lazy jit-cache construction when the pipeline runs
+        # multiple seeder threads (a double compile wastes ~12 s)
+        self._compile_lock = _threading.Lock()
 
     # ------------------------------------------------------------ warmup
 
@@ -408,6 +411,12 @@ class PairedGiraffeMapper:
         cache = getattr(self, "_pair_steps", None)
         if cache is None:
             cache = self._pair_steps = {}
+        if layout in cache:
+            return cache[layout]
+        with self._compile_lock:
+            return self._build_pair_step(cache, layout)
+
+    def _build_pair_step(self, cache, layout):
         if layout not in cache:
             import jax
 
@@ -558,6 +567,12 @@ class PairedGiraffeMapper:
         payloads — input is just the 4-bit packed reads, output a
         winner-only int16 buffer (no candidate tables cross the tunnel
         in either direction)."""
+        if getattr(self, "_pair_step_seeded", None) is not None:
+            return self._pair_step_seeded
+        with self._compile_lock:
+            return self._build_pair_step_seeded()
+
+    def _build_pair_step_seeded(self):
         if getattr(self, "_pair_step_seeded", None) is None:
             import jax
             import jax.numpy as jnp
@@ -1023,8 +1038,9 @@ class PairedGiraffeMapper:
         try:
             return self._stage_score_inner(batch)
         finally:
-            self.stage_seconds["score"] += _time.time() - _t0
-            self.stage_reads += 2 * len(batch)
+            with self._stat_lock:
+                self.stage_seconds["score"] += _time.time() - _t0
+                self.stage_reads += 2 * len(batch)
 
     def _stage_score_inner(self, batch):
         if self.fragdist.finalized:

@@ -70,7 +70,8 @@ def map_stream_encoded_mt(mapper, batches: Iterable, depth: int = 3
 
 
 def map_pairs_encoded_mt(paired_mapper, pair_batches: Iterable,
-                         depth: int = 4, emitters: int = 2
+                         depth: int = 4, emitters: int = 2,
+                         seeders: int = 1
                          ) -> Iterator[List[bytes]]:
     """Paired pipeline, three stages so the device roundtrip latency of
     batch i hides behind host work on batches i±1:
@@ -79,37 +80,65 @@ def map_pairs_encoded_mt(paired_mapper, pair_batches: Iterable,
         R: force main scores, dispatch rescue DP   (stage_rescue)
         E: finish rescue, pair, emit encoded GAM   (stage_emit)
 
-    E runs on `emitters` threads (emit was the widest single-threaded
-    stage at ~19 us/read while total host work is ~39 us/read over 4
-    cores); batches are sequence-tagged and reordered at the output so
-    record order is unchanged. stage_emit on distinct batches only
-    shares read-only mapper state once the fragment model is finalized —
-    warmup items (which mutate the fragment model) are serialized by
-    the paired mapper's emit lock."""
+    S runs on `seeders` threads and E on `emitters` threads; batches
+    are sequence-tagged at the source. The rescuer restores input order
+    before dispatching rescue DP — stage_score on distinct batches only
+    touches batch-local state plus read-only index arrays (the
+    per-layout jit caches are built under the mapper's compile lock),
+    while warmup-vs-steady behavior stays per batch whichever thread
+    scores it. seeders defaults to 1: on the 4-vCPU bench host the
+    native seeding kernel already fills every core via OpenMP, so a
+    second seeder only adds contention (measured 49.3k -> 41.0k
+    reads/s); raise it on hosts with more cores than one seed_batch
+    call can use. stage_emit on distinct batches only shares read-only
+    mapper state once the fragment model is finalized — warmup items
+    (which mutate the fragment model) are serialized by the paired
+    mapper's emit lock."""
     q_scored: "queue.Queue" = queue.Queue(maxsize=depth)
     q_resc: "queue.Queue" = queue.Queue(maxsize=depth)
     q_out: "queue.Queue" = queue.Queue(maxsize=depth + emitters)
     DONE = object()
     err: List[BaseException] = []
 
+    src = enumerate(pair_batches)
+    src_lock = threading.Lock()
+
     def seeder():
         try:
-            for batch in pair_batches:
-                q_scored.put(paired_mapper.stage_score(batch))
+            while True:
+                with src_lock:
+                    nxt = next(src, None)
+                if nxt is None:
+                    break
+                seq, batch = nxt
+                q_scored.put((seq, paired_mapper.stage_score(batch)))
         except BaseException as e:
             err.append(e)
         finally:
             q_scored.put(DONE)
 
     def rescuer():
-        seq = 0
+        pending = {}
+        want = 0
+        live = seeders
         try:
             while True:
-                item = q_scored.get()
-                if item is DONE:
-                    break
-                q_resc.put((seq, paired_mapper.stage_rescue(item)))
-                seq += 1
+                got = q_scored.get()
+                if got is DONE:
+                    live -= 1
+                    if live == 0:
+                        break
+                    continue
+                seq, item = got
+                pending[seq] = item
+                while want in pending:
+                    q_resc.put(
+                        (want, paired_mapper.stage_rescue(
+                            pending.pop(want))))
+                    want += 1
+            # a seeder died mid-stream: drain whatever arrived in order
+            for seq in sorted(pending):
+                q_resc.put((seq, paired_mapper.stage_rescue(pending[seq])))
         except BaseException as e:
             err.append(e)
         finally:
@@ -143,7 +172,7 @@ def map_pairs_encoded_mt(paired_mapper, pair_batches: Iterable,
                 q_out.put(DONE)
 
     threads = [threading.Thread(target=f, daemon=True)
-               for f in ([seeder, rescuer]
+               for f in ([seeder] * seeders + [rescuer]
                          + [emitter] * emitters)]
     for t in threads:
         t.start()

@@ -10,6 +10,7 @@ the per-read provenance annotations the reference's tests look for
 """
 from __future__ import annotations
 
+import threading
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
@@ -45,18 +46,22 @@ class Funnel:
         self.filters: Dict[str, FilterStats] = {}
         self.filter_order: List[str] = []
         self._t0 = time.time()
+        # stats may arrive from concurrent pipeline threads (multi-seeder
+        # prepare_batch); += on shared counters is a read-modify-write
+        self._lock = threading.Lock()
 
     def filter(self, stage: str, name: str, n_in: int, n_passed: int
                ) -> None:
         """Record a filter application: n_in items considered, n_passed
         survived (the funnel's pass/fail provenance — which filter kills
         each lost item)."""
-        fs = self.filters.get(name)
-        if fs is None:
-            fs = self.filters[name] = FilterStats(stage=stage)
-            self.filter_order.append(name)
-        fs.n_in += int(n_in)
-        fs.n_passed += int(n_passed)
+        with self._lock:
+            fs = self.filters.get(name)
+            if fs is None:
+                fs = self.filters[name] = FilterStats(stage=stage)
+                self.filter_order.append(name)
+            fs.n_in += int(n_in)
+            fs.n_passed += int(n_passed)
 
     def filter_report(self) -> str:
         """giraffe-facts-style filter-loss table."""
@@ -85,14 +90,15 @@ class Funnel:
 
     def record(self, name: str, seconds: float, items_in: int = 0,
                items_out: int = 0) -> None:
-        st = self.stages.get(name)
-        if st is None:
-            st = self.stages[name] = StageStats()
-            self.order.append(name)
-        st.seconds += seconds
-        st.items_in += items_in
-        st.items_out += items_out
-        st.calls += 1
+        with self._lock:
+            st = self.stages.get(name)
+            if st is None:
+                st = self.stages[name] = StageStats()
+                self.order.append(name)
+            st.seconds += seconds
+            st.items_in += items_in
+            st.items_out += items_out
+            st.calls += 1
 
     def total_seconds(self) -> float:
         return time.time() - self._t0
