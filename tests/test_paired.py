@@ -221,6 +221,33 @@ def test_pipeline_multi_seeder_order_and_parity(paired_mapper,
     assert multi == base
 
 
+def test_native_pair_finalize_byte_parity(paired_mapper, ref_test_dir,
+                                          monkeypatch):
+    """The native scatter-gather pair finalizer (concat_spans) must
+    produce byte-identical records to the per-record Python
+    concatenation loop it replaces — including mate-name linkage fields
+    and proper/improper annotation suffixes."""
+    pairs = list(iter_fastq_paired(
+        str(ref_test_dir / "small" / "x.fa_1.fastq"),
+        str(ref_test_dir / "small" / "x.fa_2.fastq")))[:120]
+    pm = PairedGiraffeMapper(paired_mapper.mapper)
+    pm.map_pairs(pairs)
+    pm.finish()
+    assert pm.fragdist.finalized
+
+    fast = pm.map_pairs_encoded(pairs)
+    assert fast is not None
+    # force the fallback loop by disabling the native finalizer
+    monkeypatch.setattr(pm, "_finalize_pairs_native",
+                        lambda *a, **k: None)
+    slow = pm.map_pairs_encoded(pairs)
+    assert slow is not None
+    assert [bytes(a) for a in fast] == [bytes(b) for b in slow]
+    # sanity: the fast path really took the native route (memoryviews
+    # into one shared buffer, not per-record bytes)
+    assert isinstance(fast[0], memoryview)
+
+
 def test_device_winner_bitmap_matches_host(paired_mapper, ref_test_dir):
     """The packed step's winner mismatch bitmaps must equal the host
     text-window computation AND actually enable the gapless fast path —

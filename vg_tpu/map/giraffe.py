@@ -1499,6 +1499,37 @@ class GiraffeMapper:
 
     def emit_chosen_encoded(self, sb: "ScoredBatch", best_j: np.ndarray,
                             mapqs: np.ndarray, any_valid: np.ndarray):
+        res = self.emit_chosen_spans(sb, best_j, mapqs, any_valid,
+                                     build_records=True)
+        return None if res is None else res[0]
+
+    @staticmethod
+    def records_from_spans(records, spans):
+        """Fill the None entries of a build_records=False result with
+        memoryview slices into the span buffers."""
+        bufs, src_id, off, ln = spans
+        mvs = [memoryview(b) for b in bufs]
+        sid = src_id.tolist()
+        o = off.tolist()
+        n = ln.tolist()
+        for i in range(len(records)):
+            if records[i] is None:
+                records[i] = mvs[sid[i]][o[i] : o[i] + n[i]]
+        return records
+
+    def emit_chosen_spans(self, sb: "ScoredBatch", best_j: np.ndarray,
+                          mapqs: np.ndarray, any_valid: np.ndarray,
+                          build_records: bool = False):
+        """emit_chosen_encoded plus a span map describing where each
+        record's bytes live: (records, (buffers, src_id, off, len)) with
+        per-row (src_id[i], off[i], len[i]) into buffers[src_id[i]] —
+        the paired emitter feeds these straight into the native
+        scatter-gather record finalizer (native concat_spans) so no
+        per-record Python concatenation remains on the hot path. With
+        build_records=False (the paired fast path), fast/ta rows stay
+        None in the records list — materializing 12k memoryview slices
+        per mate per batch costs more than the rest of the bookkeeping;
+        records_from_spans fills them on demand."""
         from ..native import lib as native_lib, native_emit_gapless_gam
 
         if native_lib() is None:
@@ -1657,14 +1688,20 @@ class GiraffeMapper:
             if res is None:
                 return None
             buf, rec_off = res
-            mv = memoryview(buf)
-            for k, i in enumerate(w):
-                records[i] = mv[int(rec_off[k]) : int(rec_off[k + 1])]
+            if build_records:
+                mv = memoryview(buf)
+                ro = rec_off.tolist()
+                for k, i in enumerate(w.tolist()):
+                    records[i] = mv[ro[k] : ro[k + 1]]
 
         # fallback: unmapped reads encode cheaply; indel/overhang winners
         # get the host traceback but batch through ONE native runs->GAM
         # encode (graph/POA winners keep the object path — rare)
         slow = np.nonzero(~fast)[0]
+        misc_rows: List[int] = []        # rows whose record is a Python
+        ta_buf = None                    # bytes object (joined for spans)
+        ta_off = None
+        ta_row_ids: List[int] = []
         ta_rows: List[Tuple[int, object, int]] = []
         for i in slow:
             if not any_valid[i]:
@@ -1674,6 +1711,7 @@ class GiraffeMapper:
                 records[i] = Alignment(
                     name=r.name, sequence=r.sequence,
                     quality=qual).encode()
+                misc_rows.append(i)
                 continue
             res = self._traceback_ta(
                 sb.codes[i], sb.codes_rc[i], int(diag[i]) - B,
@@ -1690,16 +1728,52 @@ class GiraffeMapper:
                 self._apply_traceback(aln, res, sb.codes[i],
                                       sb.codes_rc[i], bool(rev[i]))
                 records[i] = aln.encode()
+                misc_rows.append(i)
         if ta_rows:
-            recs = self._emit_ta_runs(sb, ta_rows, mapqs, rev)
-            if recs is None:
+            ta_res = self._emit_ta_runs(sb, ta_rows, mapqs, rev)
+            if ta_res is None:
                 for i, _, _ in ta_rows:
                     aln = self.emit(sb, i, int(best_j[i]), int(mapqs[i]))
                     records[i] = aln.encode()
+                    misc_rows.append(i)
             else:
+                recs, ta_buf, ta_off = ta_res
+                ta_row_ids = [i for i, _, _ in ta_rows]
                 for (i, _, _), rec in zip(ta_rows, recs):
                     records[i] = rec
-        return records
+        # span map: where each record's bytes live, for the native
+        # scatter-gather pair finalizer
+        src_id = np.zeros(R, np.uint8)
+        off = np.zeros(R, np.int64)
+        ln = np.zeros(R, np.int64)
+        if Nw:
+            src_id[w] = 0
+            off[w] = rec_off[:Nw]
+            ln[w] = rec_off[1 : Nw + 1] - rec_off[:Nw]
+            fast_buf = buf
+        else:
+            fast_buf = b""
+        if ta_row_ids:
+            ids = np.asarray(ta_row_ids)
+            src_id[ids] = 1
+            nta = len(ids)
+            off[ids] = ta_off[:nta]
+            ln[ids] = ta_off[1 : nta + 1] - ta_off[:nta]
+        if misc_rows:
+            ids = np.asarray(misc_rows)
+            src_id[ids] = 2
+            lens = np.array([len(records[i]) for i in misc_rows],
+                            np.int64)
+            offs = np.zeros(len(ids) + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            off[ids] = offs[:-1]
+            ln[ids] = lens
+            misc_blob = b"".join(bytes(records[i]) for i in misc_rows)
+        else:
+            misc_blob = b""
+        spans = ([fast_buf, ta_buf if ta_buf is not None else b"",
+                  misc_blob], src_id, off, ln)
+        return records, spans
 
     def _emit_ta_runs(self, sb: "ScoredBatch", ta_rows, mapqs, rev):
         """Batch TextAlignment winners (indel / overhang tracebacks) into
@@ -1787,8 +1861,8 @@ class GiraffeMapper:
             return None
         buf, rec_off = res
         mv = memoryview(buf)
-        return [mv[int(rec_off[k]) : int(rec_off[k + 1])]
-                for k in range(Nw)]
+        return ([mv[int(rec_off[k]) : int(rec_off[k + 1])]
+                 for k in range(Nw)], buf, rec_off)
 
     def _gapless_check(self, oriented: np.ndarray, window: np.ndarray,
                        device_score: int):

@@ -996,10 +996,16 @@ class PairedGiraffeMapper:
         j1, j2, mq1, mq2, any1, any2, use_pair, frags = sel
         mq1 = m.apply_mapq_caps(sb1, mq1)
         mq2 = m.apply_mapq_caps(sb2, mq2)
-        recs1 = m.emit_chosen_encoded(sb1, j1, mq1, any1)
-        recs2 = m.emit_chosen_encoded(sb2, j2, mq2, any2)
-        if recs1 is None or recs2 is None:
+        res1 = m.emit_chosen_spans(sb1, j1, mq1, any1)
+        res2 = m.emit_chosen_spans(sb2, j2, mq2, any2)
+        if res1 is None or res2 is None:
             return None
+        out = self._finalize_pairs_native(pairs, res1[1], res2[1],
+                                          any1, any2, use_pair, frags)
+        if out is not None:
+            return out
+        recs1 = m.records_from_spans(*res1)
+        recs2 = m.records_from_spans(*res2)
         from ..io.wire import field_bytes, field_str
 
         improper = _annotation_suffix(False, 0)
@@ -1026,6 +1032,109 @@ class PairedGiraffeMapper:
             out.append(bytes(recs1[i]) + nm1 + suffix)
             out.append(bytes(recs2[i]) + nm2 + suffix)
         return out
+
+    def _finalize_pairs_native(self, pairs, sp1, sp2, any1, any2,
+                               use_pair, frags):
+        """Assemble the final interleaved pair records (record bytes +
+        fragment_next/prev mate-name field + annotation suffix) via ONE
+        native scatter-gather copy (concat_spans). Per-record Python in
+        the old loop (bytes() copies, concatenation, suffix lookups) was
+        ~1/3 of emit time at production batch sizes. Returns the record
+        list (memoryview slices of one buffer) or None to fall back."""
+        from ..native import native_concat_spans
+
+        R = len(pairs)
+        if R == 0:
+            return []
+        names1 = [a.name.encode() for a, _ in pairs]
+        names2 = [b.name.encode() for _, b in pairs]
+        l1 = np.fromiter((len(n) for n in names1), np.int64, R)
+        l2 = np.fromiter((len(n) for n in names2), np.int64, R)
+        if max(int(l1.max()), int(l2.max())) >= 124:
+            return None      # multi-byte varint names: generic wire path
+        n1_off = np.zeros(R + 1, np.int64)
+        np.cumsum(l1, out=n1_off[1:])
+        n2_off = np.zeros(R + 1, np.int64)
+        np.cumsum(l2, out=n2_off[1:])
+        n1_blob = b"".join(names1)
+        n2_blob = b"".join(names2)
+        # single-byte-varint name-field prefixes (same bytes as the
+        # fallback loop): rec1 gets fragment_next (tag 98) wrapping
+        # mate2's name, rec2 gets fragment_prev (tag 90) wrapping mate1's
+        pre = np.empty((2, R, 4), np.uint8)
+        pre[0, :, 0] = 98
+        pre[0, :, 1] = l2 + 2
+        pre[0, :, 2] = 26
+        pre[0, :, 3] = l2
+        pre[1, :, 0] = 90
+        pre[1, :, 1] = l1 + 2
+        pre[1, :, 2] = 26
+        pre[1, :, 3] = l1
+        prebuf = np.ascontiguousarray(pre.reshape(-1))
+        # suffix table: fragment lengths cluster in a few hundred values,
+        # so encode each unique annotation Struct once
+        use_pair = np.asarray(use_pair, bool)
+        anyb = np.asarray(any1, bool) | np.asarray(any2, bool)
+        fr = np.where(use_pair, np.asarray(frags).astype(np.int64), 0)
+        uf = (np.unique(fr[use_pair]) if use_pair.any()
+              else np.zeros(0, np.int64))
+        suf_parts = [_annotation_suffix(False, 0)] + \
+            [_annotation_suffix(True, int(v)) for v in uf]
+        suf_lens = np.array([len(x) for x in suf_parts], np.int64)
+        suf_offs = np.zeros(len(suf_parts) + 1, np.int64)
+        np.cumsum(suf_lens, out=suf_offs[1:])
+        suf_blob = b"".join(suf_parts)
+        sidx = np.zeros(R, np.int64)
+        if len(uf):
+            sidx[use_pair] = np.searchsorted(uf, fr[use_pair]) + 1
+        s_off = suf_offs[sidx]
+        s_len = np.where(~use_pair & ~anyb, 0, suf_lens[sidx])
+        # span table: 4 spans per record, 2 records per pair, flattened
+        # row-major so output records interleave (r1, r2) per pair
+        bufs1, id1, off1, len1 = sp1
+        bufs2, id2, off2, len2 = sp2
+        sources = (list(bufs1) + list(bufs2)
+                   + [n1_blob, n2_blob, prebuf, suf_blob])
+        N1, N2, PRE, SUF = 6, 7, 8, 9
+        sid = np.empty((R, 8), np.uint8)
+        soff = np.empty((R, 8), np.int64)
+        slen = np.empty((R, 8), np.int64)
+        ar = np.arange(R, dtype=np.int64)
+        sid[:, 0] = id1
+        soff[:, 0] = off1
+        slen[:, 0] = len1
+        sid[:, 1] = PRE
+        soff[:, 1] = 4 * ar
+        slen[:, 1] = 4
+        sid[:, 2] = N2
+        soff[:, 2] = n2_off[:-1]
+        slen[:, 2] = l2
+        sid[:, 3] = SUF
+        soff[:, 3] = s_off
+        slen[:, 3] = s_len
+        sid[:, 4] = id2 + 3
+        soff[:, 4] = off2
+        slen[:, 4] = len2
+        sid[:, 5] = PRE
+        soff[:, 5] = 4 * (R + ar)
+        slen[:, 5] = 4
+        sid[:, 6] = N1
+        soff[:, 6] = n1_off[:-1]
+        slen[:, 6] = l1
+        sid[:, 7] = SUF
+        soff[:, 7] = s_off
+        slen[:, 7] = s_len
+        flat_len = np.ascontiguousarray(slen.reshape(-1))
+        dst = np.zeros(8 * R + 1, np.int64)
+        np.cumsum(flat_len, out=dst[1:])
+        outbuf = native_concat_spans(
+            sources, sid.reshape(-1), soff.reshape(-1), flat_len,
+            dst[:-1], int(dst[-1]))
+        if outbuf is None:
+            return None
+        bl = dst[::4].tolist()           # 2R+1 record boundaries
+        mv = memoryview(outbuf)
+        return [mv[a:b] for a, b in zip(bl, bl[1:])]
 
     # ------------------------------------------------- pipeline stages
 

@@ -229,6 +229,46 @@ def native_emit_gapless_gam(arrs, out_cap):
     return out, rec_off
 
 
+def native_concat_spans(sources, src_id, src_off, src_len, dst_off,
+                        out_size):
+    """Scatter-gather assembly of final records: span k copies
+    src_len[k] bytes from sources[src_id[k]][src_off[k]:] to
+    out[dst_off[k]:]. sources = list of contiguous uint8 arrays /
+    buffers. Returns the filled out buffer or None when the native lib
+    is absent."""
+    import ctypes
+
+    L_ = lib()
+    if L_ is None:
+        return None
+    if not hasattr(L_, "_concat_registered"):
+        L_.concat_spans.restype = ctypes.c_int64
+        L_.concat_spans.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        L_._concat_registered = True
+    n = len(src_id)
+    srcs_np = [np.ascontiguousarray(np.frombuffer(s, np.uint8))
+               if not isinstance(s, np.ndarray)
+               else np.ascontiguousarray(s, np.uint8) for s in sources]
+    # keep refs alive across the call
+    ptrs = (ctypes.c_void_p * len(srcs_np))(
+        *[s.ctypes.data if s.size else 0 for s in srcs_np])
+    src_id = np.ascontiguousarray(src_id, np.uint8)
+    src_off = np.ascontiguousarray(src_off, np.int64)
+    src_len = np.ascontiguousarray(src_len, np.int64)
+    dst_off = np.ascontiguousarray(dst_off, np.int64)
+    out = np.empty(int(out_size), np.uint8)
+    rc = L_.concat_spans(
+        n, ptrs, src_id.ctypes.data, src_off.ctypes.data,
+        src_len.ctypes.data, dst_off.ctypes.data,
+        out.ctypes.data, int(out_size))
+    if rc != 0:
+        return None
+    return out
+
+
 def _key_buckets(index):
     """(bucket_off int64, shift) over the sorted key array: bucket_off[b]
     = first index with key >= (b << shift). Narrows each key lookup's

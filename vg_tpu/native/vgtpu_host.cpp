@@ -2897,3 +2897,31 @@ int64_t dag_align(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Scatter-gather record assembly: span k copies src_len[k] bytes from
+// srcs[src_id[k]] + src_off[k] to out + dst_off[k]. The paired emitter
+// uses this to build final GAM records (record bytes + mate-name wire
+// field + annotation suffix) in one call instead of per-record Python
+// bytes concatenation (reference analogue: the emitter hot loop of
+// src/subcommand/giraffe_main.cpp:2307-2355 is plain C++ there).
+// Destination offsets are precomputed (numpy cumsum) so spans are
+// independent and the copy parallelizes. Returns 0 ok, -1 if any span
+// would write past out_cap.
+int64_t concat_spans(int64_t n_spans, const uint8_t* const* srcs,
+                     const uint8_t* src_id, const int64_t* src_off,
+                     const int64_t* src_len, const int64_t* dst_off,
+                     uint8_t* out, int64_t out_cap) {
+    for (int64_t k = 0; k < n_spans; k++)
+        if (dst_off[k] + src_len[k] > out_cap) return -1;
+#pragma omp parallel for schedule(static)
+    for (int64_t k = 0; k < n_spans; k++) {
+        if (src_len[k] > 0)
+            std::memcpy(out + dst_off[k], srcs[src_id[k]] + src_off[k],
+                        (size_t)src_len[k]);
+    }
+    return 0;
+}
+
+}  // extern "C"
