@@ -133,6 +133,9 @@ class PairedGiraffeMapper:
         # serializes lazy jit-cache construction when the pipeline runs
         # multiple seeder threads (a double compile wastes ~12 s)
         self._compile_lock = _threading.Lock()
+        # created here, not lazily: two seeder threads racing on a lazy
+        # getattr could each assign a fresh dict and drop a compiled step
+        self._pair_steps: dict = {}
 
     # ------------------------------------------------------------ warmup
 
@@ -408,9 +411,7 @@ class PairedGiraffeMapper:
         per wire layout (Rpad, C, RW1, RW2); the whole input travels as
         ONE flat int32 buffer (ops/xfer.pack_wire) because every jit
         argument is a separate tunnel transfer with ~5-30 ms latency."""
-        cache = getattr(self, "_pair_steps", None)
-        if cache is None:
-            cache = self._pair_steps = {}
+        cache = self._pair_steps
         if layout in cache:
             return cache[layout]
         with self._compile_lock:

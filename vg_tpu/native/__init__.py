@@ -248,7 +248,8 @@ def native_concat_spans(sources, src_id, src_off, src_len, dst_off,
         L_.concat_spans.argtypes = [
             ctypes.c_int64, ctypes.POINTER(ctypes.c_void_p),
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
         L_._concat_registered = True
     n = len(src_id)
     srcs_np = [np.ascontiguousarray(np.frombuffer(s, np.uint8))
@@ -257,14 +258,15 @@ def native_concat_spans(sources, src_id, src_off, src_len, dst_off,
     # keep refs alive across the call
     ptrs = (ctypes.c_void_p * len(srcs_np))(
         *[s.ctypes.data if s.size else 0 for s in srcs_np])
+    sizes = np.array([s.size for s in srcs_np], np.int64)
     src_id = np.ascontiguousarray(src_id, np.uint8)
     src_off = np.ascontiguousarray(src_off, np.int64)
     src_len = np.ascontiguousarray(src_len, np.int64)
     dst_off = np.ascontiguousarray(dst_off, np.int64)
     out = np.empty(int(out_size), np.uint8)
     rc = L_.concat_spans(
-        n, ptrs, src_id.ctypes.data, src_off.ctypes.data,
-        src_len.ctypes.data, dst_off.ctypes.data,
+        n, ptrs, sizes.ctypes.data, src_id.ctypes.data,
+        src_off.ctypes.data, src_len.ctypes.data, dst_off.ctypes.data,
         out.ctypes.data, int(out_size))
     if rc != 0:
         return None

@@ -2908,13 +2908,20 @@ extern "C" {
 // src/subcommand/giraffe_main.cpp:2307-2355 is plain C++ there).
 // Destination offsets are precomputed (numpy cumsum) so spans are
 // independent and the copy parallelizes. Returns 0 ok, -1 if any span
-// would write past out_cap.
+// would write past out_cap or read past its source buffer
+// (src_size[src_id[k]]; a malformed span table must fail, not memcpy
+// arbitrary host memory into emitted records).
 int64_t concat_spans(int64_t n_spans, const uint8_t* const* srcs,
+                     const int64_t* src_size,
                      const uint8_t* src_id, const int64_t* src_off,
                      const int64_t* src_len, const int64_t* dst_off,
                      uint8_t* out, int64_t out_cap) {
-    for (int64_t k = 0; k < n_spans; k++)
+    for (int64_t k = 0; k < n_spans; k++) {
         if (dst_off[k] + src_len[k] > out_cap) return -1;
+        if (src_len[k] > 0 &&
+            (src_off[k] < 0 ||
+             src_off[k] + src_len[k] > src_size[src_id[k]])) return -2;
+    }
 #pragma omp parallel for schedule(static)
     for (int64_t k = 0; k < n_spans; k++) {
         if (src_len[k] > 0)

@@ -98,24 +98,31 @@ def map_pairs_encoded_mt(paired_mapper, pair_batches: Iterable,
     q_resc: "queue.Queue" = queue.Queue(maxsize=depth)
     q_out: "queue.Queue" = queue.Queue(maxsize=depth + emitters)
     DONE = object()
+    LOST = object()   # a seeder failed on this seq: hole, not a batch
     err: List[BaseException] = []
 
     src = enumerate(pair_batches)
     src_lock = threading.Lock()
 
     def seeder():
-        try:
-            while True:
-                with src_lock:
-                    nxt = next(src, None)
-                if nxt is None:
-                    break
-                seq, batch = nxt
+        while True:
+            if err:            # another stage failed: stop pulling input
+                break
+            with src_lock:
+                nxt = next(src, None)
+            if nxt is None:
+                break
+            seq, batch = nxt
+            try:
                 q_scored.put((seq, paired_mapper.stage_score(batch)))
-        except BaseException as e:
-            err.append(e)
-        finally:
-            q_scored.put(DONE)
+            except BaseException as e:
+                # mark the claimed seq as lost so the rescuer's in-order
+                # release can advance past the gap instead of buffering
+                # the rest of the stream unboundedly
+                err.append(e)
+                q_scored.put((seq, LOST))
+                break
+        q_scored.put(DONE)
 
     def rescuer():
         pending = {}
@@ -132,13 +139,16 @@ def map_pairs_encoded_mt(paired_mapper, pair_batches: Iterable,
                 seq, item = got
                 pending[seq] = item
                 while want in pending:
-                    q_resc.put(
-                        (want, paired_mapper.stage_rescue(
-                            pending.pop(want))))
+                    item = pending.pop(want)
+                    if item is not LOST:
+                        q_resc.put(
+                            (want, paired_mapper.stage_rescue(item)))
                     want += 1
             # a seeder died mid-stream: drain whatever arrived in order
             for seq in sorted(pending):
-                q_resc.put((seq, paired_mapper.stage_rescue(pending[seq])))
+                if pending[seq] is not LOST:
+                    q_resc.put(
+                        (seq, paired_mapper.stage_rescue(pending[seq])))
         except BaseException as e:
             err.append(e)
         finally:
