@@ -51,3 +51,49 @@ def test_pos8_roundtrip_via_bits():
     rows = np.nonzero(mm <= 8)[0]
     rec = xfer.pos8_to_mism_rows(pos8[rows], mm[rows], RL)
     np.testing.assert_array_equal(rec.astype(bool), msk[rows])
+
+
+def test_native_encode_pack_reads_parity():
+    """The fused native encoder (encode + revcomp + 2-bit wire in one
+    pass) must match the numpy path (dna.encode/complement +
+    ops/xfer.pack_reads2) element-for-element: codes, reverse
+    complements, effective wire codes within rlen, and the N-exception
+    list (row-major, capped)."""
+    import pytest
+
+    from vg_tpu.native import native_encode_pack_reads
+    from vg_tpu.utils import dna
+
+    rng = np.random.default_rng(5)
+    R, L0, RL, Rpad = 100, 150, 160, 128
+    EXC_CAP = 64
+    seqs = []
+    for i in range(R):
+        s = "".join("ACGT"[c] for c in rng.integers(0, 4, L0))
+        if i % 17 == 0:          # sprinkle Ns
+            p = int(rng.integers(0, L0))
+            s = s[:p] + "N" + s[p + 1 :]
+        seqs.append(s)
+    res = native_encode_pack_reads("".join(seqs).encode(), R, L0,
+                                   Rpad, RL, EXC_CAP)
+    if res is None:
+        pytest.skip("native lib unavailable")
+    codes, rc, packed, exc, n = res
+    codes_ref = np.full((Rpad, RL), 5, np.uint8)
+    rc_ref = np.full((Rpad, RL), 5, np.uint8)
+    c2 = np.stack([dna.encode(s) for s in seqs])
+    codes_ref[:R, :L0] = c2
+    rc_ref[:R, :L0] = dna.complement_codes(c2)[:, ::-1]
+    np.testing.assert_array_equal(codes, codes_ref)
+    np.testing.assert_array_equal(rc, rc_ref)
+    rlens = np.zeros(Rpad, np.int32)
+    rlens[:R] = L0
+    pk_ref, exc_ref = xfer.pack_reads2(codes_ref, rlens)
+    sh = np.arange(16, dtype=np.uint32) * 2
+    un = lambda p: ((p.view(np.uint32)[:, :, None] >> sh[None, None, :])
+                    & 3).reshape(Rpad, -1)[:, :RL].astype(np.uint8)
+    m = np.arange(RL)[None, :] < rlens[:, None]
+    np.testing.assert_array_equal(np.where(m, un(packed), 0),
+                                  np.where(m, un(pk_ref), 0))
+    assert n == len(exc_ref)
+    np.testing.assert_array_equal(exc, exc_ref[:EXC_CAP])

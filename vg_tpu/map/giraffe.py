@@ -158,6 +158,35 @@ class ScoredBatch:
         return view(0, n), view(n, R)
 
 
+def str_blob(strs: Sequence[str]):
+    """(offsets int64, uint8 blob) over a list of ASCII strings via ONE
+    join + ONE encode — per-item str.encode was ~2 us/read of emit time
+    at production batch sizes. Non-ASCII input falls back to per-item
+    encoding (lengths then come from the encoded bytes)."""
+    n = len(strs)
+    off = np.zeros(n + 1, np.int64)
+    joined = "".join(strs)
+    enc = joined.encode()
+    if len(enc) == len(joined):            # pure ASCII: len(str)==bytes
+        np.cumsum(np.fromiter(map(len, strs), np.int64, n), out=off[1:])
+    else:
+        parts = [s.encode() for s in strs]
+        np.cumsum([len(p) for p in parts], out=off[1:])
+        enc = b"".join(parts)
+    return off, np.frombuffer(enc or b"\0", np.uint8)
+
+
+def qual_blob(quals: Sequence[Optional[str]]):
+    """(offsets int64, uint8 blob) of phred values (ASCII char - 33)
+    from FASTQ quality strings (None/'' for absent) — one vectorized
+    subtract instead of a per-character Python generator."""
+    strs = [q or "" for q in quals]
+    off, arr = str_blob(strs)
+    if int(off[-1]):
+        arr = arr - 33
+    return off, arr
+
+
 def _soft_cap_select(ridx: np.ndarray, mscore: np.ndarray,
                      counts: np.ndarray, hit_cap: int,
                      score_fraction: float) -> np.ndarray:
@@ -606,35 +635,51 @@ class GiraffeMapper:
         R = len(reads)
         lens = np.array([len(r.sequence) for r in reads], dtype=np.int32)
         equal_len = R > 0 and bool(np.all(lens == lens[0]))
-        if equal_len:
-            # one bulk decode for the whole batch
-            blob = "".join(r.sequence for r in reads)
-            codes2d = dna.encode(blob).reshape(R, int(lens[0]))
-            codes = list(codes2d)
-            rc2d = dna.complement_codes(codes2d)[:, ::-1]
-            codes_rc = list(rc2d)
-        else:
-            codes = [dna.encode(r.sequence) for r in reads]
-            codes_rc = [dna.revcomp_codes(c) for c in codes]
         rlens_real = lens
-        RL = max(int(np.max(rlens_real)), p.pad_quantum)
+        RL = max(int(np.max(rlens_real)) if R else 0, p.pad_quantum)
         RL = -(-RL // p.pad_quantum) * p.pad_quantum
         C = p.max_candidates
-
         # pad the batch dimension to a 64 bucket so jit shapes stay stable
         Rpad = -(-R // 64) * 64
         rlens = np.zeros(Rpad, dtype=np.int32)
         rlens[:R] = rlens_real
-        reads_arr = np.full((Rpad, RL), 5, dtype=np.uint8)
-        reads_rc_arr = np.full((Rpad, RL), 5, dtype=np.uint8)
+        packed2 = exc2 = None
+        n_exc = -1
+        reads_arr = reads_rc_arr = None
         if equal_len:
             L0 = int(lens[0])
-            reads_arr[:R, :L0] = codes2d
-            reads_rc_arr[:R, :L0] = rc2d
+            blob = "".join(r.sequence for r in reads)
+            # fused native pass: encode + reverse complement + the
+            # 2-bit wire words (ops/xfer.pack_reads2 semantics) in one
+            # OpenMP sweep — three numpy passes (~2 us/read) otherwise
+            from ..native import native_encode_pack_reads
+            from ..ops.xfer import EXC_CAP
+
+            res_n = native_encode_pack_reads(blob.encode(), R, L0,
+                                             Rpad, RL, EXC_CAP)
+            if res_n is not None:
+                reads_arr, reads_rc_arr, packed2, exc2, n_exc = res_n
+                codes2d = reads_arr[:R, :L0]
+                rc2d = reads_rc_arr[:R, :L0]
+            else:
+                codes2d = dna.encode(blob).reshape(R, L0)
+                rc2d = dna.complement_codes(codes2d)[:, ::-1]
+            codes = list(codes2d)
+            codes_rc = list(rc2d)
         else:
-            for i, c in enumerate(codes):
-                reads_arr[i, : len(c)] = c
-                reads_rc_arr[i, : len(c)] = codes_rc[i]
+            codes = [dna.encode(r.sequence) for r in reads]
+            codes_rc = [dna.revcomp_codes(c) for c in codes]
+        if reads_arr is None:
+            reads_arr = np.full((Rpad, RL), 5, dtype=np.uint8)
+            reads_rc_arr = np.full((Rpad, RL), 5, dtype=np.uint8)
+            if equal_len:
+                L0 = int(lens[0])
+                reads_arr[:R, :L0] = codes2d
+                reads_rc_arr[:R, :L0] = rc2d
+            else:
+                for i, c in enumerate(codes):
+                    reads_arr[i, : len(c)] = c
+                    reads_rc_arr[i, : len(c)] = codes_rc[i]
 
         import time as _time
 
@@ -673,19 +718,28 @@ class GiraffeMapper:
         # have piecewise exact matches to some haplotype, so seed them
         # from the suffix array instead (rare; host-side).
         zero = ~cand_valid[:R].any(axis=1)
+        mem_rows = None
         if (zero.any() and p.mem_fallback
                 and len(self.haps.text) <= p.mem_fallback_max_text):
-            self._mem_reseed(np.nonzero(zero)[0], codes,
+            mem_rows = np.nonzero(zero)[0]
+            self._mem_reseed(mem_rows, codes,
                              (cand_start, cand_lo, cand_hi, cand_rev,
                               cand_valid))
-        # reference projection of the candidate READ START (diag): exact
-        # where the anchor-based value was anchor-offset noisy, and —
-        # crucially — recomputable on DEVICE from cand_start + resident
-        # arrays, so the paired dispatch never uploads refpath/refoff.
-        # (Authoritative recompute: the native seeder still emits
-        # anchor-based values.)
-        cand_refpath[:], cand_refoff[:] = self._diag_refproj(
-            cand_start[:R], cand_valid[:R])
+        # reference projection of the candidate READ START (diag): both
+        # seeders (native + numpy) already emit this diag-based value
+        # (verified element-equal to _diag_refproj), so only rows written
+        # OUTSIDE the seeder — the per-read fallback path and MEM-reseeded
+        # rows — need the host recompute. The device paired dispatch
+        # derives the same projection from resident arrays
+        # (parallel/mesh.derive_candidate_meta) and never uploads it.
+        if not equal_len:
+            cand_refpath[:], cand_refoff[:] = self._diag_refproj(
+                cand_start[:R], cand_valid[:R])
+        elif mem_rows is not None and len(mem_rows):
+            rp_m, ro_m = self._diag_refproj(cand_start[mem_rows],
+                                            cand_valid[mem_rows])
+            cand_refpath[mem_rows] = rp_m
+            cand_refoff[mem_rows] = ro_m
         self.funnel.record("seed", _time.time() - _t0, items_in=R,
                            items_out=int(cand_valid.sum()))
         return {
@@ -695,6 +749,7 @@ class GiraffeMapper:
             "cand_hi": cand_hi, "cand_rev": cand_rev,
             "cand_valid": cand_valid, "cand_refpath": cand_refpath,
             "cand_refoff": cand_refoff,
+            "packed2": packed2, "exc2": exc2, "n_exc": n_exc,
         }
 
     def _diag_refproj(self, cand_start: np.ndarray,
@@ -1647,22 +1702,13 @@ class GiraffeMapper:
             roff = np.where(same_or, step_off + moff,
                             step_off + (nlen - moff))
             rrev = ~same_or
-            names_b = [r.name.encode() for r in (sb.reads[i] for i in w)]
-            reads_b = [sb.reads[i].sequence.encode() for i in w]
-            quals_b = [bytes((ord(q) - 33) for q in sb.reads[i].quality)
-                       if sb.reads[i].quality else b"" for i in w]
-
-            def blob(parts):
-                off = np.zeros(len(parts) + 1, np.int64)
-                np.cumsum([len(x) for x in parts], out=off[1:])
-                return off, np.frombuffer(b"".join(parts) or b"\0",
-                                          np.uint8)
-
-            name_off, names = blob(names_b)
-            read_off, reads_blob = blob(reads_b)
-            qual_off, quals = blob(quals_b)
-            refnames_b = [n.encode() for n in self.path_pos.path_names]
-            refname_off, refnames = blob(refnames_b)
+            wl = w.tolist()
+            name_off, names = str_blob([sb.reads[i].name for i in wl])
+            read_off, reads_blob = str_blob(
+                [sb.reads[i].sequence for i in wl])
+            qual_off, quals = qual_blob(
+                [sb.reads[i].quality for i in wl])
+            refname_off, refnames = str_blob(self.path_pos.path_names)
             arrs = {
                 "N": Nw, "t0": t0, "t1": t1,
                 "rev": rev[w].astype(np.uint8),
@@ -1807,21 +1853,11 @@ class GiraffeMapper:
         t1 = np.array([ws + ta.text_end for _, ta, ws in ta_rows], np.int64)
         rows = [i for i, _, _ in ta_rows]
         rv = np.array([bool(rev[i]) for i in rows], np.uint8)
-        names_b = [sb.reads[i].name.encode() for i in rows]
-        reads_b = [sb.reads[i].sequence.encode() for i in rows]
-        quals_b = [bytes((ord(q) - 33) for q in sb.reads[i].quality)
-                   if sb.reads[i].quality else b"" for i in rows]
-
-        def blob(parts):
-            off = np.zeros(len(parts) + 1, np.int64)
-            np.cumsum([len(x) for x in parts], out=off[1:])
-            return off, np.frombuffer(b"".join(parts) or b"\0", np.uint8)
-
-        name_off, names = blob(names_b)
-        read_off, reads_blob = blob(reads_b)
-        qual_off, quals = blob(quals_b)
-        refnames_b = [n.encode() for n in self.path_pos.path_names]
-        refname_off, refnames = blob(refnames_b)
+        name_off, names = str_blob([sb.reads[i].name for i in rows])
+        read_off, reads_blob = str_blob(
+            [sb.reads[i].sequence for i in rows])
+        qual_off, quals = qual_blob([sb.reads[i].quality for i in rows])
+        refname_off, refnames = str_blob(self.path_pos.path_names)
         name_to_pi = {n: k for k, n in enumerate(self.path_pos.path_names)}
         rp_arr = np.full(Nw, -1, np.int32)
         ro_arr = np.zeros(Nw, np.int64)
@@ -1996,41 +2032,63 @@ class GiraffeMapper:
         both orientations, so reverse-strand placements come out
         naturally."""
         from ..graph.ops import local_subgraph
-        from ..ops.graph_align import align_to_graph_dagified
 
         p = self.params
         L = len(codes)
         anchor = int(np.clip(diag, lo, max(lo, hi - 1)))
         node_id, _off, _rev = self.haps.text_pos_to_graph(anchor)
-        # collect nodes within L + radius bp of the anchor node (both
-        # directions, both strands)
-        budget = L + p.graph_fallback_radius
-        g = self.graph
-        start_h = g.idx(node_id) * 2
-        dist = {start_h: 0, start_h ^ 1: 0}
-        queue = [start_h, start_h ^ 1]
-        qi = 0
-        nodes = {int(node_id)}
-        total_bases = g.handle_len(start_h)
-        while qi < len(queue) and total_bases < p.graph_fallback_max_bases:
-            h = queue[qi]
-            qi += 1
-            d = dist[h] + g.handle_len(h)
-            if d > budget:
-                continue
-            for nxt in g.follow(h):
-                nxt = int(nxt)
-                if nxt not in dist or d < dist[nxt]:
-                    dist[nxt] = d
-                    queue.append(nxt)
-                    nid2 = int(g.node_id[nxt >> 1])
-                    if nid2 not in nodes:
-                        nodes.add(nid2)
-                        total_bases += g.handle_len(nxt)
+        # subgraph extraction + SCC-unrolling flatten are read-independent
+        # given (anchor node, read length): cache them — novel-variant
+        # regions attract repeated fallbacks across batches, and the
+        # flatten was ~half the fallback's 9 ms (emit-stage tail spikes)
+        key = (int(node_id), L)
+        cache = getattr(self, "_gf_cache", None)
+        if cache is None:
+            cache = self._gf_cache = {}
+        hit = cache.get(key)
+        if hit is None:
+            # collect nodes within L + radius bp of the anchor node
+            # (both directions, both strands)
+            budget = L + p.graph_fallback_radius
+            g = self.graph
+            start_h = g.idx(node_id) * 2
+            dist = {start_h: 0, start_h ^ 1: 0}
+            queue = [start_h, start_h ^ 1]
+            qi = 0
+            nodes = {int(node_id)}
+            total_bases = g.handle_len(start_h)
+            while (qi < len(queue)
+                   and total_bases < p.graph_fallback_max_bases):
+                h = queue[qi]
+                qi += 1
+                d = dist[h] + g.handle_len(h)
+                if d > budget:
+                    continue
+                for nxt in g.follow(h):
+                    nxt = int(nxt)
+                    if nxt not in dist or d < dist[nxt]:
+                        dist[nxt] = d
+                        queue.append(nxt)
+                        nid2 = int(g.node_id[nxt >> 1])
+                        if nid2 not in nodes:
+                            nodes.add(nid2)
+                            total_bases += g.handle_len(nxt)
+            try:
+                from ..ops.graph_align import _flatten_dagified
+
+                sub = local_subgraph(g, nodes)
+                dag = _flatten_dagified(sub, max_walk=L + 32)
+            except Exception:
+                return None
+            if len(cache) >= 1024:
+                cache.clear()
+            hit = cache[key] = (sub, dag)
+        sub, dag = hit
         try:
-            sub = local_subgraph(g, nodes)
-            return align_to_graph_dagified(
-                sub, codes,
+            from ..ops.graph_align import _align_dag
+
+            return _align_dag(
+                dag, sub, codes,
                 align_ops.Scoring(p.match, p.mismatch, p.gap_open,
                                   p.gap_extend, p.full_length_bonus))
         except Exception:

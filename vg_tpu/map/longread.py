@@ -822,23 +822,15 @@ class LongReadMapper:
             winners.append((ri, win, mq))
         if winners:
             Nw = len(winners)
-            names_b = [reads[ri].name.encode() for ri, _, _ in winners]
-            reads_b = [reads[ri].sequence.encode() for ri, _, _ in winners]
-            quals_b = [bytes((ord(q) - 33) for q in reads[ri].quality)
-                       if reads[ri].quality else b""
-                       for ri, _, _ in winners]
+            from .giraffe import qual_blob, str_blob
 
-            def blob(parts):
-                off = np.zeros(len(parts) + 1, np.int64)
-                np.cumsum([len(x) for x in parts], out=off[1:])
-                return off, np.frombuffer(b"".join(parts) or b"\0",
-                                          np.uint8)
-
-            name_off, names = blob(names_b)
-            read_off, reads_blob = blob(reads_b)
-            qual_off, quals = blob(quals_b)
-            refnames_b = [n.encode() for n in self.path_pos.path_names]
-            refname_off, refnames = blob(refnames_b)
+            name_off, names = str_blob(
+                [reads[ri].name for ri, _, _ in winners])
+            read_off, reads_blob = str_blob(
+                [reads[ri].sequence for ri, _, _ in winners])
+            qual_off, quals = qual_blob(
+                [reads[ri].quality for ri, _, _ in winners])
+            refname_off, refnames = str_blob(self.path_pos.path_names)
             run_blocks = [w["runs"] for _, w, _ in winners]
             runs_off = np.zeros(Nw + 1, np.int64)
             np.cumsum([len(r) for r in run_blocks], out=runs_off[1:])

@@ -803,11 +803,15 @@ class PairedGiraffeMapper:
         # invariant, so the layout choice happens before locality sort.
         wire2 = not getattr(self, "_wire4", False)
         if wire2:
-            n_ns = sum(int(np.count_nonzero(
-                (pr["reads_arr"] >= 4)
-                & (np.arange(pr["reads_arr"].shape[1])[None, :]
-                   < pr["rlens"][:, None])))
-                for pr in (p1, p2))
+            n_ns = 0
+            for pr in (p1, p2):
+                if pr.get("n_exc", -1) >= 0:   # fused native encoder
+                    n_ns += pr["n_exc"]
+                else:
+                    n_ns += int(np.count_nonzero(
+                        (pr["reads_arr"] >= 4)
+                        & (np.arange(pr["reads_arr"].shape[1])[None, :]
+                           < pr["rlens"][:, None])))
             if n_ns > EXC_CAP:
                 self._wire4 = True
                 wire2 = False
@@ -821,9 +825,19 @@ class PairedGiraffeMapper:
                     [flags, np.zeros((flags.shape[0],
                                       -flags.shape[1] % 4), np.int8)], 1)
             if wire2:
-                pk, exc = pack_reads2(pr["reads_arr"], pr["rlens"])
-                exc = np.pad(exc[:EXC_CAP], (0, EXC_CAP - len(exc[:EXC_CAP])),
-                             constant_values=-1)
+                pk = pr.get("packed2")
+                e = pr.get("exc2")
+                if pk is not None and e is not None:
+                    # prepacked by the fused native encoder (exception
+                    # row ids must match the row order, so the locality-
+                    # sort path only passes these through when empty)
+                    exc = np.full(EXC_CAP, -1, np.int32)
+                    exc[: len(e)] = e
+                else:
+                    pk, exc = pack_reads2(pr["reads_arr"], pr["rlens"])
+                    exc = np.pad(exc[:EXC_CAP],
+                                 (0, EXC_CAP - len(exc[:EXC_CAP])),
+                                 constant_values=-1)
                 return (pk, pr["rlens"], pr["cand_start"], flags, exc)
             return (pack_reads4(pr["reads_arr"]), pr["rlens"],
                     pr["cand_start"], flags)
@@ -839,9 +853,20 @@ class PairedGiraffeMapper:
                            p1["cand_start"][:, 0], np.int32(2**31 - 1))
             perm = np.argsort(key, kind="stable")
             for pr in (p1, p2):
-                for name in ("reads_arr", "rlens", "cand_start",
+                for name in ("rlens", "cand_start",
                              "cand_valid", "cand_rev"):
                     pr["w_" + name] = pr[name][perm]
+                if (wire2 and pr.get("packed2") is not None
+                        and pr.get("n_exc", 1) == 0):
+                    # permute the prepacked 2-bit words (0.3 MB) instead
+                    # of the byte-code array (2 MB) — rows pack
+                    # independently, so row permutation commutes with
+                    # packing; N exceptions carry absolute row ids, so
+                    # only exception-free batches ride this path
+                    pr["w_packed2"] = pr["packed2"][perm]
+                    pr["w_exc2"] = pr["exc2"][:0]
+                else:
+                    pr["w_reads_arr"] = pr["reads_arr"][perm]
             wire_src = lambda pr: {k[2:]: v for k, v in pr.items()
                                    if k.startswith("w_")}
             w1 = wire(wire_src(p1))
@@ -1047,18 +1072,14 @@ class PairedGiraffeMapper:
         R = len(pairs)
         if R == 0:
             return []
-        names1 = [a.name.encode() for a, _ in pairs]
-        names2 = [b.name.encode() for _, b in pairs]
-        l1 = np.fromiter((len(n) for n in names1), np.int64, R)
-        l2 = np.fromiter((len(n) for n in names2), np.int64, R)
+        from .giraffe import str_blob
+
+        n1_off, n1_blob = str_blob([a.name for a, _ in pairs])
+        n2_off, n2_blob = str_blob([b.name for _, b in pairs])
+        l1 = np.diff(n1_off)
+        l2 = np.diff(n2_off)
         if max(int(l1.max()), int(l2.max())) >= 124:
             return None      # multi-byte varint names: generic wire path
-        n1_off = np.zeros(R + 1, np.int64)
-        np.cumsum(l1, out=n1_off[1:])
-        n2_off = np.zeros(R + 1, np.int64)
-        np.cumsum(l2, out=n2_off[1:])
-        n1_blob = b"".join(names1)
-        n2_blob = b"".join(names2)
         # single-byte-varint name-field prefixes (same bytes as the
         # fallback loop): rec1 gets fragment_next (tag 98) wrapping
         # mate2's name, rec2 gets fragment_prev (tag 90) wrapping mate1's

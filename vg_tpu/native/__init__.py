@@ -383,6 +383,42 @@ def native_seed_batch(codes2d: np.ndarray, index, params, haps,
             cand_valid.astype(bool), cand_refpath, cand_refoff)
 
 
+def native_encode_pack_reads(seq_blob: bytes, R: int, L: int,
+                             Rpad: int, RL: int, exc_cap: int):
+    """Fused ASCII->codes/revcomp/2-bit-wire for an equal-length read
+    batch (see encode_pack_reads in vgtpu_host.cpp). Returns
+    (codes2d (Rpad,RL) u8, rc2d, packed (Rpad,W) i32, exc (<=cap) i32,
+    n_exc_total) or None when the native lib is absent."""
+    import ctypes
+
+    L_ = lib()
+    if L_ is None:
+        return None
+    if not hasattr(L_, "_epr_registered"):
+        L_.encode_pack_reads.restype = ctypes.c_int64
+        L_.encode_pack_reads.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64]
+        L_._epr_registered = True
+    W = -(-RL // 16)
+    codes = np.empty((Rpad, RL), np.uint8)
+    rc = np.empty((Rpad, RL), np.uint8)
+    packed = np.zeros((Rpad, W), np.int32)
+    exc = np.empty(max(exc_cap, 1), np.int32)
+    blob = np.frombuffer(seq_blob, np.uint8)
+    if blob.size != R * L:
+        return None
+    n = L_.encode_pack_reads(
+        blob.ctypes.data, R, L, Rpad, RL, W,
+        codes.ctypes.data, rc.ctypes.data, packed.ctypes.data,
+        exc.ctypes.data, exc_cap)
+    if n < 0:
+        return None
+    return codes, rc, packed, exc[:min(int(n), exc_cap)], int(n)
+
+
 def native_banded_scores_host(reads: np.ndarray, wins: np.ndarray,
                               rlen: np.ndarray, B: int, scoring):
     """Score-only banded DP on the host for small batches (rescue).

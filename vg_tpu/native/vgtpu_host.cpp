@@ -2932,3 +2932,66 @@ int64_t concat_spans(int64_t n_spans, const uint8_t* const* srcs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused read encoding for the paired dispatch hot path: ASCII (one
+// concatenated blob of R equal-length reads) -> base codes, reverse
+// complements, and the 2-bit packed wire words in ONE OpenMP pass.
+// Replaces three numpy passes (dna.encode lookup, complement+reverse,
+// pack_reads2's 16-step shift loop) that together cost ~2 us/read of the
+// score stage. Wire semantics match ops/xfer.pack_reads2: 2 bits per
+// code little-endian within each int32 word; codes >= 4 (N) become
+// exception entries row*4096 + col (row-major order, capped — the
+// caller falls back to the 4-bit layout when the total exceeds the cap).
+// `packed` must arrive zeroed (pad bits stay 0; the device reconstructs
+// pad from rlen). Returns the TOTAL number of in-read N positions.
+
+extern "C" {
+
+int64_t encode_pack_reads(const uint8_t* ascii, int64_t R, int64_t L,
+                          int64_t Rpad, int64_t RL, int64_t W,
+                          uint8_t* codes, uint8_t* rc, int32_t* packed,
+                          int32_t* exc, int64_t exc_cap) {
+    if (L > RL || (RL + 15) / 16 > W || R > Rpad) return -1;
+    uint8_t lut[256];
+    std::memset(lut, 4, sizeof(lut));
+    lut[(unsigned)'A'] = 0; lut[(unsigned)'a'] = 0;
+    lut[(unsigned)'C'] = 1; lut[(unsigned)'c'] = 1;
+    lut[(unsigned)'G'] = 2; lut[(unsigned)'g'] = 2;
+    lut[(unsigned)'T'] = 3; lut[(unsigned)'t'] = 3;
+    std::atomic<int64_t> n_exc_total{0};
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < Rpad; i++) {
+        uint8_t* c = codes + i * RL;
+        uint8_t* rcr = rc + i * RL;
+        if (i >= R) {   // batch padding rows: all pad
+            std::memset(c, 5, (size_t)RL);
+            std::memset(rcr, 5, (size_t)RL);
+            continue;
+        }
+        const uint8_t* src = ascii + i * L;
+        uint32_t* p = (uint32_t*)(packed + i * W);
+        int64_t local_exc = 0;
+        for (int64_t j = 0; j < L; j++) {
+            const uint8_t v = lut[src[j]];
+            c[j] = v;
+            rcr[L - 1 - j] = v < 4 ? (uint8_t)(3 - v) : v;
+            p[j >> 4] |= (uint32_t)(v & 3) << ((j & 15) * 2);
+            if (v >= 4) local_exc++;
+        }
+        if (local_exc) n_exc_total += local_exc;
+        for (int64_t j = L; j < RL; j++) { c[j] = 5; rcr[j] = 5; }
+    }
+    const int64_t total = n_exc_total.load();
+    if (total > 0 && exc_cap > 0) {   // rare: ordered second pass
+        int64_t k = 0;
+        for (int64_t i = 0; i < R && k < exc_cap; i++) {
+            const uint8_t* c = codes + i * RL;
+            for (int64_t j = 0; j < L && k < exc_cap; j++)
+                if (c[j] >= 4) exc[k++] = (int32_t)(i * 4096 + j);
+        }
+    }
+    return total;
+}
+
+}  // extern "C"
