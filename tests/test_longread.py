@@ -380,3 +380,76 @@ def test_device_link_engine_parity(long_setup):
     assert a is not None and b is not None
     same = sum(1 for x, y in zip(a, b) if bytes(x) == bytes(y))
     assert same == len(a), f"{same}/{len(a)} identical"
+
+
+def test_device_chain_dp_parity():
+    """The TPU chain-DP twin (ops/device_chain: rolling-window
+    lax.scan, SURVEY §7 step 9) must reproduce the host chain DP
+    (map/chain.chain_anchors) on random anchor sets: identical parent
+    pointers and chain structure, f exact for exactly-representable
+    parameters (gap costs in powers of two) and allclose otherwise."""
+    import numpy as np
+
+    from vg_tpu.map.chain import ChainParams, backtrack_chains, chain_anchors
+    from vg_tpu.ops.device_chain import (chain_anchors_device,
+                                         chain_anchors_device_batch)
+
+    rng = np.random.default_rng(9)
+    # exactly-representable costs: all arithmetic exact in float32
+    p_exact = ChainParams(gap_scale=0.125, gap_open=1.0,
+                          lookback_cands=16, min_chain_score=10.0)
+    for trial in range(6):
+        n = int(rng.integers(2, 300))
+        tpos = np.sort(rng.integers(0, 30000, n)).astype(np.int64)
+        roff = rng.integers(0, 9500, n).astype(np.int64)
+        order = np.lexsort((roff, tpos))
+        tpos, roff = tpos[order], roff[order]
+        ascore = rng.integers(1, 30, n).astype(np.float64)
+        f_h, par_h = chain_anchors(roff, tpos, ascore, p_exact)
+        f_d, par_d = chain_anchors_device(roff, tpos, ascore, p_exact)
+        np.testing.assert_array_equal(par_d, par_h)
+        np.testing.assert_array_equal(f_d, f_h)   # exact params: exact
+        ch_h = backtrack_chains(f_h, par_h, p_exact)
+        ch_d = backtrack_chains(f_d, par_d, p_exact)
+        assert len(ch_h) == len(ch_d)
+        for a, b in zip(ch_h, ch_d):
+            np.testing.assert_array_equal(a, b)
+
+    # production-like params: f within float32 tolerance, parents equal
+    p = ChainParams(gap_scale=0.105, gap_open=1.0, lookback_cands=64)
+    n = 500
+    tpos = np.sort(rng.integers(0, 100000, n)).astype(np.int64)
+    roff = rng.integers(0, 9500, n).astype(np.int64)
+    order = np.lexsort((roff, tpos))
+    tpos, roff = tpos[order], roff[order]
+    ascore = rng.integers(1, 30, n).astype(np.float64)
+    f_h, par_h = chain_anchors(roff, tpos, ascore, p)
+    f_d, par_d = chain_anchors_device(roff, tpos, ascore, p)
+    np.testing.assert_allclose(f_d, f_h, rtol=1e-5, atol=1e-3)
+    assert (par_d == par_h).mean() > 0.99   # f32 ties may flip rarely
+
+    # batched form: two reads of different anchor counts, padded
+    n1, n2 = 40, 23
+    rows = []
+    for nn in (n1, n2):
+        tp = np.sort(rng.integers(0, 5000, nn)).astype(np.int64)
+        ro = rng.integers(0, 900, nn).astype(np.int64)
+        o = np.lexsort((ro, tp))
+        rows.append((ro[o], tp[o], rng.integers(1, 20, nn).astype(float)))
+    N = max(n1, n2)
+    R = 2
+    roff_b = np.zeros((R, N), np.int64)
+    tpos_b = np.zeros((R, N), np.int64)
+    asc_b = np.zeros((R, N), np.float64)
+    val_b = np.zeros((R, N), bool)
+    for r, (ro, tp, sc) in enumerate(rows):
+        roff_b[r, : len(ro)] = ro
+        tpos_b[r, : len(tp)] = tp
+        asc_b[r, : len(sc)] = sc
+        val_b[r, : len(ro)] = True
+    f_b, par_b = chain_anchors_device_batch(roff_b, tpos_b, asc_b,
+                                            val_b, p_exact)
+    for r, (ro, tp, sc) in enumerate(rows):
+        f_h, par_h = chain_anchors(ro, tp, sc, p_exact)
+        np.testing.assert_array_equal(par_b[r, : len(ro)], par_h)
+        np.testing.assert_array_equal(f_b[r, : len(ro)], f_h)

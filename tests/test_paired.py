@@ -452,3 +452,46 @@ def test_wire2_n_exceptions(small_index):
     hc1, hc2 = PairedGiraffeMapper(m3).score_pairs(pairs)
     np.testing.assert_array_equal(s1, np.array(hc1.scores))
     np.testing.assert_array_equal(s2, np.array(hc2.scores))
+
+
+def test_slow_row_batch_traceback_parity(bench_like_fixture=None):
+    """The batched native slow-row traceback (one OpenMP call for
+    indel/overhang winners) must yield byte-identical GAM records to
+    the per-row _traceback_ta path it replaces."""
+    import numpy as np
+
+    import bench as B
+    from vg_tpu.index.haplotypes import thread_haplotypes
+    from vg_tpu.index.minimizer import MinimizerIndex
+    from vg_tpu.map.giraffe import GiraffeMapper, GiraffeParams
+    from vg_tpu.map.paired import PairedGiraffeMapper
+
+    rng = np.random.default_rng(77)
+    g, results, vcf = B.make_pangenome(rng, ref_len=120_000)
+    haps = thread_haplotypes(g, results, vcf)
+    idx = MinimizerIndex.build(haps)
+    bs = 256
+    sts = B.make_sample_texts(rng, haps, novel_snp=0.001,
+                              novel_indel=0.0005)   # dense indels
+    pairs = B.simulate_pairs(rng, haps, 3 * bs, sample_texts=sts)
+
+    def run(disable_batch):
+        m = GiraffeMapper(haps, idx, GiraffeParams(batch_reads=bs))
+        pm = PairedGiraffeMapper(m)
+        if disable_batch:
+            m._traceback_slow_batch = lambda *a, **k: {}
+        recs = []
+        for k in range(3):
+            chunk = pairs[k * bs : (k + 1) * bs]
+            out = pm.map_pairs_encoded(chunk)
+            if out is None:
+                out = [a.encode() for a in pm.map_pairs_flat(chunk)]
+            recs.extend(bytes(r) for r in out)
+        recs.extend(bytes(r) for r in pm.finish_encoded())
+        return recs
+
+    a = run(False)
+    b = run(True)
+    assert len(a) == len(b) and len(a) > 0
+    diff = sum(1 for x, y in zip(a, b) if x != y)
+    assert diff == 0, f"{diff}/{len(a)} records differ"

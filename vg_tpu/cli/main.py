@@ -1421,6 +1421,72 @@ def cmd_zipcode(args) -> int:
     return 0
 
 
+def cmd_chain(args) -> int:
+    """Solve a serialized hit-chaining problem dump (vg chain, reference
+    src/subcommand/chain_main.cpp:298): the input JSON carries a
+    subgraph ({"node": [{id, sequence}], "edge": [...]}) and chainable
+    items with read intervals + single-node graph positions
+    (read_start/read_end/score/graph_start{node_id, offset,
+    is_reverse}). Items are projected onto a linearization of the
+    subgraph (the text-coordinate analogue of the reference's
+    distance-index transition costs) and chained with the anchor DP
+    (map/chain.py + native chain_anchors_dp)."""
+    import json as _json
+
+    import numpy as np
+
+    from ..map.chain import ChainParams, backtrack_chains, chain_anchors
+
+    with open(args.input) as f:
+        prob = _json.load(f)
+    sub_g = prob.get("subgraph") or {}
+    nodes = {}
+    for nd in (sub_g.get("node") or []):
+        nodes[int(nd["id"])] = len(nd.get("sequence", "") or "")
+    # linearization: ascending node id (constructor ids ascend along the
+    # reference path); offset = prefix sum of node lengths
+    off = {}
+    run = 0
+    for nid in sorted(nodes):
+        off[nid] = run
+        run += max(nodes[nid], 1)
+    items = prob.get("items") or []
+    roff, tpos, ascore = [], [], []
+    for it in items:
+        rs = int(it.get("read_start", 0))
+        re_ = int(it.get("read_end", rs))
+        gs = it.get("graph_start") or {}
+        nid = int(gs.get("node_id", 0))
+        noff = int(gs.get("offset", 0) or 0)
+        roff.append(rs)
+        tpos.append(off.get(nid, 0) + noff)
+        ascore.append(int(it.get("score", max(re_ - rs, 1))))
+    if args.progress:
+        print(f"Reconstructed {len(items)} chainable items",
+              file=sys.stderr)
+    if not roff:
+        print("Best chain gets score 0")
+        return 0
+    roff = np.asarray(roff, np.int64)
+    tpos = np.asarray(tpos, np.int64)
+    ascore = np.asarray(ascore, np.float64)
+    order = np.lexsort((roff, tpos))
+    params = ChainParams(min_chain_score=0.0,
+                         gap_open=6.0 + float(
+                             args.recombination_penalty or 0.0))
+    f_dp, parent = chain_anchors(roff[order], tpos[order],
+                                 ascore[order], params)
+    chains = backtrack_chains(f_dp, parent, params)
+    if not chains:
+        print("Best chain gets score 0")
+        return 0
+    best = chains[0]
+    print(f"Best chain gets score {int(round(f_dp[best[-1]]))}")
+    print("chain items: "
+          + " ".join(str(int(order[i])) for i in best))
+    return 0
+
+
 def cmd_bench_dist_query(args) -> int:
     """Distance-query microbenchmark (reference
     src/subcommand/bench_dist_query_main.cpp role): random position
@@ -2402,7 +2468,17 @@ def build_parser() -> argparse.ArgumentParser:
     zc.add_argument("--output")
     zc.set_defaults(func=cmd_zipcode)
 
+    cn = sub.add_parser("chain",
+                        help="run a serialized chaining problem "
+                             "(dev tool)")
+    cn.add_argument("input")
+    cn.add_argument("-p", "--progress", action="store_true")
+    cn.add_argument("-r", "--recombination-penalty", type=float,
+                    default=0.0)
+    cn.set_defaults(func=cmd_chain)
+
     bq = sub.add_parser("bench_dist_query",
+                        aliases=["bench-dist-query"],
                         help="distance-oracle microbenchmark (dev tool)")
     bq.add_argument("graph")
     bq.add_argument("-d", "--dist")

@@ -72,7 +72,10 @@ class GiraffeParams:
     # position limit; the reference's GCSA2 MEM source works at any
     # scale the same way.
     mem_fallback: bool = True
-    mem_fallback_max_text: int = (1 << 31) - 1
+    # sharded chunk-local SAs use int32 only within a chunk, so the
+    # fallback works to any practical text length (was the int32 SA
+    # position ceiling before the sharded MEMIndex)
+    mem_fallback_max_text: int = 1 << 40
     # sort each batch's reads by their best candidate's text position
     # before the device dispatch (unsorted at fetch): the DP window
     # gather then walks HBM near-sequentially instead of randomly —
@@ -1585,10 +1588,24 @@ class GiraffeMapper:
         None in the records list — materializing 12k memoryview slices
         per mate per batch costs more than the rest of the bookkeeping;
         records_from_spans fills them on demand."""
+        import os as _os
+        import time as _time
+
         from ..native import lib as native_lib, native_emit_gapless_gam
 
         if native_lib() is None:
             return None
+        prof = _os.environ.get("VGTPU_EMIT_PROF")
+
+        def _mark(key, t0):
+            d = getattr(self, "_espans_prof", None)
+            if d is None:
+                d = self._espans_prof = {}
+            t1 = _time.perf_counter()
+            d[key] = d.get(key, 0.0) + (t1 - t0)
+            return t1
+
+        _t = _time.perf_counter() if prof else 0
         p = self.params
         R = len(sb.reads)
         B = p.band_radius
@@ -1648,6 +1665,8 @@ class GiraffeMapper:
             hrows = ar
             mism_h = host_mism(hrows) if R else None
             mm = mism_h.sum(axis=1) if R else np.zeros(0, np.int64)
+        if prof:
+            _t = _mark("mism", _t)
         gl_score = (L_arr - mm) * p.match - mm * p.mismatch \
             + 2 * p.full_length_bonus
         # in-range winners only (see emit_chosen): overhanging intervals
@@ -1729,8 +1748,12 @@ class GiraffeMapper:
                 "ref_rev": rrev.astype(np.uint8),
                 "refname_off": refname_off, "refnames": refnames,
             }
+            if prof:
+                _t = _mark("fastprep", _t)
             cap = int(read_off[-1] * 6 + Nw * 512 + 4096)
             res = native_emit_gapless_gam(arrs, cap)
+            if prof:
+                _t = _mark("native_emit", _t)
             if res is None:
                 return None
             buf, rec_off = res
@@ -1743,12 +1766,22 @@ class GiraffeMapper:
         # fallback: unmapped reads encode cheaply; indel/overhang winners
         # get the host traceback but batch through ONE native runs->GAM
         # encode (graph/POA winners keep the object path — rare)
+        if prof:
+            _t = _mark("fastrec", _t)
         slow = np.nonzero(~fast)[0]
         misc_rows: List[int] = []        # rows whose record is a Python
         ta_buf = None                    # bytes object (joined for spans)
         ta_off = None
         ta_row_ids: List[int] = []
         ta_rows: List[Tuple[int, object, int]] = []
+        # batch the common slow case (clean in-band indel winners) into
+        # ONE native OpenMP traceback call; rows it can't certify
+        # (score disagreement, clipping, wide-band/graph-fallback
+        # conditions) take the full per-row path below
+        mapped_slow = [int(i) for i in slow if any_valid[i]]
+        batch_ta = (self._traceback_slow_batch(
+                        sb, mapped_slow, diag, lo, hi, rev, best_s)
+                    if len(mapped_slow) >= 2 else {})
         for i in slow:
             if not any_valid[i]:
                 r = sb.reads[i]
@@ -1759,9 +1792,12 @@ class GiraffeMapper:
                     quality=qual).encode()
                 misc_rows.append(i)
                 continue
-            res = self._traceback_ta(
-                sb.codes[i], sb.codes_rc[i], int(diag[i]) - B,
-                int(lo[i]), int(hi[i]), bool(rev[i]), int(best_s[i]))
+            res = batch_ta.get(int(i))
+            if res is None:
+                res = self._traceback_ta(
+                    sb.codes[i], sb.codes_rc[i], int(diag[i]) - B,
+                    int(lo[i]), int(hi[i]), bool(rev[i]),
+                    int(best_s[i]))
             if res[0] == "ta" and res[1].text_end > res[1].text_start:
                 ta_rows.append((i, res[1], res[2]))
             else:
@@ -1787,6 +1823,8 @@ class GiraffeMapper:
                 ta_row_ids = [i for i, _, _ in ta_rows]
                 for (i, _, _), rec in zip(ta_rows, recs):
                     records[i] = rec
+        if prof:
+            _t = _mark("slowrows", _t)
         # span map: where each record's bytes live, for the native
         # scatter-gather pair finalizer
         src_id = np.zeros(R, np.uint8)
@@ -1959,6 +1997,61 @@ class GiraffeMapper:
             aln.score = ta.score
             aln.identity = ta.matches / L if L else 0.0
             self.path_pos.annotate_refpos(aln)
+
+    def _traceback_slow_batch(self, sb: "ScoredBatch", rows, diag, lo,
+                              hi, rev, best_s):
+        """One native OpenMP banded-traceback call over all mapped slow
+        rows. Returns {row: ('ta', TextAlignment, wstart)} for rows
+        whose result is certain: host score equals the device score and
+        none of the wide-band / graph-fallback conditions of
+        _traceback_ta apply. Everything else is left to the per-row
+        path (which re-runs the DP — rare by construction)."""
+        from ..native import native_banded_tracebacks
+
+        p = self.params
+        if p.qual_adjusted or not rows:
+            return {}
+        rows_a = np.asarray(rows)
+        L_arr = np.array([len(sb.codes[i]) for i in rows])
+        Lmax = int(L_arr.max())
+        B = p.band_radius
+        TW = Lmax + 2 * B
+        n = len(rows)
+        reads = np.full((n, Lmax), 5, np.uint8)
+        for k, i in enumerate(rows):
+            c = sb.codes_rc[i] if rev[i] else sb.codes[i]
+            reads[k, : len(c)] = c
+        text = self.haps.text
+        wstart = diag[rows_a] - B
+        pos = wstart[:, None] + np.arange(TW)
+        ok = ((pos >= lo[rows_a, None]) & (pos < hi[rows_a, None])
+              & (pos >= 0) & (pos < len(text)))
+        wins = np.where(ok, text[np.clip(pos, 0, len(text) - 1)],
+                        align_ops.SENTINEL).astype(np.uint8)
+        scoring = align_ops.Scoring(p.match, p.mismatch, p.gap_open,
+                                    p.gap_extend, p.full_length_bonus)
+        res = native_banded_tracebacks(reads, L_arr, wins, B, scoring)
+        if res is None:
+            return {}
+        out = {}
+        mc = p.graph_fallback_min_clip
+        for k, i in enumerate(rows):
+            ta = res[k]
+            if ta is None:
+                continue
+            L = int(L_arr[k])
+            if ta.score != int(best_s[i]):
+                continue                       # host/device disagree
+            if ta.score < (L - 4 * p.mismatch) * p.match:
+                continue                       # wide-band retry case
+            if p.graph_fallback and (
+                    ta.read_start >= mc or ta.read_end <= L - mc
+                    or ta.score < p.graph_fallback_frac * L):
+                continue                       # graph-fallback case
+            if ta.text_end <= ta.text_start:
+                continue
+            out[int(i)] = ("ta", ta, int(wstart[k]))
+        return out
 
     def _traceback_ta(self, codes: np.ndarray, codes_rc: np.ndarray,
                       wstart: int, lo: int, hi: int, is_rev: bool,

@@ -22,20 +22,62 @@ from .giraffe import GiraffeMapper, GiraffeParams
 
 
 class MEMIndex:
-    """Suffix array over the haplotype text + MEM queries."""
+    """Suffix array over the haplotype text + MEM queries.
+
+    Texts above ``shard_above`` build SHARDED: the text splits into
+    chunks (each with a forward overlap so any exact match up to
+    ``overlap`` bases starting inside a chunk is fully contained in it),
+    per-chunk SA-IS builds run concurrently (the ctypes call releases
+    the GIL), and queries merge per-chunk hits with chunk-local int32
+    coordinates lifted to global int64 — removing both the single-build
+    wall-clock cliff and the int32 position ceiling the reference's
+    GCSA2 never had (src/mapper.hpp:210, src/mem.cpp)."""
 
     def __init__(self, haps: HaplotypeSet, sa: Optional[np.ndarray] = None,
-                 min_mem_length: int = 19, max_mem_hits: int = 64):
+                 min_mem_length: int = 19, max_mem_hits: int = 64,
+                 shard_above: int = 1 << 27, overlap: int = 1024):
         from ..native import native_build_suffix_array
 
         self.haps = haps
         self.min_mem_length = min_mem_length
         self.max_mem_hits = max_mem_hits
+        self.overlap = overlap
+        self.chunks: Optional[List] = None   # [(base, core_len, sa)]
+        text = haps.text
+        if sa is None and len(text) > shard_above:
+            self._build_sharded(text, shard_above)
+            self.sa = None
+            return
         if sa is None:
-            sa = native_build_suffix_array(haps.text)
+            sa = native_build_suffix_array(text)
             if sa is None:
-                sa = self._python_suffix_array(haps.text)
+                sa = self._python_suffix_array(text)
         self.sa = np.asarray(sa, np.int32)
+
+    def _build_sharded(self, text: np.ndarray, shard_above: int) -> None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..native import native_build_suffix_array
+
+        n = len(text)
+        workers = max(1, os.cpu_count() or 4)
+        # enough chunks to feed every core, each at most shard_above long
+        n_chunks = max(workers, -(-n // shard_above))
+        core = -(-n // n_chunks)
+        bases = list(range(0, n, core))
+
+        def build(base):
+            end = min(base + core, n)
+            slice_end = min(end + self.overlap, n)
+            part = np.ascontiguousarray(text[base:slice_end])
+            sa = native_build_suffix_array(part)
+            if sa is None:
+                sa = self._python_suffix_array(part)
+            return (base, end - base, np.asarray(sa, np.int32), part)
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            self.chunks = list(ex.map(build, bases))
 
     @staticmethod
     def _python_suffix_array(text: np.ndarray) -> np.ndarray:
@@ -63,14 +105,50 @@ class MEMIndex:
     def find_mems(self, codes: np.ndarray):
         from ..native import native_find_mems
 
+        if self.chunks is not None:
+            return self._find_mems_sharded(codes)
         res = native_find_mems(self.haps.text, self.sa, codes,
                                self.min_mem_length, self.max_mem_hits)
         if res is not None:
             return res
         return self._python_find_mems(codes)
 
+    def _find_mems_sharded(self, codes: np.ndarray):
+        """Union of per-chunk MEMs, positions lifted to global int64.
+        A hit is attributed to the chunk OWNING its text position (the
+        forward overlap only guarantees containment, it doesn't own),
+        so overlap-region duplicates drop out. Matches truncated at a
+        chunk's slice end re-appear full-length in the owning chunk."""
+        from ..native import native_find_mems
+
+        rs_all: List[np.ndarray] = []
+        ln_all: List[np.ndarray] = []
+        tp_all: List[np.ndarray] = []
+        for base, core_len, sa, part in self.chunks:
+            res = native_find_mems(part, sa, codes,
+                                   self.min_mem_length, self.max_mem_hits)
+            if res is None:
+                res = self._python_find_mems_on(part, sa, codes)
+            rs, ln, tp = res
+            own = tp < core_len
+            rs_all.append(rs[own])
+            ln_all.append(ln[own])
+            tp_all.append(tp[own].astype(np.int64) + base)
+        rs = np.concatenate(rs_all) if rs_all else np.zeros(0, np.int32)
+        ln = np.concatenate(ln_all) if ln_all else np.zeros(0, np.int32)
+        tp = np.concatenate(tp_all) if tp_all else np.zeros(0, np.int64)
+        if len(rs) > self.max_mem_hits:
+            # global cap mirrors the single-SA behavior: keep the
+            # longest matches first (they carry the most seed weight)
+            keep = np.argsort(-ln, kind="stable")[: self.max_mem_hits]
+            rs, ln, tp = rs[keep], ln[keep], tp[keep]
+        return rs, ln, tp
+
     def _python_find_mems(self, codes: np.ndarray):
-        text, sa = self.haps.text, self.sa
+        return self._python_find_mems_on(self.haps.text, self.sa, codes)
+
+    def _python_find_mems_on(self, text: np.ndarray, sa: np.ndarray,
+                             codes: np.ndarray):
         n = len(text)
         L = len(codes)
         rs: List[int] = []

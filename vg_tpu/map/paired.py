@@ -1016,18 +1016,33 @@ class PairedGiraffeMapper:
                             sel=None):
         """Pair-select (unless precomputed on device) + encoded emission
         + fragment linkage."""
+        import os as _os
+
         m = self.mapper
+        prof = _os.environ.get("VGTPU_EMIT_PROF")
+        tprof = _time.perf_counter if prof else None
         if sel is None:
             sel = self._pair_select(sb1, sb2)
         j1, j2, mq1, mq2, any1, any2, use_pair, frags = sel
+        _t = tprof() if prof else 0
         mq1 = m.apply_mapq_caps(sb1, mq1)
         mq2 = m.apply_mapq_caps(sb2, mq2)
+        if prof:
+            _t2 = tprof()
+            self._eprof("caps", _t2 - _t)
+            _t = _t2
         res1 = m.emit_chosen_spans(sb1, j1, mq1, any1)
         res2 = m.emit_chosen_spans(sb2, j2, mq2, any2)
+        if prof:
+            _t2 = tprof()
+            self._eprof("spans", _t2 - _t)
+            _t = _t2
         if res1 is None or res2 is None:
             return None
         out = self._finalize_pairs_native(pairs, res1[1], res2[1],
                                           any1, any2, use_pair, frags)
+        if prof:
+            self._eprof("finalize", tprof() - _t)
         if out is not None:
             return out
         recs1 = m.records_from_spans(*res1)
@@ -1224,6 +1239,14 @@ class PairedGiraffeMapper:
         st1 = self._rescue_begin(sb2, sb1, tl)   # rescues sb1
         return ("main", batch, sb1, sb2, st1, st2)
 
+    def _eprof(self, key, dt):
+        """Accumulate emit sub-stage seconds (VGTPU_EMIT_PROF=1)."""
+        with self._stat_lock:
+            d = getattr(self, "_emit_prof", None)
+            if d is None:
+                d = self._emit_prof = {}
+            d[key] = d.get(key, 0.0) + dt
+
     def stage_emit(self, item):
         """Final pipeline stage: finish rescues, pair, emit encoded.
         Safe to call from multiple emitter threads on DISTINCT items
@@ -1249,6 +1272,10 @@ class PairedGiraffeMapper:
                     recs = [a.encode() for a in self.map_pairs_flat(batch)]
             return recs
         if item[0] == "main_dev":
+            import os as _os
+
+            prof = _os.environ.get("VGTPU_EMIT_PROF")
+            _t = _time.perf_counter() if prof else 0
             _, batch, sb1, sb2, st1, st2, selh = item
             self._rescue_finish(sb2, st2)
             self._rescue_finish(sb1, st1)
@@ -1256,6 +1283,8 @@ class PairedGiraffeMapper:
             rows = sorted({i for (i, _) in (st2[0] if st2 else ())}
                           | {i for (i, _) in (st1[0] if st1 else ())})
             sel = tuple(a.copy() for a in selh)
+            if prof:
+                self._eprof("rescue_fin", _time.perf_counter() - _t)
             if rows:
                 # rescue replaced candidates in these rows: their device
                 # winner bitmaps describe stale candidates — invalidate
@@ -1269,9 +1298,13 @@ class PairedGiraffeMapper:
                 for arr, sub_arr in zip(sel, (rs[0], rs[1], rs[2], rs[3],
                                               rs[6], rs[7])):
                     arr[rows] = np.asarray(sub_arr)[: len(rows)]
+            if prof:
+                _t = _time.perf_counter()
             j1, j2, mq1, mq2, use_pair, frags = sel
             any1 = (sb1.cand_valid & (sb1.scores > 0)).any(axis=1)
             any2 = (sb2.cand_valid & (sb2.scores > 0)).any(axis=1)
+            if prof:
+                self._eprof("reselect", _time.perf_counter() - _t)
             out = self._emit_pairs_encoded(
                 batch, sb1, sb2,
                 sel=(j1, j2, mq1, mq2, any1, any2, use_pair, frags))

@@ -143,6 +143,81 @@ def native_banded_traceback(read: np.ndarray, window: np.ndarray,
         edits=merged, matches=int(matches[0]))
 
 
+def native_banded_tracebacks(reads: np.ndarray, rlen: np.ndarray,
+                             wins: np.ndarray, B: int, scoring,
+                             x_drop: int = 0):
+    """Batched banded_traceback (one OpenMP call over n rows). reads
+    (n, Lmax) oriented u8 padded with 5, rlen (n,), wins (n, TWmax) u8
+    (row t's true window width = rlen[t] + 2B). Returns a list of
+    TextAlignment | None per row (None also for rows whose edits
+    overflowed — caller falls back per row), or None when the native
+    lib is absent."""
+    import ctypes
+
+    L_ = lib()
+    if L_ is None:
+        return None
+    if not hasattr(L_, "_btb_registered"):
+        L_.banded_traceback_batch.restype = ctypes.c_int64
+        L_.banded_traceback_batch.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32]
+        L_._btb_registered = True
+    from ..ops.traceback import TextAlignment
+
+    reads = np.ascontiguousarray(reads, np.uint8)
+    wins = np.ascontiguousarray(wins, np.uint8)
+    rlen = np.ascontiguousarray(rlen, np.int64)
+    n, Lmax = reads.shape
+    TWmax = wins.shape[1]
+    cap = 4 * (Lmax + 2 * B) + 16
+    scores = np.zeros(n, np.int64)
+    spans = np.zeros((n, 4), np.int64)
+    edits = np.zeros((n, cap, 3), np.int32)
+    n_edits = np.zeros(n, np.int64)
+    matches = np.zeros(n, np.int64)
+    L_.banded_traceback_batch(
+        n, reads.ctypes.data, Lmax, rlen.ctypes.data,
+        wins.ctypes.data, TWmax, B,
+        scoring.match, scoring.mismatch, scoring.gap_open,
+        scoring.gap_extend, scoring.full_length_bonus,
+        scores.ctypes.data, spans.ctypes.data, edits.ctypes.data,
+        cap, n_edits.ctypes.data, matches.ctypes.data, int(x_drop))
+    out = []
+    for t in range(n):
+        if scores[t] <= 0 or n_edits[t] <= 0:
+            out.append(None)
+            continue
+        ops = edits[t, : n_edits[t]][::-1]          # forward order
+        opc = ops[:, 0]
+        rp = ops[:, 2]
+        brk = np.ones(len(opc), bool)
+        brk[1:] = opc[1:] != opc[:-1]
+        starts = np.nonzero(brk)[0]
+        ends = np.append(starts[1:], len(opc))
+        merged = []
+        read_row = reads[t]
+        for s0, e0 in zip(starts, ends):
+            kind = "MXID"[opc[s0]]
+            ln = int(e0 - s0)
+            if kind in ("M", "D"):
+                merged.append((kind, ln))
+            else:
+                r0 = int(rp[s0])
+                merged.append((kind, ln, read_row[r0 : r0 + ln].copy()))
+        out.append(TextAlignment(
+            score=int(scores[t]), read_start=int(spans[t, 0]),
+            read_end=int(spans[t, 1]), text_start=int(spans[t, 2]),
+            text_end=int(spans[t, 3]), edits=merged,
+            matches=int(matches[t])))
+    return out
+
+
 def native_global_align(a: np.ndarray, b: np.ndarray, scoring,
                         max_cells: int = 4_000_000):
     """C global alignment; None if native lib absent, False to fall back."""

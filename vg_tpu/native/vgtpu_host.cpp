@@ -2995,3 +2995,37 @@ int64_t encode_pack_reads(const uint8_t* ascii, int64_t R, int64_t L,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// OpenMP batch of banded_traceback over independent rows: the emit
+// slow path (indel/overhang winners — reads carrying novel indels
+// against the haplotype text) previously paid a per-row Python DP
+// roundtrip (~0.7 ms each, the dominant emit cost on novel-variant
+// read sets). Row t: read row (stride Lmax, true length rlen[t]),
+// window row (stride TWmax, true width rlen[t] + 2B). Outputs mirror
+// banded_traceback per row.
+
+extern "C" {
+
+int64_t banded_traceback_batch(
+    int64_t n, const uint8_t* reads, int64_t Lmax, const int64_t* rlen,
+    const uint8_t* wins, int64_t TWmax, int32_t B,
+    int32_t match, int32_t mismatch, int32_t gap_open,
+    int32_t gap_extend, int32_t bonus,
+    int64_t* scores, int64_t* spans /* (n,4) */,
+    int32_t* edits /* (n, cap, 3) */, int64_t edit_cap,
+    int64_t* n_edits, int64_t* matches_out, int32_t x_drop) {
+#pragma omp parallel for schedule(dynamic)
+    for (int64_t t = 0; t < n; t++) {
+        const int64_t L = rlen[t];
+        const int64_t TW = std::min(L + 2 * (int64_t)B, TWmax);
+        scores[t] = banded_traceback(
+            reads + t * Lmax, L, wins + t * TWmax, TW, B,
+            match, mismatch, gap_open, gap_extend, bonus,
+            spans + t * 4, edits + t * edit_cap * 3, edit_cap,
+            n_edits + t, matches_out + t, x_drop);
+    }
+    return 0;
+}
+
+}  // extern "C"
