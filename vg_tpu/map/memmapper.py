@@ -67,13 +67,24 @@ class MEMIndex:
         core = -(-n // n_chunks)
         bases = list(range(0, n, core))
 
+        import sys
+        import time as _t
+
         def build(base):
+            t0 = _t.time()
             end = min(base + core, n)
             slice_end = min(end + self.overlap, n)
             part = np.ascontiguousarray(text[base:slice_end])
             sa = native_build_suffix_array(part)
             if sa is None:
+                sys.stderr.write(
+                    f"[vg_tpu] WARNING: native lib unavailable — numpy "
+                    f"prefix-doubling SA for chunk @{base} "
+                    f"({len(part)/1e6:.0f} Mbp, slow)\n")
                 sa = self._python_suffix_array(part)
+            sys.stderr.write(
+                f"[vg_tpu] SA shard @{base} ({len(part)/1e6:.0f} Mbp) "
+                f"in {_t.time()-t0:.0f}s\n")
             return (base, end - base, np.asarray(sa, np.int32), part)
 
         with ThreadPoolExecutor(max_workers=workers) as ex:

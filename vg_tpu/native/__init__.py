@@ -20,6 +20,9 @@ _HERE = pathlib.Path(__file__).parent
 _SRC = _HERE / "vgtpu_host.cpp"
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+import threading as _threading  # noqa: E402
+
+_build_lock = _threading.Lock()
 
 
 def _build() -> Optional[pathlib.Path]:
@@ -45,9 +48,21 @@ def _build() -> Optional[pathlib.Path]:
 
 
 def lib() -> Optional[ctypes.CDLL]:
-    global _lib, _tried
-    if _lib is not None or _tried:
+    global _lib
+    # lock-free fast path checks ONLY _lib: checking _tried here would
+    # reopen the race this lock closes (a thread observing _tried=True
+    # mid-build would silently fall back to the numpy twins — e.g. a
+    # 131 Mbp prefix-doubling suffix array — for the whole process)
+    if _lib is not None:
         return _lib
+    with _build_lock:
+        if _lib is not None or _tried:
+            return _lib
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
     _tried = True
     if os.environ.get("VGTPU_NO_NATIVE"):
         return None
