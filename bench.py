@@ -429,7 +429,14 @@ def run_scale_sidecar(on_tpu):
     try:
         n_rec = 256
         rec_reads, rec_truth = _recombinant_reads(rng, haps, n_rec)
-        pad = rec_reads + [rec_reads[-1]] * (bs - n_rec)
+        # pad with ordinary indexed-text reads: padding with recombinant
+        # copies would put EVERY padded row through the SA fallback
+        from vg_tpu.io.fastq import Read as _Read
+        from vg_tpu.utils import dna as _dna
+
+        s0 = int(rng.integers(0, haps.total_len - 200))
+        plain = _Read("pad", _dna.decode(haps.text[s0 : s0 + 150]), None)
+        pad = rec_reads + [plain] * (bs - n_rec)
         t_rec = time.time()
         alns = m.map_batch(pad[:bs])
         rec_ok = 0

@@ -811,11 +811,15 @@ class GiraffeMapper:
         diag: List[int] = []
         roff: List[int] = []
         score: List[float] = []
-        for k, i in enumerate(rows):
+        oriented_list: List[np.ndarray] = []
+        for i in rows:
             cc = codes[int(i)]
-            for is_rev, oriented in ((False, cc),
-                                     (True, dna.revcomp_codes(cc))):
-                rs, ln, tp = mi.find_mems(oriented)
+            oriented_list.append(cc)
+            oriented_list.append(dna.revcomp_codes(cc))
+        mems = mi.find_mems_batch(oriented_list)
+        for k in range(len(rows)):
+            for is_rev in (False, True):
+                rs, ln, tp = mems[2 * k + (1 if is_rev else 0)]
                 for q in range(len(rs)):
                     sread.append(k)
                     strand.append(is_rev)
@@ -1782,6 +1786,8 @@ class GiraffeMapper:
         batch_ta = (self._traceback_slow_batch(
                         sb, mapped_slow, diag, lo, hi, rev, best_s)
                     if len(mapped_slow) >= 2 else {})
+        if prof:
+            _t = _mark("slow_batch", _t)
         for i in slow:
             if not any_valid[i]:
                 r = sb.reads[i]
@@ -1811,6 +1817,8 @@ class GiraffeMapper:
                                       sb.codes_rc[i], bool(rev[i]))
                 records[i] = aln.encode()
                 misc_rows.append(i)
+        if prof:
+            _t = _mark("slow_loop", _t)
         if ta_rows:
             ta_res = self._emit_ta_runs(sb, ta_rows, mapqs, rev)
             if ta_res is None:

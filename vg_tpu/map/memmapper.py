@@ -35,7 +35,7 @@ class MEMIndex:
 
     def __init__(self, haps: HaplotypeSet, sa: Optional[np.ndarray] = None,
                  min_mem_length: int = 19, max_mem_hits: int = 64,
-                 shard_above: int = 1 << 27, overlap: int = 1024):
+                 shard_above: int = 1 << 28, overlap: int = 1024):
         from ..native import native_build_suffix_array
 
         self.haps = haps
@@ -123,6 +123,51 @@ class MEMIndex:
         if res is not None:
             return res
         return self._python_find_mems(codes)
+
+    def find_mems_batch(self, reads: List[np.ndarray]):
+        """MEMs for MANY oriented reads: per shard, ONE native OpenMP
+        call over all reads (chromosome-scale zero-candidate rescue was
+        paying a per-(read, shard) ctypes roundtrip). Returns a list of
+        (read_start, length, text_pos) aligned with `reads`."""
+        from ..native import native_find_mems_many
+
+        n = len(reads)
+        if n == 0:
+            return []
+        Lmax = max(len(r) for r in reads)
+        r2d = np.full((n, Lmax), 5, np.uint8)
+        rlen = np.zeros(n, np.int64)
+        for k, r in enumerate(reads):
+            r2d[k, : len(r)] = r
+            rlen[k] = len(r)
+        if self.chunks is None:
+            res = native_find_mems_many(
+                self.haps.text, self.sa, r2d, rlen,
+                self.min_mem_length, self.max_mem_hits)
+            if res is None:
+                return [self.find_mems(r) for r in reads]
+            return res
+        per_read: List[List] = [[] for _ in range(n)]
+        for base, core_len, sa, part in self.chunks:
+            res = native_find_mems_many(part, sa, r2d, rlen,
+                                        self.min_mem_length,
+                                        self.max_mem_hits)
+            if res is None:
+                return [self.find_mems(r) for r in reads]
+            for k, (rs, ln, tp) in enumerate(res):
+                own = tp < core_len
+                per_read[k].append((rs[own], ln[own],
+                                    tp[own].astype(np.int64) + base))
+        out = []
+        for parts in per_read:
+            rs = np.concatenate([p[0] for p in parts])
+            ln = np.concatenate([p[1] for p in parts])
+            tp = np.concatenate([p[2] for p in parts])
+            if len(rs) > self.max_mem_hits:
+                keep = np.argsort(-ln, kind="stable")[: self.max_mem_hits]
+                rs, ln, tp = rs[keep], ln[keep], tp[keep]
+            out.append((rs, ln, tp))
+        return out
 
     def _find_mems_sharded(self, codes: np.ndarray):
         """Union of per-chunk MEMs, positions lifted to global int64.

@@ -664,6 +664,46 @@ def native_find_mems(text: np.ndarray, sa: np.ndarray, read: np.ndarray,
     return rs[:n], ln[:n], tp[:n]
 
 
+def native_find_mems_many(text: np.ndarray, sa: np.ndarray,
+                          reads2d: np.ndarray, rlen: np.ndarray,
+                          min_len: int = 19, max_hits: int = 64,
+                          cap: int = 4096):
+    """MEM queries for many oriented reads vs one SA in one OpenMP
+    call. reads2d (n, Lmax) u8 padded with 5+. Returns a list of
+    (read_start, length, text_pos) per read, or None if lib absent."""
+    import ctypes
+
+    L_ = lib()
+    if L_ is None:
+        return None
+    if not hasattr(L_, "_fmm_registered"):
+        if not hasattr(L_, "_sa_registered"):
+            native_build_suffix_array(np.zeros(1, np.uint8))
+        L_.find_mems_many.restype = ctypes.c_int64
+        L_.find_mems_many.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        L_._fmm_registered = True
+    reads2d = np.ascontiguousarray(reads2d, np.uint8)
+    rlen = np.ascontiguousarray(rlen, np.int64)
+    n_reads, Lmax = reads2d.shape
+    rs = np.empty((n_reads, cap), np.int32)
+    ln = np.empty((n_reads, cap), np.int32)
+    tp = np.empty((n_reads, cap), np.int64)
+    nr = np.zeros(n_reads, np.int64)
+    L_.find_mems_many(
+        np.ascontiguousarray(text, np.uint8).ctypes.data, len(text),
+        np.ascontiguousarray(sa, np.int32).ctypes.data,
+        reads2d.ctypes.data, Lmax, rlen.ctypes.data, n_reads,
+        min_len, max_hits, cap,
+        rs.ctypes.data, ln.ctypes.data, tp.ctypes.data, nr.ctypes.data)
+    return [(rs[r, : nr[r]].copy(), ln[r, : nr[r]].copy(),
+             tp[r, : nr[r]].copy()) for r in range(n_reads)]
+
+
 def native_extract_minimizers_batch(codes2d: np.ndarray, k: int, w: int):
     """Batch rolling-minimizer extraction in C; None if lib absent."""
     import ctypes

@@ -1268,14 +1268,34 @@ int64_t find_mems(const uint8_t* text, int64_t n, const int32_t* sa,
     int64_t rows = 0;
     int64_t prev_end = -1;
     for (int64_t i = 0; i + min_len <= L; i++) {
-        // grow the match greedily: binary-search progressively longer
-        // prefixes; stop when the range empties
+        // grow the match greedily. The range for length l+1 is a
+        // sub-range of the range for length l (all member suffixes
+        // share the first l pattern chars), so each growth step is two
+        // binary searches comparing ONLY the char at offset l — the
+        // previous full-prefix sa_range per step was O(log n * lcp)
+        // and dominated chromosome-scale MEM queries.
         int64_t l = 0, lo = 0, hi = n;
         while (i + l < L && read[i + l] < 4) {
-            int64_t nlo, nhi;
-            sa_range(text, n, sa, read + i, l + 1, &nlo, &nhi);
-            if (nlo >= nhi) break;
-            lo = nlo; hi = nhi; l++;
+            const uint8_t c = read[i + l];
+            // within [lo,hi): first suffix whose char at offset l is
+            // >= c / > c (suffixes shorter than l+1 sort first)
+            auto ch = [&](int64_t x) -> int32_t {
+                const int64_t s = (int64_t)sa[x] + l;
+                return s < n ? (int32_t)text[s] : -1;
+            };
+            int64_t a = lo, b = hi;
+            while (a < b) {
+                const int64_t mid = (a + b) >> 1;
+                if (ch(mid) < (int32_t)c) a = mid + 1; else b = mid;
+            }
+            const int64_t nlo = a;
+            b = hi;
+            while (a < b) {
+                const int64_t mid = (a + b) >> 1;
+                if (ch(mid) <= (int32_t)c) a = mid + 1; else b = mid;
+            }
+            if (nlo >= a) break;
+            lo = nlo; hi = a; l++;
         }
         if (l < min_len) continue;
         if (i + l <= prev_end) continue;      // contained in previous MEM
@@ -1291,6 +1311,28 @@ int64_t find_mems(const uint8_t* text, int64_t n, const int32_t* sa,
         if (rows >= out_cap) break;
     }
     return rows;
+}
+
+// MEM queries for MANY oriented reads against one SA in one call,
+// OpenMP over reads (the chromosome-scale MEM fallback queries every
+// shard for every zero-candidate read; per-read ctypes calls wasted
+// the host cores). Outputs per read r land in out_*[r * out_cap_per ..];
+// n_rows[r] = rows written.
+int64_t find_mems_many(const uint8_t* text, int64_t n, const int32_t* sa,
+                       const uint8_t* reads, int64_t Lmax,
+                       const int64_t* rlen, int64_t n_reads,
+                       int32_t min_len, int32_t max_hits,
+                       int64_t out_cap_per,
+                       int32_t* out_read_start, int32_t* out_len,
+                       int64_t* out_text_pos, int64_t* n_rows) {
+#pragma omp parallel for schedule(dynamic)
+    for (int64_t r = 0; r < n_reads; r++) {
+        n_rows[r] = find_mems(
+            text, n, sa, reads + r * Lmax, rlen[r], min_len, max_hits,
+            out_cap_per, out_read_start + r * out_cap_per,
+            out_len + r * out_cap_per, out_text_pos + r * out_cap_per);
+    }
+    return 0;
 }
 
 }  // extern "C"
