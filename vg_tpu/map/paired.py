@@ -124,6 +124,11 @@ class PairedGiraffeMapper:
         self.stage_seconds = {"score": 0.0, "rescue": 0.0, "emit": 0.0,
                               "dev_wait": 0.0}
         self.stage_reads = 0
+        # opt-in per-call trace [(stage, t_start, t_end), ...] — set to
+        # a list to enable; bench archives it so a degraded capture's
+        # slow ticks are attributable to a stage (host stall vs device/
+        # tunnel wait) from the recorded JSON alone
+        self.stage_trace = None
         import threading as _threading
 
         self._stat_lock = _threading.Lock()
@@ -1185,8 +1190,11 @@ class PairedGiraffeMapper:
             return self._stage_score_inner(batch)
         finally:
             with self._stat_lock:
-                self.stage_seconds["score"] += _time.time() - _t0
+                _t1 = _time.time()
+                self.stage_seconds["score"] += _t1 - _t0
                 self.stage_reads += 2 * len(batch)
+                if self.stage_trace is not None:
+                    self.stage_trace.append(("score", _t0, _t1))
 
     def _stage_score_inner(self, batch):
         if self.fragdist.finalized:
@@ -1214,7 +1222,11 @@ class PairedGiraffeMapper:
         try:
             return self._stage_rescue_inner(item_or_batch, scored)
         finally:
-            self.stage_seconds["rescue"] += _time.time() - _t0
+            _t1 = _time.time()
+            self.stage_seconds["rescue"] += _t1 - _t0
+            if self.stage_trace is not None:
+                with self._stat_lock:
+                    self.stage_trace.append(("rescue", _t0, _t1))
 
     def _stage_rescue_inner(self, item_or_batch, scored=None):
         if scored is not None:                       # legacy signature
@@ -1258,9 +1270,11 @@ class PairedGiraffeMapper:
         batch = item[1]
         if isinstance(batch, _PaddedBatch) and out is not None:
             out = out[: 2 * batch.true_len]
-        dt = _time.time() - _t0
+        _t1 = _time.time()
         with self._stat_lock:
-            self.stage_seconds["emit"] += dt
+            self.stage_seconds["emit"] += _t1 - _t0
+            if self.stage_trace is not None:
+                self.stage_trace.append(("emit", _t0, _t1))
         return out
 
     def _stage_emit_inner(self, item):
