@@ -22,7 +22,13 @@ of a read batch into ONE device program:
 The b (text) side is gathered ON DEVICE from the resident 4-bit packed
 text (same word-granularity row-major gather as
 mesh.winner_mismatch_bits), so only the read-side slices cross the
-host->device link. A device result is used only when provably exact:
+host->device link. Engine-default decision (measured, see
+LONGREAD_ENGINE.md): through the ~11 MB/s tunnel the per-batch
+transfer (6.2 MB for 9k links) plus two-pass orchestration loses to
+the fused host C++ pipeline (1.65 s vs 0.40 s / 496 reads), so
+engine="native" stays the production default on this host; on
+PCIe-attached chips the transfer term is ~2 ms and bench re-probes
+both engines every run. A device result is used only when provably exact:
 score >= match*min(la,lb) - 2*gap_open - gap_extend*(|d| + 2B) (any
 path leaving the band scores below that), else the caller's host DP
 runs — the identical exactness rule as native global_align's band
