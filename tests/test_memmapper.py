@@ -67,6 +67,96 @@ def test_mem_finding_matches_brute_force():
         assert got == want, (got[:5], want[:5])
 
 
+class _H:
+    def __init__(self, text):
+        self.text = text
+
+
+def test_sharded_mem_parity_with_single_sa():
+    """The sharded index must return EXACTLY the single-SA result —
+    including the max_mem_hits repetitive filter applied to the GLOBAL
+    occurrence count. Regression: per-chunk counts re-admitted
+    globally-repetitive MEMs (each chunk saw <= max hits) that the
+    single SA deliberately drops, seeding zero-candidate rescue reads
+    into repeat copies."""
+    rng = np.random.default_rng(11)
+    motif = rng.integers(0, 4, 30).astype(np.uint8)
+    segs = []
+    # 12 copies of the motif spread across what will become 4 shards
+    for k in range(12):
+        segs.append(rng.integers(0, 4, 470).astype(np.uint8))
+        segs.append(motif)
+    text = np.concatenate(segs)
+    single = MEMIndex(_H(text), min_mem_length=10, max_mem_hits=8)
+    shard = MEMIndex(_H(text), min_mem_length=10, max_mem_hits=8,
+                     shard_above=len(text) // 4, overlap=256)
+    assert shard.chunks is not None and len(shard.chunks) >= 4
+    # the bare repetitive motif: globally 12 > 8 occurrences, so the
+    # single SA drops it — the sharded index must too (each chunk sees
+    # only <= 4 copies, under the cap)
+    g1 = sorted(zip(*[a.tolist() for a in single.find_mems(motif)]))
+    g2 = sorted(zip(*[a.tolist() for a in shard.find_mems(motif)]))
+    assert g1 == g2 == []
+    # a read with random flanks around the motif: parity must hold for
+    # whatever mix of unique flank-extended and dropped MEMs results
+    read = np.concatenate([rng.integers(0, 4, 20).astype(np.uint8),
+                           motif,
+                           rng.integers(0, 4, 20).astype(np.uint8)])
+    g1 = sorted(zip(*[a.tolist() for a in single.find_mems(read)]))
+    g2 = sorted(zip(*[a.tolist() for a in shard.find_mems(read)]))
+    assert g1 == g2
+
+    # fuzz parity: reads sampled from the text (with an error), across
+    # shard boundaries and repeat copies; batch path must agree too
+    reads = []
+    for _ in range(24):
+        s = int(rng.integers(0, len(text) - 80))
+        r = text[s : s + 80].copy()
+        r[int(rng.integers(0, 80))] ^= 1
+        reads.append(r)
+    batch = shard.find_mems_batch(reads)
+    for r, b in zip(reads, batch):
+        want = sorted(zip(*[a.tolist() for a in single.find_mems(r)]))
+        got = sorted(zip(*[a.tolist() for a in shard.find_mems(r)]))
+        gotb = sorted(zip(*[a.tolist() for a in b]))
+        assert got == want
+        assert gotb == want
+
+
+def test_pipeline_survives_input_iterator_error():
+    """An exception raised by the INPUT iterator (e.g. a FASTQ reader
+    IO error) must propagate out of the paired pipeline, not deadlock
+    it (regression: the seeder died without enqueuing DONE and the
+    rescuer waited forever)."""
+    from vg_tpu.parallel.pipeline import map_pairs_encoded_mt
+
+    class _PM:
+        stage_seconds = {"score": 0.0, "rescue": 0.0, "emit": 0.0,
+                         "dev_wait": 0.0}
+        stage_reads = 0
+        stage_trace = None
+
+        def stage_score(self, batch):
+            return ("x", batch, None)
+
+        def stage_rescue(self, item):
+            return item
+
+        def stage_emit(self, item):
+            return [b"rec"] * len(item[1])
+
+        def finish_encoded(self):
+            return []
+
+    def bad_batches():
+        yield [("a", "b")] * 4
+        raise IOError("stream broke")
+
+    with pytest.raises(IOError, match="stream broke"):
+        for _ in map_pairs_encoded_mt(_PM(), bad_batches()):
+            pass
+
+
 @pytest.fixture(scope="module")
 def mem_mapper(ref_test_dir):
     ref = read_fasta(str(ref_test_dir / "small" / "x.fa"))

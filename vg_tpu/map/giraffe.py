@@ -72,10 +72,13 @@ class GiraffeParams:
     # position limit; the reference's GCSA2 MEM source works at any
     # scale the same way.
     mem_fallback: bool = True
-    # sharded chunk-local SAs use int32 only within a chunk, so the
-    # fallback works to any practical text length (was the int32 SA
-    # position ceiling before the sharded MEMIndex)
-    mem_fallback_max_text: int = 1 << 40
+    # the sharded MEMIndex removed the SA BUILD ceiling (chunk-local
+    # int32 coordinates), but the candidate wire (cand_start/lo/hi,
+    # ScoredBatch int32 arrays) is the mapper-wide text envelope:
+    # reseed diagonals above 2^31 would silently wrap downstream, so
+    # the fallback stays gated at the same int32 bound as the rest of
+    # the short-read pipeline instead of pretending to more
+    mem_fallback_max_text: int = (1 << 31) - 1
     # sort each batch's reads by their best candidate's text position
     # before the device dispatch (unsorted at fetch): the DP window
     # gather then walks HBM near-sequentially instead of randomly —
@@ -249,6 +252,11 @@ class GiraffeMapper:
         self.graph = haps.graph
         self.text_dev = jnp.asarray(haps.text)
         self._score_tab = None   # lazy quantized minimizer-score table
+        # created here, not lazily: concurrent emitter threads racing on
+        # a lazy getattr could each assign a fresh dict and drop the
+        # other's entries (same fix as PairedGiraffeMapper._pair_steps)
+        self._gf_cache: dict = {}      # graph-fallback (sub, dag) cache
+        self._espans_prof: dict = {}   # emit sub-stage profile seconds
         # Pallas DP path: packed text + hand-written kernel. Used on real
         # TPU backends ('auto'); the XLA scan remains the CPU/interpret
         # fallback (Pallas TPU kernels do not run on the CPU backend).
@@ -566,7 +574,7 @@ class GiraffeMapper:
     def score_reads(self, reads: Sequence[Read]) -> "ScoredBatch":
         """Seed + device-score a batch; returns everything needed to pick
         winners (single-end) or pair/rescue (paired-end)."""
-        prep = self.prepare_batch(reads)
+        prep = self.prepare_batch(reads, want_packed2=False)
         p = self.params
         R = len(reads)
         import time as _time
@@ -631,9 +639,12 @@ class GiraffeMapper:
                 "reads_arr": reads_arr, "reads_rc_arr": reads_rc_arr,
                 "rlens": rlens}
 
-    def prepare_batch(self, reads: Sequence[Read]) -> dict:
+    def prepare_batch(self, reads: Sequence[Read],
+                      want_packed2: bool = True) -> dict:
         """Host half of score_reads: encode + pad + seed. Returns padded
-        arrays ready for any device scorer (single or folded paired)."""
+        arrays ready for any device scorer (single or folded paired).
+        want_packed2=False skips the 2-bit wire words in the fused
+        encoder (single-end dispatch and 4-bit-wire mappers drop them)."""
         p = self.params
         R = len(reads)
         lens = np.array([len(r.sequence) for r in reads], dtype=np.int32)
@@ -659,7 +670,8 @@ class GiraffeMapper:
             from ..ops.xfer import EXC_CAP
 
             res_n = native_encode_pack_reads(blob.encode(), R, L0,
-                                             Rpad, RL, EXC_CAP)
+                                             Rpad, RL, EXC_CAP,
+                                             want_packed=want_packed2)
             if res_n is not None:
                 reads_arr, reads_rc_arr, packed2, exc2, n_exc = res_n
                 codes2d = reads_arr[:R, :L0]
@@ -1078,7 +1090,7 @@ class GiraffeMapper:
                 sb._packed_single = ("seeded", packed,
                                      prep["rlens"].shape[0])
                 return sb
-        prep = self.prepare_batch(reads)
+        prep = self.prepare_batch(reads, want_packed2=False)
         step, text_arg, resident = self._get_single_step()
         perm = None
         if self.params.locality_sort:
@@ -1602,9 +1614,7 @@ class GiraffeMapper:
         prof = _os.environ.get("VGTPU_EMIT_PROF")
 
         def _mark(key, t0):
-            d = getattr(self, "_espans_prof", None)
-            if d is None:
-                d = self._espans_prof = {}
+            d = self._espans_prof          # pre-created in __init__
             t1 = _time.perf_counter()
             d[key] = d.get(key, 0.0) + (t1 - t0)
             return t1
@@ -2143,9 +2153,7 @@ class GiraffeMapper:
         # regions attract repeated fallbacks across batches, and the
         # flatten was ~half the fallback's 9 ms (emit-stage tail spikes)
         key = (int(node_id), L)
-        cache = getattr(self, "_gf_cache", None)
-        if cache is None:
-            cache = self._gf_cache = {}
+        cache = self._gf_cache             # pre-created in __init__
         hit = cache.get(key)
         if hit is None:
             # collect nodes within L + radius bp of the anchor node

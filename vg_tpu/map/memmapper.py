@@ -151,63 +151,104 @@ class MEMIndex:
                 return [self.find_mems(r) for r in reads]
             return res
         per_read: List[List] = [[] for _ in range(n)]
+        bufs: List = [None] * 4          # reused across the shard loop
         for base, core_len, sa, part in self.chunks:
             res = native_find_mems_many(part, sa, r2d, rlen,
                                         self.min_mem_length,
-                                        self.max_mem_hits)
+                                        self.max_mem_hits,
+                                        emit_over_cap=True, bufs=bufs)
             if res is None:
                 return [self.find_mems(r) for r in reads]
             for k, (rs, ln, tp) in enumerate(res):
-                own = tp < core_len
-                per_read[k].append((rs[own], ln[own],
-                                    tp[own].astype(np.int64) + base))
-        out = []
-        for parts in per_read:
-            rs = np.concatenate([p[0] for p in parts])
-            ln = np.concatenate([p[1] for p in parts])
-            tp = np.concatenate([p[2] for p in parts])
-            if len(rs) > self.max_mem_hits:
-                keep = np.argsort(-ln, kind="stable")[: self.max_mem_hits]
-                rs, ln, tp = rs[keep], ln[keep], tp[keep]
-            out.append((rs, ln, tp))
-        return out
+                per_read[k].append((base, core_len, rs, ln, tp))
+        return [self._merge_chunk_mems(parts) for parts in per_read]
 
     def _find_mems_sharded(self, codes: np.ndarray):
-        """Union of per-chunk MEMs, positions lifted to global int64.
-        A hit is attributed to the chunk OWNING its text position (the
-        forward overlap only guarantees containment, it doesn't own),
-        so overlap-region duplicates drop out. Matches truncated at a
-        chunk's slice end re-appear full-length in the owning chunk."""
         from ..native import native_find_mems
 
-        rs_all: List[np.ndarray] = []
-        ln_all: List[np.ndarray] = []
-        tp_all: List[np.ndarray] = []
+        parts_out = []
         for base, core_len, sa, part in self.chunks:
             res = native_find_mems(part, sa, codes,
-                                   self.min_mem_length, self.max_mem_hits)
+                                   self.min_mem_length, self.max_mem_hits,
+                                   emit_over_cap=True)
             if res is None:
-                res = self._python_find_mems_on(part, sa, codes)
+                res = self._python_find_mems_on(part, sa, codes,
+                                                emit_over_cap=True)
             rs, ln, tp = res
-            own = tp < core_len
-            rs_all.append(rs[own])
-            ln_all.append(ln[own])
-            tp_all.append(tp[own].astype(np.int64) + base)
-        rs = np.concatenate(rs_all) if rs_all else np.zeros(0, np.int32)
-        ln = np.concatenate(ln_all) if ln_all else np.zeros(0, np.int32)
-        tp = np.concatenate(tp_all) if tp_all else np.zeros(0, np.int64)
-        if len(rs) > self.max_mem_hits:
-            # global cap mirrors the single-SA behavior: keep the
-            # longest matches first (they carry the most seed weight)
-            keep = np.argsort(-ln, kind="stable")[: self.max_mem_hits]
-            rs, ln, tp = rs[keep], ln[keep], tp[keep]
-        return rs, ln, tp
+            parts_out.append((base, core_len, rs, ln, tp))
+        return self._merge_chunk_mems(parts_out)
+
+    def _merge_chunk_mems(self, parts):
+        """Merge per-chunk MEM query results into EXACTLY the single-SA
+        result (matches ≤ ``overlap`` long; longer exact stretches are
+        reported truncated at a chunk slice — build with a larger
+        overlap for exact lengths on such reads).
+
+        Why this is exact: each text occurrence is OWNED by exactly one
+        chunk (tp < core_len) and any owned match up to `overlap` long
+        is fully readable there, so (a) the global maximal length at a
+        read position is the max of the chunk-maximal lengths, (b) the
+        global occurrence count at that length is the sum of owned
+        counts over chunks reporting exactly that length (shorter-match
+        chunks hold zero occurrences of the longer pattern), and (c) a
+        position suppressed by a chunk's containment rule is always
+        globally contained too (its container is reported by that same
+        chunk with an equal-or-longer global length). Chunk-repetitive
+        MEMs arrive as count sentinels (text_pos = -count) so the
+        max_mem_hits filter applies to the GLOBAL count — a per-chunk
+        cap would re-admit globally repetitive MEMs that the single SA
+        deliberately drops. Sentinel counts are raw (they may include
+        not-owned overlap occurrences), which can only over-count —
+        erring toward dropping an already-repetitive MEM."""
+        # read_start -> list of (length, owned_count, owned_tp_global)
+        groups: dict = {}
+        for base, core_len, rs, ln, tp in parts:
+            if len(rs) == 0:
+                continue
+            brk = np.ones(len(rs), bool)
+            brk[1:] = rs[1:] != rs[:-1]
+            starts = np.nonzero(brk)[0]
+            ends = np.concatenate([starts[1:], [len(rs)]])
+            for s, e in zip(starts, ends):
+                i = int(rs[s])
+                l = int(ln[s])
+                if tp[s] < 0:                       # count sentinel
+                    groups.setdefault(i, []).append((l, int(-tp[s]), None))
+                    continue
+                own = tp[s:e] < core_len
+                cnt = int(own.sum())
+                if cnt:
+                    groups.setdefault(i, []).append(
+                        (l, cnt, tp[s:e][own].astype(np.int64) + base))
+        out_rs: List[int] = []
+        out_ln: List[int] = []
+        out_tp: List[np.ndarray] = []
+        prev_end = -1
+        for i in sorted(groups):
+            entries = groups[i]
+            lmax = max(l for l, _, _ in entries)
+            if i + lmax <= prev_end:
+                continue
+            prev_end = i + lmax                 # updates even when the
+            sel = [(c, o) for l, c, o in entries if l == lmax]
+            total = sum(c for c, _ in sel)      # MEM is then dropped as
+            if total == 0 or total > self.max_mem_hits:
+                continue                        # repetitive (single-SA
+            for c, o in sel:                    # loop order)
+                if o is not None:
+                    out_rs.extend([i] * len(o))
+                    out_ln.extend([lmax] * len(o))
+                    out_tp.append(o)
+        return (np.array(out_rs, np.int32), np.array(out_ln, np.int32),
+                np.concatenate(out_tp) if out_tp
+                else np.zeros(0, np.int64))
 
     def _python_find_mems(self, codes: np.ndarray):
         return self._python_find_mems_on(self.haps.text, self.sa, codes)
 
     def _python_find_mems_on(self, text: np.ndarray, sa: np.ndarray,
-                             codes: np.ndarray):
+                             codes: np.ndarray,
+                             emit_over_cap: bool = False):
         n = len(text)
         L = len(codes)
         rs: List[int] = []
@@ -231,6 +272,10 @@ class MEMIndex:
                 continue
             prev_end = i + l
             if hi - lo > self.max_mem_hits:
+                if emit_over_cap:        # count sentinel (sharded merge)
+                    rs.append(i)
+                    ln.append(l)
+                    tp.append(-(hi - lo))
                 continue
             for x in range(lo, hi):
                 rs.append(i)

@@ -797,8 +797,9 @@ class PairedGiraffeMapper:
         m = self.mapper
         reads1 = [a for a, _ in pairs]
         reads2 = [b for _, b in pairs]
-        p1 = m.prepare_batch(reads1)
-        p2 = m.prepare_batch(reads2)
+        wp2 = not getattr(self, "_wire4", False)
+        p1 = m.prepare_batch(reads1, want_packed2=wp2)
+        p2 = m.prepare_batch(reads2, want_packed2=wp2)
         R = len(pairs)
         # 2-bit read payload (half the dominant wire chunk; ~27 ms/batch
         # on the ~20 MB/s tunnel) unless a batch carries more than

@@ -474,11 +474,14 @@ def native_seed_batch(codes2d: np.ndarray, index, params, haps,
 
 
 def native_encode_pack_reads(seq_blob: bytes, R: int, L: int,
-                             Rpad: int, RL: int, exc_cap: int):
+                             Rpad: int, RL: int, exc_cap: int,
+                             want_packed: bool = True):
     """Fused ASCII->codes/revcomp/2-bit-wire for an equal-length read
     batch (see encode_pack_reads in vgtpu_host.cpp). Returns
     (codes2d (Rpad,RL) u8, rc2d, packed (Rpad,W) i32, exc (<=cap) i32,
-    n_exc_total) or None when the native lib is absent."""
+    n_exc_total) or None when the native lib is absent. want_packed=
+    False skips the 2-bit wire (packed comes back None) — single-end
+    dispatch and 4-bit-wire mappers never consume it."""
     import ctypes
 
     L_ = lib()
@@ -495,14 +498,15 @@ def native_encode_pack_reads(seq_blob: bytes, R: int, L: int,
     W = -(-RL // 16)
     codes = np.empty((Rpad, RL), np.uint8)
     rc = np.empty((Rpad, RL), np.uint8)
-    packed = np.zeros((Rpad, W), np.int32)
+    packed = np.zeros((Rpad, W), np.int32) if want_packed else None
     exc = np.empty(max(exc_cap, 1), np.int32)
     blob = np.frombuffer(seq_blob, np.uint8)
     if blob.size != R * L:
         return None
     n = L_.encode_pack_reads(
         blob.ctypes.data, R, L, Rpad, RL, W,
-        codes.ctypes.data, rc.ctypes.data, packed.ctypes.data,
+        codes.ctypes.data, rc.ctypes.data,
+        packed.ctypes.data if packed is not None else None,
         exc.ctypes.data, exc_cap)
     if n < 0:
         return None
@@ -627,31 +631,40 @@ def native_build_suffix_array(text: np.ndarray):
     if L_ is None:
         return None
     if not hasattr(L_, "_sa_registered"):
-        L_.build_suffix_array.restype = ctypes.c_int64
-        L_.build_suffix_array.argtypes = [ctypes.c_void_p, ctypes.c_int64,
-                                          ctypes.c_void_p]
-        L_.find_mems.restype = ctypes.c_int64
-        L_.find_mems.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p]
-        L_._sa_registered = True
+        _register_sa(L_)
     text = np.ascontiguousarray(text, np.uint8)
     sa = np.empty(len(text), np.int32)
     L_.build_suffix_array(text.ctypes.data, len(text), sa.ctypes.data)
     return sa
 
 
+def _register_sa(L_):
+    """argtype registration shared by the SA/MEM wrappers (previously
+    find_mems triggered it by running a pointless 1-element SA build)."""
+    L_.build_suffix_array.restype = ctypes.c_int64
+    L_.build_suffix_array.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_void_p]
+    L_.find_mems.restype = ctypes.c_int64
+    L_.find_mems.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
+    L_._sa_registered = True
+
+
 def native_find_mems(text: np.ndarray, sa: np.ndarray, read: np.ndarray,
                      min_len: int = 19, max_hits: int = 64,
-                     cap: int = 4096):
-    """(read_start, length, text_pos) arrays of the read's MEMs."""
+                     cap: int = 4096, emit_over_cap: bool = False):
+    """(read_start, length, text_pos) arrays of the read's MEMs. With
+    emit_over_cap, a MEM whose count exceeds max_hits yields ONE
+    sentinel row with text_pos = -count (the sharded merge needs every
+    chunk's count to apply the repetitive filter globally)."""
     L_ = lib()
     if L_ is None:
         return None
     if not hasattr(L_, "_sa_registered"):
-        native_build_suffix_array(np.zeros(1, np.uint8))
+        _register_sa(L_)
     read = np.ascontiguousarray(read, np.uint8)
     rs = np.empty(cap, np.int32)
     ln = np.empty(cap, np.int32)
@@ -660,46 +673,58 @@ def native_find_mems(text: np.ndarray, sa: np.ndarray, read: np.ndarray,
         np.ascontiguousarray(text, np.uint8).ctypes.data, len(text),
         np.ascontiguousarray(sa, np.int32).ctypes.data,
         read.ctypes.data, len(read), min_len, max_hits, cap,
-        rs.ctypes.data, ln.ctypes.data, tp.ctypes.data)
+        rs.ctypes.data, ln.ctypes.data, tp.ctypes.data,
+        1 if emit_over_cap else 0)
     return rs[:n], ln[:n], tp[:n]
 
 
 def native_find_mems_many(text: np.ndarray, sa: np.ndarray,
                           reads2d: np.ndarray, rlen: np.ndarray,
                           min_len: int = 19, max_hits: int = 64,
-                          cap: int = 4096):
+                          cap: int = 4096, emit_over_cap: bool = False,
+                          bufs=None):
     """MEM queries for many oriented reads vs one SA in one OpenMP
     call. reads2d (n, Lmax) u8 padded with 5+. Returns a list of
-    (read_start, length, text_pos) per read, or None if lib absent."""
+    (read_start, length, text_pos) per read, or None if lib absent.
+    emit_over_cap: see native_find_mems. bufs: optional (rs, ln, tp,
+    nr) output buffers to reuse across calls — the sharded index
+    queries every chunk with the same shapes, and re-allocating
+    3 x (n, cap) buffers per chunk dominated the rescue path's memory
+    traffic."""
     import ctypes
 
     L_ = lib()
     if L_ is None:
         return None
     if not hasattr(L_, "_fmm_registered"):
-        if not hasattr(L_, "_sa_registered"):
-            native_build_suffix_array(np.zeros(1, np.uint8))
         L_.find_mems_many.restype = ctypes.c_int64
         L_.find_mems_many.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
         L_._fmm_registered = True
     reads2d = np.ascontiguousarray(reads2d, np.uint8)
     rlen = np.ascontiguousarray(rlen, np.int64)
     n_reads, Lmax = reads2d.shape
-    rs = np.empty((n_reads, cap), np.int32)
-    ln = np.empty((n_reads, cap), np.int32)
-    tp = np.empty((n_reads, cap), np.int64)
-    nr = np.zeros(n_reads, np.int64)
+    if (bufs is not None and len(bufs) == 4 and bufs[0] is not None
+            and bufs[0].shape == (n_reads, cap)):
+        rs, ln, tp, nr = bufs
+    else:
+        rs = np.empty((n_reads, cap), np.int32)
+        ln = np.empty((n_reads, cap), np.int32)
+        tp = np.empty((n_reads, cap), np.int64)
+        nr = np.empty(n_reads, np.int64)
+        if bufs is not None:
+            bufs[:] = [rs, ln, tp, nr]
     L_.find_mems_many(
         np.ascontiguousarray(text, np.uint8).ctypes.data, len(text),
         np.ascontiguousarray(sa, np.int32).ctypes.data,
         reads2d.ctypes.data, Lmax, rlen.ctypes.data, n_reads,
         min_len, max_hits, cap,
-        rs.ctypes.data, ln.ctypes.data, tp.ctypes.data, nr.ctypes.data)
+        rs.ctypes.data, ln.ctypes.data, tp.ctypes.data, nr.ctypes.data,
+        1 if emit_over_cap else 0)
     return [(rs[r, : nr[r]].copy(), ln[r, : nr[r]].copy(),
              tp[r, : nr[r]].copy()) for r in range(n_reads)]
 

@@ -1260,11 +1260,16 @@ inline void sa_range(const uint8_t* text, int64_t n, const int32_t* sa,
 // Maximality: runs are emitted only when not contained in the previous
 // one (l_{i+1} >= l_i - 1 containment property prunes duplicates).
 // Returns number of (mem, position) rows written.
+// emit_over_cap: when a MEM's occurrence count exceeds max_hits, emit
+// ONE sentinel row (read_start, length, -count) instead of dropping it
+// silently — the sharded-index merge needs every chunk's count to
+// reproduce the single-SA repetitive filter globally (a per-chunk cap
+// would re-admit globally repetitive MEMs).
 int64_t find_mems(const uint8_t* text, int64_t n, const int32_t* sa,
                   const uint8_t* read, int64_t L,
                   int32_t min_len, int32_t max_hits, int64_t out_cap,
                   int32_t* out_read_start, int32_t* out_len,
-                  int64_t* out_text_pos) {
+                  int64_t* out_text_pos, int32_t emit_over_cap) {
     int64_t rows = 0;
     int64_t prev_end = -1;
     for (int64_t i = 0; i + min_len <= L; i++) {
@@ -1301,7 +1306,15 @@ int64_t find_mems(const uint8_t* text, int64_t n, const int32_t* sa,
         if (i + l <= prev_end) continue;      // contained in previous MEM
         prev_end = i + l;
         const int64_t cnt = hi - lo;
-        if (cnt > max_hits) continue;          // repetitive
+        if (cnt > max_hits) {                  // repetitive
+            if (emit_over_cap && rows < out_cap) {
+                out_read_start[rows] = (int32_t)i;
+                out_len[rows] = (int32_t)l;
+                out_text_pos[rows] = -cnt;     // count sentinel
+                rows++;
+            }
+            continue;
+        }
         for (int64_t x = lo; x < hi && rows < out_cap; x++) {
             out_read_start[rows] = (int32_t)i;
             out_len[rows] = (int32_t)l;
@@ -1324,13 +1337,15 @@ int64_t find_mems_many(const uint8_t* text, int64_t n, const int32_t* sa,
                        int32_t min_len, int32_t max_hits,
                        int64_t out_cap_per,
                        int32_t* out_read_start, int32_t* out_len,
-                       int64_t* out_text_pos, int64_t* n_rows) {
+                       int64_t* out_text_pos, int64_t* n_rows,
+                       int32_t emit_over_cap) {
 #pragma omp parallel for schedule(dynamic)
     for (int64_t r = 0; r < n_reads; r++) {
         n_rows[r] = find_mems(
             text, n, sa, reads + r * Lmax, rlen[r], min_len, max_hits,
             out_cap_per, out_read_start + r * out_cap_per,
-            out_len + r * out_cap_per, out_text_pos + r * out_cap_per);
+            out_len + r * out_cap_per, out_text_pos + r * out_cap_per,
+            emit_over_cap);
     }
     return 0;
 }
@@ -3012,14 +3027,25 @@ int64_t encode_pack_reads(const uint8_t* ascii, int64_t R, int64_t L,
             continue;
         }
         const uint8_t* src = ascii + i * L;
-        uint32_t* p = (uint32_t*)(packed + i * W);
+        // packed == nullptr skips the 2-bit wire (single-end dispatch
+        // and 4-bit-wire mappers never consume it)
+        uint32_t* p = packed ? (uint32_t*)(packed + i * W) : nullptr;
         int64_t local_exc = 0;
-        for (int64_t j = 0; j < L; j++) {
-            const uint8_t v = lut[src[j]];
-            c[j] = v;
-            rcr[L - 1 - j] = v < 4 ? (uint8_t)(3 - v) : v;
-            p[j >> 4] |= (uint32_t)(v & 3) << ((j & 15) * 2);
-            if (v >= 4) local_exc++;
+        if (p) {
+            for (int64_t j = 0; j < L; j++) {
+                const uint8_t v = lut[src[j]];
+                c[j] = v;
+                rcr[L - 1 - j] = v < 4 ? (uint8_t)(3 - v) : v;
+                p[j >> 4] |= (uint32_t)(v & 3) << ((j & 15) * 2);
+                if (v >= 4) local_exc++;
+            }
+        } else {
+            for (int64_t j = 0; j < L; j++) {
+                const uint8_t v = lut[src[j]];
+                c[j] = v;
+                rcr[L - 1 - j] = v < 4 ? (uint8_t)(3 - v) : v;
+                if (v >= 4) local_exc++;
+            }
         }
         if (local_exc) n_exc_total += local_exc;
         for (int64_t j = L; j < RL; j++) { c[j] = 5; rcr[j] = 5; }

@@ -105,24 +105,32 @@ def map_pairs_encoded_mt(paired_mapper, pair_batches: Iterable,
     src_lock = threading.Lock()
 
     def seeder():
-        while True:
-            if err:            # another stage failed: stop pulling input
-                break
-            with src_lock:
-                nxt = next(src, None)
-            if nxt is None:
-                break
-            seq, batch = nxt
-            try:
-                q_scored.put((seq, paired_mapper.stage_score(batch)))
-            except BaseException as e:
-                # mark the claimed seq as lost so the rescuer's in-order
-                # release can advance past the gap instead of buffering
-                # the rest of the stream unboundedly
-                err.append(e)
-                q_scored.put((seq, LOST))
-                break
-        q_scored.put(DONE)
+        try:
+            while True:
+                if err:        # another stage failed: stop pulling input
+                    break
+                with src_lock:
+                    # the input iterator itself may raise (e.g. a FASTQ
+                    # reader hitting an IO error): that must still reach
+                    # the finally below, or the rescuer waits forever
+                    # for this seeder's DONE and the pipeline deadlocks
+                    nxt = next(src, None)
+                if nxt is None:
+                    break
+                seq, batch = nxt
+                try:
+                    q_scored.put((seq, paired_mapper.stage_score(batch)))
+                except BaseException as e:
+                    # mark the claimed seq as lost so the rescuer's
+                    # in-order release can advance past the gap instead
+                    # of buffering the rest of the stream unboundedly
+                    err.append(e)
+                    q_scored.put((seq, LOST))
+                    break
+        except BaseException as e:
+            err.append(e)
+        finally:
+            q_scored.put(DONE)
 
     def rescuer():
         pending = {}
