@@ -355,11 +355,17 @@ def run_scale_sidecar(on_tpu):
     haps, idx = scale_fixture()
     rng = np.random.default_rng(23)
     bs = int(os.environ.get("BENCH_SCALE_BATCH", "6144"))
-    nb = int(os.environ.get("BENCH_SCALE_BATCHES", "24"))
+    # 48 batches (~12-15 s timed): long enough that one degraded-tunnel
+    # window cannot own the steady figure (measured waves last ~5 s)
+    nb = int(os.environ.get("BENCH_SCALE_BATCHES", "48"))
     m = GiraffeMapper(haps, idx, GiraffeParams(batch_reads=bs))
     t_sa = time.time()
-    m._mem_fallback_index = MEMIndex(haps,
-                                     max_mem_hits=max(64, 4 * haps.count))
+    # SA shards cache beside the fixture: the reference's GCSA2 is a
+    # prebuilt on-disk artifact too; the cold build time is what the
+    # first run reports (sharded SA-IS, ~80 s at 1.05 Gbp on 4 cores)
+    m._mem_fallback_index = MEMIndex(
+        haps, max_mem_hits=max(64, 4 * haps.count),
+        cache_dir=os.environ.get("SCALE_CACHE", "/tmp/vg_tpu_scale_cache"))
     sa_s = time.time() - t_sa
     n_chunks = len(m._mem_fallback_index.chunks or []) or 1
     sys.stderr.write(
@@ -375,7 +381,7 @@ def run_scale_sidecar(on_tpu):
     # the first seconds of sustained pipelined traffic; see main())
     for _ in map_pairs_encoded_mt(
             pm, (pairs[:bs] for _ in range(
-                int(os.environ.get("BENCH_WARM_BATCHES", "8")))),
+                int(os.environ.get("BENCH_WARM_BATCHES", "24")))),
             seeders=int(os.environ.get("BENCH_SEEDERS", "1")),
             emitters=int(os.environ.get("BENCH_EMITTERS", "2"))):
         pass
@@ -585,7 +591,7 @@ def main():
         # do not reproduce the pattern). Same practice as the
         # reference's steady-state reads/s measurement
         # (scripts/giraffe-speed.sh).
-        n_warm = int(os.environ.get("BENCH_WARM_BATCHES", "8"))
+        n_warm = int(os.environ.get("BENCH_WARM_BATCHES", "24"))
         for _ in map_pairs_encoded_mt(
                 pm, (pairs[:bs] for _ in range(n_warm)),
                 seeders=int(os.environ.get("BENCH_SEEDERS", "1")),

@@ -38,7 +38,8 @@ class MEMIndex:
 
     def __init__(self, haps: HaplotypeSet, sa: Optional[np.ndarray] = None,
                  min_mem_length: int = 19, max_mem_hits: int = 64,
-                 shard_above: int = 1 << 27, overlap: int = 1024):
+                 shard_above: int = 1 << 27, overlap: int = 1024,
+                 cache_dir: Optional[str] = None):
         from ..native import native_build_suffix_array
 
         self.haps = haps
@@ -48,7 +49,7 @@ class MEMIndex:
         self.chunks: Optional[List] = None   # [(base, core_len, sa)]
         text = haps.text
         if sa is None and len(text) > shard_above:
-            self._build_sharded(text, shard_above)
+            self._build_sharded(text, shard_above, cache_dir)
             self.sa = None
             return
         if sa is None:
@@ -57,7 +58,8 @@ class MEMIndex:
                 sa = self._python_suffix_array(text)
         self.sa = np.asarray(sa, np.int32)
 
-    def _build_sharded(self, text: np.ndarray, shard_above: int) -> None:
+    def _build_sharded(self, text: np.ndarray, shard_above: int,
+                       cache_dir: Optional[str] = None) -> None:
         import os
         from concurrent.futures import ThreadPoolExecutor
 
@@ -70,14 +72,35 @@ class MEMIndex:
         core = -(-n // n_chunks)
         bases = list(range(0, n, core))
 
+        import hashlib
         import sys
         import time as _t
+
+        # on-disk shard cache: the suffix array is a pure function of
+        # the text, and the reference's analogue (GCSA2) is always a
+        # prebuilt on-disk artifact (src/subcommand/index_main.cpp) —
+        # rebuilding it per process was our own cliff, not parity
+        digest = None
+        if cache_dir:
+            h = hashlib.blake2b(digest_size=12)
+            h.update(str(n).encode())
+            h.update(text[:65536].tobytes())
+            h.update(text[n // 2 : n // 2 + 65536].tobytes())
+            h.update(text[-65536:].tobytes())
+            digest = h.hexdigest()
+            os.makedirs(cache_dir, exist_ok=True)
 
         def build(base):
             t0 = _t.time()
             end = min(base + core, n)
             slice_end = min(end + self.overlap, n)
             part = np.ascontiguousarray(text[base:slice_end])
+            cp = (os.path.join(cache_dir,
+                               f"sa_{digest}_{base}_{len(part)}.npy")
+                  if digest else None)
+            if cp and os.path.exists(cp):
+                sa = np.load(cp)
+                return (base, end - base, sa, part)
             sa = native_build_suffix_array(part)
             if sa is None:
                 sys.stderr.write(
@@ -85,10 +108,16 @@ class MEMIndex:
                     f"prefix-doubling SA for chunk @{base} "
                     f"({len(part)/1e6:.0f} Mbp, slow)\n")
                 sa = self._python_suffix_array(part)
+            sa = np.asarray(sa, np.int32)
+            if cp:
+                try:
+                    np.save(cp, sa)
+                except OSError:
+                    pass                    # cache is best-effort
             sys.stderr.write(
                 f"[vg_tpu] SA shard @{base} ({len(part)/1e6:.0f} Mbp) "
                 f"in {_t.time()-t0:.0f}s\n")
-            return (base, end - base, np.asarray(sa, np.int32), part)
+            return (base, end - base, sa, part)
 
         with ThreadPoolExecutor(max_workers=workers) as ex:
             self.chunks = list(ex.map(build, bases))
