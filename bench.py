@@ -820,6 +820,36 @@ def main():
                              f"{e}\n")
     except Exception as e:  # accuracy sidecar must never kill the bench
         sys.stderr.write(f"[bench] accuracy check failed: {e}\n")
+    # surjection sidecar (driver workload #3: vg surject GAM -> SAM,
+    # src/surjector.cpp): decode a sample of the just-emitted GAM and
+    # surject it against the pangenome's reference paths — one native
+    # OpenMP banded-realignment call for the whole batch
+    surject_result = None
+    try:
+        if os.environ.get("BENCH_ACC", "1") == "0":
+            raise RuntimeError("skipped (BENCH_ACC=0)")
+        from vg_tpu.io.gam import Alignment as _Aln, read_messages
+        from vg_tpu.surject.surjector import Surjector
+
+        sj = Surjector(g)
+        sample_alns = []
+        for msg in read_messages(out.getvalue()):
+            sample_alns.append(_Aln.decode(msg))
+            if len(sample_alns) >= 8192:
+                break
+        sj.surject_batch(sample_alns[:256])          # warm native lib
+        t0 = time.time()
+        srecs = sj.surject_batch(sample_alns)
+        sj_dt = time.time() - t0
+        n_mapped = sum(1 for r in srecs if not (r.flag & 0x4))
+        surject_result = {
+            "alns_per_s": round(len(srecs) / sj_dt, 1),
+            "n": len(srecs), "mapped": n_mapped}
+        sys.stderr.write(
+            f"[bench] surject: {len(srecs)} alns in {sj_dt:.2f}s = "
+            f"{len(srecs)/sj_dt:.0f} alns/s ({n_mapped} mapped)\n")
+    except Exception as e:
+        sys.stderr.write(f"[bench] surject sidecar failed: {e}\n")
     # long-read sidecar (stderr): fused native hifi-style pipeline
     try:
         if os.environ.get("BENCH_ACC", "1") == "0":
@@ -910,6 +940,8 @@ def main():
             result["stage_timeline_ms"] = tl
     if getattr(main, "vs_accuracy_baseline", None) is not None:
         result["vs_accuracy_baseline"] = main.vs_accuracy_baseline
+    if surject_result is not None:
+        result["surject"] = surject_result
     # chromosome-scale sidecar (1.05 Gbp text): the baseline's own
     # workload class — recorded in the same JSON line
     try:

@@ -121,7 +121,12 @@ class Surjector:
                 walked_since += sum(e.from_length for e in mp.edits)
         return comps
 
-    def surject(self, aln: Alignment) -> SamRecord:
+    def _prep(self, aln: Alignment):
+        """Everything before the banded realignment DP. Returns
+        ('done', rec) for unmapped/spliced records, or
+        ('dp', seg, window, ctx) where ctx carries what _finish needs —
+        so surject_batch can run ONE native DP call over all records
+        (the per-record ctypes roundtrip was 70% of surjection time)."""
         rec = SamRecord(qname=aln.name or "*")
         seq = aln.sequence
         qual = ("".join(chr(q + 33) for q in aln.quality)
@@ -131,13 +136,13 @@ class Surjector:
             rec.flag |= FLAG_UNMAPPED
             rec.seq = seq or "*"
             rec.qual = qual
-            return rec
+            return ("done", rec)
         if aln.path is not None and len(aln.path.mappings) > 1:
             comps = self._split_components(aln)
             if len(comps) > 1:
                 spliced = self._surject_spliced(aln, rec, comps, qual)
                 if spliced is not None:
-                    return spliced
+                    return ("done", spliced)
         path_name, off, is_rev, clip_left, clip_right, walked = loc
         L = len(seq)
         codes = dna.encode(seq)
@@ -163,8 +168,16 @@ class Surjector:
         TW = seg_len + 2 * B
         pos = wstart + np.arange(TW)
         ok = (pos >= 0) & (pos < len(ref))
-        window = np.where(ok, ref[np.clip(pos, 0, len(ref) - 1)], 6).astype(np.uint8)
-        ta = banded_traceback(seg, window, B, self.scoring)
+        window = np.where(ok, ref[np.clip(pos, 0, len(ref) - 1)],
+                          6).astype(np.uint8)
+        ctx = (rec, seq, qual, path_name, is_rev, clip_left, clip_right,
+               seg_len, wstart, int(aln.mapping_quality))
+        return ("dp", seg, window, ctx)
+
+    def _finish(self, ta, ctx) -> SamRecord:
+        """Build the SAM record from a completed banded traceback."""
+        (rec, seq, qual, path_name, is_rev, clip_left, clip_right,
+         seg_len, wstart, mapq) = ctx
         if ta is None:
             rec.flag |= FLAG_UNMAPPED
             rec.seq = seq or "*"
@@ -197,7 +210,7 @@ class Surjector:
 
         rec.rname = path_name
         rec.pos = int(wstart + ta.text_start) + 1  # SAM is 1-based
-        rec.mapq = int(aln.mapping_quality)
+        rec.mapq = mapq
         rec.cigar = cigar_str(ops)
         if is_rev:
             rec.flag |= FLAG_REVERSE
@@ -209,6 +222,14 @@ class Surjector:
         rec.tags.append(("AS", "i", int(ta.score)))
         rec.tags.append(("NM", "i", int(nm)))
         return rec
+
+    def surject(self, aln: Alignment) -> SamRecord:
+        res = self._prep(aln)
+        if res[0] == "done":
+            return res[1]
+        _, seg, window, ctx = res
+        ta = banded_traceback(seg, window, self.band_radius, self.scoring)
+        return self._finish(ta, ctx)
 
     def _surject_spliced(self, aln: Alignment, rec: SamRecord, comps,
                          qual: str) -> Optional[SamRecord]:
@@ -323,15 +344,47 @@ class Surjector:
     # ------------------------------------------------------------- batched
 
     def surject_batch(self, alns: Sequence[Alignment]) -> List[SamRecord]:
-        return [self.surject(a) for a in alns]
+        """All realignment DPs in ONE native OpenMP call (the same C
+        routine the per-record path uses, so records are identical);
+        falls back per record when the native lib is absent."""
+        from ..native import native_banded_tracebacks
+
+        preps = [self._prep(a) for a in alns]
+        tasks = [(k, seg, win, ctx) for k, p in enumerate(preps)
+                 if p[0] == "dp" for _, seg, win, ctx in (p,)]
+        out: List[Optional[SamRecord]] = [
+            p[1] if p[0] == "done" else None for p in preps]
+        if tasks:
+            n = len(tasks)
+            Lmax = max(len(seg) for _, seg, _, _ in tasks)
+            B = self.band_radius
+            TWmax = Lmax + 2 * B
+            reads = np.full((n, max(Lmax, 1)), 5, np.uint8)
+            wins = np.full((n, max(TWmax, 1)), 6, np.uint8)
+            rlen = np.zeros(n, np.int64)
+            for t, (_, seg, win, _) in enumerate(tasks):
+                reads[t, : len(seg)] = seg
+                wins[t, : len(win)] = win
+                rlen[t] = len(seg)
+            res = native_banded_tracebacks(reads, rlen, wins, B,
+                                           self.scoring)
+            if res is None:                      # no native lib
+                for k, seg, win, ctx in tasks:
+                    ta = banded_traceback(seg, win, B, self.scoring)
+                    out[k] = self._finish(ta, ctx)
+            else:
+                for (k, _, _, ctx), ta in zip(tasks, res):
+                    out[k] = self._finish(ta, ctx)
+        return out
 
     def surject_pairs(self, pairs: Sequence[Tuple[Alignment, Alignment]]
                       ) -> List[SamRecord]:
         """Surject mate pairs, filling pair flags, RNEXT/PNEXT and TLEN."""
+        flat = self.surject_batch([a for p in pairs for a in p])
         out: List[SamRecord] = []
-        for a1, a2 in pairs:
-            r1 = self.surject(a1)
-            r2 = self.surject(a2)
+        for pi, (a1, a2) in enumerate(pairs):
+            r1 = flat[2 * pi]
+            r2 = flat[2 * pi + 1]
             r1.flag |= FLAG_PAIRED | FLAG_FIRST
             r2.flag |= FLAG_PAIRED | FLAG_LAST
             proper = bool(a1.annotation.get("proper_pair")) if a1.annotation else False
