@@ -848,6 +848,20 @@ def main():
         sys.stderr.write(
             f"[bench] surject: {len(srecs)} alns in {sj_dt:.2f}s = "
             f"{len(srecs)/sj_dt:.0f} alns/s ({n_mapped} mapped)\n")
+        # pack ingestion on the same sample (driver workload #5 front
+        # half; the calling half is exercised end-to-end on the real
+        # HGSVC chr22 SV fixture in the test suite)
+        from vg_tpu.call.pack import Packer
+
+        pk = Packer(g)
+        t0 = time.time()
+        pk.add_batch(sample_alns)
+        pk_dt = time.time() - t0
+        surject_result["pack_alns_per_s"] = round(
+            len(sample_alns) / max(pk_dt, 1e-9), 1)
+        sys.stderr.write(
+            f"[bench] pack: {len(sample_alns)} alns in {pk_dt:.2f}s = "
+            f"{len(sample_alns)/max(pk_dt, 1e-9):.0f} alns/s\n")
     except Exception as e:
         sys.stderr.write(f"[bench] surject sidecar failed: {e}\n")
     # long-read sidecar (stderr): fused native hifi-style pipeline
