@@ -355,9 +355,11 @@ def run_scale_sidecar(on_tpu):
     haps, idx = scale_fixture()
     rng = np.random.default_rng(23)
     bs = int(os.environ.get("BENCH_SCALE_BATCH", "6144"))
-    # 48 batches (~12-15 s timed): long enough that one degraded-tunnel
-    # window cannot own the steady figure (measured waves last ~5 s)
-    nb = int(os.environ.get("BENCH_SCALE_BATCHES", "48"))
+    # 72 batches (~18-22 s timed): long enough that one degraded-tunnel
+    # window cannot own the steady figure (measured waves last ~5 s;
+    # scale runs this round ranged 0.77x-1.31x at 24-48 batches purely
+    # on which windows a run straddled)
+    nb = int(os.environ.get("BENCH_SCALE_BATCHES", "72"))
     m = GiraffeMapper(haps, idx, GiraffeParams(batch_reads=bs))
     t_sa = time.time()
     # SA shards cache beside the fixture: the reference's GCSA2 is a
