@@ -335,7 +335,8 @@ def _recombinant_reads(rng, haps, n, read_len=150, spacing=24):
 
 def run_scale_sidecar(on_tpu):
     """Chromosome-scale throughput sidecar (round-3 verdict item 1): map
-    ~295k fresh 150bp pairs against a 1.05 Gbp haplotype text on the
+    fresh 150bp pairs (BENCH_SCALE_BATCHES x BENCH_SCALE_BATCH, default
+    72 x 6144 = ~442k pairs) against a 1.05 Gbp haplotype text on the
     chip and report steady reads/s vs the same 56.3k baseline. Returns a
     dict for the result JSON, or None when skipped. MEM fallback is ON
     (round-4 verdict item 4): the sharded suffix array is pre-built
@@ -668,7 +669,8 @@ def main():
 
             truth = simulate_pairs.last_truth
             n_eval = 2000
-            recs_it = read_messages(out.getvalue())
+            main._gam_blob = out.getvalue()   # shared with the surject
+            recs_it = read_messages(main._gam_blob)   # sidecar below
             got_ok = tot = 0
             misses = []
             for k in range(min(n_eval, n_pairs)):
@@ -835,7 +837,8 @@ def main():
 
         sj = Surjector(g)
         sample_alns = []
-        for msg in read_messages(out.getvalue()):
+        blob = getattr(main, "_gam_blob", None) or out.getvalue()
+        for msg in read_messages(blob):
             sample_alns.append(_Aln.decode(msg))
             if len(sample_alns) >= 8192:
                 break

@@ -80,14 +80,7 @@ class MEMIndex:
         # the text, and the reference's analogue (GCSA2) is always a
         # prebuilt on-disk artifact (src/subcommand/index_main.cpp) —
         # rebuilding it per process was our own cliff, not parity
-        digest = None
         if cache_dir:
-            h = hashlib.blake2b(digest_size=12)
-            h.update(str(n).encode())
-            h.update(text[:65536].tobytes())
-            h.update(text[n // 2 : n // 2 + 65536].tobytes())
-            h.update(text[-65536:].tobytes())
-            digest = h.hexdigest()
             os.makedirs(cache_dir, exist_ok=True)
 
         def build(base):
@@ -95,12 +88,23 @@ class MEMIndex:
             end = min(base + core, n)
             slice_end = min(end + self.overlap, n)
             part = np.ascontiguousarray(text[base:slice_end])
-            cp = (os.path.join(cache_dir,
-                               f"sa_{digest}_{base}_{len(part)}.npy")
-                  if digest else None)
+            cp = None
+            if cache_dir:
+                # key on the shard's own FULL bytes (blake2b runs at
+                # ~1 GB/s — noise next to the SA-IS build; a sampled
+                # hash silently served a stale SA to any same-length
+                # text differing outside the sampled windows)
+                h = hashlib.blake2b(part.tobytes(), digest_size=12)
+                cp = os.path.join(cache_dir,
+                                  f"sa_{h.hexdigest()}_{len(part)}.npy")
             if cp and os.path.exists(cp):
-                sa = np.load(cp)
-                return (base, end - base, sa, part)
+                try:
+                    sa = np.load(cp)
+                    if sa.shape == (len(part),) and sa.dtype == np.int32:
+                        return (base, end - base, sa, part)
+                except Exception:               # truncated/corrupt file
+                    pass                        # (EOFError/ValueError/
+                                                # OSError) -> rebuild
             sa = native_build_suffix_array(part)
             if sa is None:
                 sys.stderr.write(
@@ -110,10 +114,13 @@ class MEMIndex:
                 sa = self._python_suffix_array(part)
             sa = np.asarray(sa, np.int32)
             if cp:
-                try:
-                    np.save(cp, sa)
-                except OSError:
-                    pass                    # cache is best-effort
+                try:                            # atomic publish: a
+                    # (np.save appends .npy unless the name ends in it)
+                    tmp = cp[:-4] + f".{os.getpid()}.tmp.npy"
+                    np.save(tmp, sa)            # killed/partial write
+                    os.rename(tmp, cp)          # must never leave a
+                except OSError:                 # truncated cache file
+                    pass                        # cache is best-effort
             sys.stderr.write(
                 f"[vg_tpu] SA shard @{base} ({len(part)/1e6:.0f} Mbp) "
                 f"in {_t.time()-t0:.0f}s\n")

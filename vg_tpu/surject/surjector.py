@@ -350,8 +350,8 @@ class Surjector:
         from ..native import native_banded_tracebacks
 
         preps = [self._prep(a) for a in alns]
-        tasks = [(k, seg, win, ctx) for k, p in enumerate(preps)
-                 if p[0] == "dp" for _, seg, win, ctx in (p,)]
+        tasks = [(k, p[1], p[2], p[3]) for k, p in enumerate(preps)
+                 if p[0] == "dp"]
         out: List[Optional[SamRecord]] = [
             p[1] if p[0] == "done" else None for p in preps]
         if tasks:
