@@ -123,6 +123,42 @@ def test_sharded_mem_parity_with_single_sa():
         assert gotb == want
 
 
+def test_sa_shard_cache_stale_and_corrupt(tmp_path):
+    """The on-disk SA shard cache must (a) never serve a stale SA to a
+    different text (content-hash keyed — a sampled hash did), (b)
+    rebuild through truncated/corrupt cache files instead of crashing,
+    and (c) serve warm hits identical to a fresh build."""
+    import glob
+
+    cd = str(tmp_path / "sacache")
+    rng = np.random.default_rng(3)
+    t1 = rng.integers(0, 4, 300_000).astype(np.uint8)
+    MEMIndex(_H(t1), shard_above=len(t1) // 4, overlap=256, cache_dir=cd)
+    files = glob.glob(cd + "/*.npy")
+    assert files
+    # mutate mid-shard; the cache must NOT serve the old SA
+    t2 = t1.copy()
+    t2[200_000:200_100] = (t2[200_000:200_100] + 1) % 4
+    cached = MEMIndex(_H(t2), shard_above=len(t2) // 4, overlap=256,
+                      cache_dir=cd)
+    fresh = MEMIndex(_H(t2), shard_above=len(t2) // 4, overlap=256)
+    for (b1, c1, s1, _), (b2, c2, s2, _) in zip(cached.chunks,
+                                                fresh.chunks):
+        assert (b1, c1) == (b2, c2)
+        assert np.array_equal(s1, s2)
+    # truncate one cache file: construction must rebuild, not crash
+    f0 = sorted(glob.glob(cd + "/*.npy"))[0]
+    with open(f0, "rb") as f:
+        head = f.read(1000)
+    with open(f0, "wb") as f:
+        f.write(head)
+    again = MEMIndex(_H(t2), shard_above=len(t2) // 4, overlap=256,
+                     cache_dir=cd)
+    for (b1, c1, s1, _), (b2, c2, s2, _) in zip(again.chunks,
+                                                fresh.chunks):
+        assert np.array_equal(s1, s2)
+
+
 def test_pipeline_survives_input_iterator_error():
     """An exception raised by the INPUT iterator (e.g. a FASTQ reader
     IO error) must propagate out of the paired pipeline, not deadlock
